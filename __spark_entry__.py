@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over nbody6_data_pipeline_spark.queries — the engine's
+query registry. Each registry entry pairs a Spark DataFrame
+implementation (SURVEY.md §2 operator) with an equivalent DuckDB
+oracle SQL string.
 """
 
 from __future__ import annotations
@@ -15,24 +14,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The A2/A3 scoped-aggregation pattern (TPC-H-Q1-shaped pricing
+    summary) — the engine's minimum end-to-end slice (SURVEY §7.1).
+    """
+    from nbody6_data_pipeline_spark.queries import registry
+
+    return registry()["pricing_summary"]["spark"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from nbody6_data_pipeline_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec["spark"] for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query (omitted for
+    non-SQL-expressible ops — driver records a rows-only check)."""
+    from nbody6_data_pipeline_spark.queries import registry
+
+    return {
+        name: spec["oracle"]
+        for name, spec in registry().items()
+        if spec["oracle"] is not None
+    }

@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is one or two shuffles on a compact key
+(fingerprint / band hash / simhash), never an all-pairs comparison.
+The only pairwise work happens inside LSH buckets, whose size is
+bounded by the band scheme.
+
+Portability: hashes are built from md5 hex strings (identical in
+every engine) rather than engine-native hash functions, so the same
+logic is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.text import fingerprint, token_array
+
+# MinHash parameters: NUM_HASHES = BANDS * ROWS_PER_BAND.
+SHINGLE_LEN = 12
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+
+# Universal-hash family over the Mersenne prime 2^31-1: sig_j =
+# min((A_j*h + B_j) mod P) for a 32-bit base hash h per shingle.
+# Constants fixed (numpy RandomState(42) draws), hardcoded so the
+# DuckDB oracle can embed the identical values.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [
+    1608637543, 1273642420, 1935803229, 787846415, 996406379, 1201263688,
+    423734973, 415968277, 670094951, 1914837114, 669991379, 429389015,
+]
+MINHASH_B = [
+    249467210, 1972458954, 1572714583, 1433267572, 434285667, 613608295,
+    893664919, 648061058, 88409749, 242285876, 2018247425, 953477463,
+]
+
+
+def normalize(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def _shingle_arr(norm: Column, n: int = SHINGLE_LEN, distinct: bool = True) -> Column:
+    """Shingle array from an ALREADY-NORMALIZED text column.
+
+    The caller must pass a materialized column (not the normalize()
+    expression): Catalyst's project-collapsing would otherwise inline
+    the regexp_replace into the per-element substring lambda and
+    re-run it once per shingle (measured ~100x slowdown).
+
+    ``distinct=False`` skips the O(n^2) interpreted array_distinct —
+    correct wherever the consumer is multiset-invariant (MinHash's
+    per-function MIN)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    arr = F.transform(starts, lambda i: F.substring(norm, i, n))
+    return F.array_distinct(arr) if distinct else arr
+
+
+def char_shingles(text: Column, n: int = SHINGLE_LEN, distinct: bool = True) -> Column:
+    """Character n-gram shingles of normalized text (distinct by
+    default). Short documents (< n chars) contribute the whole text as
+    one shingle so they still participate. For hot paths prefer
+    ``_normed_docs`` + ``_shingle_arr`` (see note there)."""
+    return _shingle_arr(normalize(text), n, distinct)
+
+
+def _spread(df: DataFrame, key) -> DataFrame:
+    """Hash-repartition with an EXPLICIT partition count so AQE does
+    not coalesce the (byte-small but compute-heavy) shingle explosion
+    into one task."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
+
+
+def _normed_docs(df: DataFrame, text: Column, id_col: str) -> DataFrame:
+    """(doc, norm) with the normalized text materialized through a
+    repartition Exchange — a project-collapse barrier, so downstream
+    shingle lambdas reference a computed column instead of re-running
+    the normalization regex per element."""
+    return _spread(
+        df.select(F.col(id_col).alias("doc"), normalize(text).alias("norm")),
+        F.col("doc"),
+    )
+
+
+def shingle_base_hash(s: Column) -> Column:
+    """32-bit base hash of a shingle: first 8 hex digits of md5, as a
+    LONG. Portable: DuckDB gets the identical value via
+    CAST('0x' || substring(md5(s),1,8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(df: DataFrame, text: Column, id_col: str) -> DataFrame:
+    """Per-document k-wide MinHash signature: (id, mh_0..mh_{k-1}).
+
+    Idiomatic-Spark shape for scale: EXPLODE shingles to rows, then
+    ONE codegen'd hash-aggregate computing all k mins — one md5 per
+    shingle + k affine transforms ((A_j*h + B_j) mod P), instead of k
+    salted md5 passes inside interpreted higher-order-function
+    expressions (which measured ~40ms/doc). Partial aggregation
+    happens map-side, so the shuffle carries only (id, k longs).
+
+    The repartition spreads the md5 work when the input arrives as a
+    single small file; on real multi-split inputs it is a no-op cost
+    relative to the scan.
+    """
+    # explode(sequence) + substring instead of a higher-order
+    # transform: stays inside whole-stage codegen (HOF lambdas measured
+    # a ~20s one-time interpretation/compile penalty per fresh plan).
+    rows = (
+        _normed_docs(df, text, id_col)
+        .select(
+            "doc",
+            "norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("norm") - (SHINGLE_LEN - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc",
+            shingle_base_hash(
+                F.substring(F.col("norm"), F.col("i"), SHINGLE_LEN)
+            ).alias("h"),
+        )
+    )
+    h = F.col("h")
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)).alias(
+            f"mh_{j}"
+        )
+        for j in range(NUM_HASHES)
+    ]
+    return rows.groupBy("doc").agg(*aggs)
+
+
+def exact_duplicates(df: DataFrame, text: Column, id_col: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: one hash-groupBy
+    shuffle on a 32-char key regardless of document size."""
+    return (
+        df.groupBy(fingerprint(text).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_bands(df: DataFrame, text: Column, id_col: str) -> DataFrame:
+    """Per-document LSH band hashes: (id, band, band_hash) rows.
+
+    Documents sharing any band hash are near-duplicate candidates.
+    Band hash = md5 of the concatenated signature rows in that band.
+    """
+    sig = minhash_signatures(df, text, id_col)
+    band_cols = []
+    for b in range(BANDS):
+        parts = [f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Band buckets -> distinct candidate pairs (doc_a < doc_b).
+
+    Implemented as ONE shuffle (groupBy band bucket + collect the
+    member ids) followed by expression-level pair expansion within
+    each bucket — not a self-join: a self-join would re-evaluate the
+    minhash expression tree on both sides (the signatures are
+    expensive non-codegen HOF expressions), and at scale would shuffle
+    the band table twice. Bucket sizes are bounded by the band scheme,
+    so the local expansion is small.
+    """
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, text: Column, id_col: str
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (the verify stage of
+    MinHash dedup). Shingle arrays are computed only for documents
+    that appear in a candidate pair (semi-join first) — at scale the
+    candidate set is a tiny fraction of the corpus."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sh = (
+        _normed_docs(
+            docs.join(ids, docs[id_col] == ids["doc"], "left_semi"), text, id_col
+        )
+        .select(
+            "doc",
+            "norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("norm") - (SHINGLE_LEN - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select("doc", F.substring(F.col("norm"), F.col("i"), SHINGLE_LEN).alias("s"))
+        .groupBy("doc")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text: Column, id_col: str, nbits: int = 16) -> DataFrame:
+    """Per-document SimHash: (id, simhash bitstring).
+
+    Bit j is the majority vote of bit j of each token's md5 (tokens
+    with multiplicity). Same explode+aggregate shape as
+    minhash_signatures: one md5 per token row, nbits conditional sums
+    in a single codegen'd hash-aggregate, shuffle carries only small
+    longs. Bit j of a token = high bit of hex digit j of md5(token),
+    i.e. hexchar >= '8' ('0'-'9' sort below 'a'-'f'). Documents with
+    zero tokens produce no row.
+    """
+    rows = (
+        _spread(df, F.col(id_col))
+        .select(F.col(id_col).alias("doc"), F.explode(token_array(text)).alias("t"))
+        .select("doc", F.md5(F.col("t")).alias("m"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.count(F.when(F.substring(F.col("m"), j, 1) >= "8", 1)).alias(f"ones_{j}")
+        for j in range(1, nbits + 1)
+    ]
+    agg = rows.groupBy("doc").agg(*aggs)
+    bits = [
+        F.when(F.col(f"ones_{j}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for j in range(1, nbits + 1)
+    ]
+    return agg.select("doc", F.concat(*bits).alias("simhash"))

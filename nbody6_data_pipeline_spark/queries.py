@@ -1,0 +1,469 @@
+"""Driver-facing query registry.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent
+ANSI-SQL oracle string (run by DuckDB on the same parquet tables).
+Keys map 1:1 to SURVEY.md §2 operators; docstrings cite the reference
+operator being exercised.
+
+Determinism rules (the driver hash-compares values order-insensitively
+but bit-sensitively):
+
+- SUM/AVG over DOUBLE is order-dependent in floating point, so every
+  such aggregate is computed as an exact DECIMAL sum and then cast
+  back to DOUBLE — identical bits regardless of addition order, in
+  both engines.
+- stddev / interpolated percentiles may differ in the last ulp across
+  engines; those are rounded to 6 decimals on BOTH sides.
+- No raw TIMESTAMP columns are returned (epoch seconds instead).
+- Every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+QuerySpec = dict  # {"spark": Callable[[SparkSession, str], DataFrame], "oracle": str | None}
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = {"spark": fn, "oracle": oracle}
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register additional queries.
+    import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_text  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_window  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Session confs required for oracle-parity reads, set at runtime
+    because the driver owns the SparkSession:
+
+    - nanosAsLong: the events table is parquet TIMESTAMP(NANOS), which
+      Spark refuses to read natively; as a LONG it is also exact.
+    - inferTimestampNTZ + UTC session TZ: naive parquet timestamps get
+      naive semantics, matching DuckDB's TIMESTAMP.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def dsum(col, alias: str, scale: int = 4):
+    """Order-independent exact sum of a DOUBLE column: sum as DECIMAL,
+    cast back to DOUBLE. Bit-identical across engines and partition
+    orders."""
+    return F.sum(col.cast("decimal(30,%d)" % scale)).cast("double").alias(alias)
+
+
+def davg(col, alias: str, scale: int = 4):
+    """Order-independent mean: exact decimal sum cast to DOUBLE, then
+    one double division — decimal/decimal division would round to the
+    result scale and engines disagree on that scale."""
+    return (
+        F.sum(col.cast("decimal(30,%d)" % scale)).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — scoped aggregation (reference snapshot.py:164-305, assembler.py:226-246)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scoped aggregation — the A2/A3 conditional
+    scalar-aggregate pattern (reference assembler.py:226-246,
+    snapshot.py:164-305) over the driver's lineitem table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "scoped_descriptive_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS qty_mean,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_std,
+           MIN(l_quantity) AS qty_min,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS qty_q1,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS qty_median,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS qty_q3,
+           MAX(l_quantity) AS qty_max,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_scoped_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — scoped descriptive statistics (reference snapshot.py:164-305
+    driving calc/summary.py:20-36): mean/std/min/q1/median/q3/max plus
+    conditionally-scoped aggregates via when() — the reference's
+    hand-rolled grouping-sets pattern.
+
+    Exact interpolating percentile (not percentile_approx) for oracle
+    parity (SURVEY §7.4 item 4).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    scoped = F.when(F.col("l_discount") > 0.05, q)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            davg(q, "qty_mean"),
+            F.round(F.stddev_samp(q), 6).alias("qty_std"),
+            F.min(q).alias("qty_min"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("qty_q1"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_median"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("qty_q3"),
+            F.max(q).alias("qty_max"),
+            F.count(scoped).alias("n_discounted"),
+            dsum(scoped, "qty_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/F19 — histogram aggregation (reference snapshot.py:314-440)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "annular_histogram",
+    """
+    SELECT CAST(CEIL(GREATEST(l_quantity / 10.0, 0)) AS BIGINT) AS radius,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+    FROM lineitem
+    GROUP BY radius
+    HAVING COUNT(*) > 0
+    ORDER BY radius
+    """,
+)
+def q_annular_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — annular histogram: radius bin = ceil(max(x, 0)), per-bin
+    counts incl. flag-weighted counts (reference snapshot.py:314-440;
+    np.bincount == hash aggregation), plus P9 positive-count filter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    radius = F.ceil(F.greatest(F.col("l_quantity") / 10.0, F.lit(0.0))).alias("radius")
+    return (
+        li.groupBy(radius)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        )
+        .filter(F.col("n_items") > 0)
+        .orderBy("radius")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J3 — equi-joins with broadcast dimensions (reference assembler.py:146-152)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_enrichment",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY region_name, nation_name
+    ORDER BY region_name, nation_name
+    """,
+)
+def q_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — inner equi-join enrichment (reference assembler.py:146-152:
+    pos/vel x attrs on name). Dimension tables are broadcast — the
+    Spark-native form of the reference's dict-lookup 'joins'
+    (SURVEY §2.3 preamble); at 100 TB the fact side never shuffles.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@register(
+    "anti_join_missing",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/U4 — anti-join validation: rows present in one table but
+    missing from the other (reference assembler.py:168-188 missing-name
+    detection; dataset_split overlap asserts).
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "semi_join_membership",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    SEMI JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+    ORDER BY c.c_custkey
+    """,
+)
+def q_semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — left-semi membership join (reference assembler.py:609-617
+    `name.isin(hierarchy_map)`, observer.py:235-238).
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10/P11 — dedup & distinct (reference assembler.py:115-123)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — exact deduplication, deterministic representative
+    (min id per duplicate group) rather than dropDuplicates' arbitrary
+    row (reference assembler.py:115-123 drop_duplicates on name).
+    Hash-groupBy: scales as one shuffle on the dedup key.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "text", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "distinct_combination_count",
+    """
+    SELECT COUNT(*) AS n_combos
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    """,
+)
+def q_distinct_combination_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — distinct-combination count (reference annular_stats.ipynb
+    cell 4: df[cat_keys].drop_duplicates().shape[0]).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_combos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — top-k (reference parser/base.py:96-106 nearest-key lookup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — deterministic top-k (ties broken by key). Spark compiles
+    this to TakeOrderedAndProject — no full sort at scale.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/U3 — set ops (reference assembler.py:115-128, observer.py:224-230)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT kind, COUNT(*) AS n, COUNT(DISTINCT nationkey) AS n_nations
+    FROM (
+      SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY kind
+    ORDER BY kind
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — row union of heterogenous sources after projection to a
+    common schema (reference assembler.py:115-128 fort.82 ∪ fort.83;
+    observer.py:255-257 singles ∪ resolved ∪ merged).
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("nationkey").alias("n_nations"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
+    "unpivot_components",
+    """
+    SELECT o_orderkey, metric, value
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    )
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey, metric
+    """,
+)
+def q_unpivot_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — unpivot/melt wide columns to long rows (reference
+    assembler.py:115-122: fort.82 {attr}{1,2} -> per-component rows).
+    Implemented with the native `stack` table-generating expression.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return (
+        o.selectExpr(
+            "o_orderkey",
+            "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
+        )
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8 — weighted and filtered means (reference collect_inclination_stats.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_center_of_mass",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_weighted_center_of_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — weighted average (reference collect_inclination_stats.py:27-28
+    np.average(r, weights=m)): sum(w*x)/sum(w) with exact decimal sums.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,6)"))
+    den = F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg((num.cast("double") / den.cast("double")).alias("weighted_price"))
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,255 @@
+"""Dedup & similarity-search queries (BASELINE.json north-star ops).
+
+The DuckDB oracles re-implement the same hash constructions so
+results are bit-identical: base hashes come from md5 hex (portable),
+minhash mixing is integer arithmetic over a Mersenne prime, cosine
+uses strict left-fold accumulation — never engine-native hash() or
+engine-specific aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.dedup import (
+    BANDS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    ROWS_PER_BAND,
+    SHINGLE_LEN,
+    exact_duplicates,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_bands,
+    simhash,
+)
+from nbody6_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    sign_lsh_bucket,
+)
+from nbody6_data_pipeline_spark.queries import _t, register
+
+# ---- DuckDB fragments mirroring operators/dedup.py constructions ----
+
+_DD_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_DD_SHINGLES = f"""
+  list_distinct(list_transform(
+    range(1, greatest(length({_DD_NORM}) - {SHINGLE_LEN - 1}, 1) + 1),
+    i -> substring({_DD_NORM}, i, {SHINGLE_LEN})))
+""".strip()
+
+_DD_SIG = f"""
+    sh AS (
+      SELECT doc_id AS doc, unnest({_DD_SHINGLES}) AS s FROM documents
+    ),
+    hs AS (
+      SELECT doc, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc,
+        {", ".join(f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh_{j}" for j in range(len(MINHASH_A)))}
+      FROM hs GROUP BY doc
+    )
+""".strip()
+
+
+def _dd_band_select(b: int) -> str:
+    parts = " || '|' || ".join(
+        f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    return f"SELECT doc, {b} AS band, md5({parts}) AS band_hash FROM sig"
+
+
+_DD_BANDS = " UNION ALL ".join(_dd_band_select(b) for b in range(BANDS))
+
+_DD_PAIRS = f"""
+    bands AS ({_DD_BANDS}),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+      GROUP BY doc_a, doc_b
+    )
+""".strip()
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_DD_SIG},
+    {_DD_PAIRS}
+    SELECT doc_a, doc_b FROM pairs
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs: char-12-gram
+    shingles -> explode -> one codegen'd hash-aggregate of 12
+    universal-hash mins -> 4 bands x 3 rows -> bucket-local pair
+    expansion. Scales as two small shuffles; no all-pairs comparison.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bands = minhash_bands(d, F.col("text"), "doc_id")
+    return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "minhash_lsh_verified",
+    f"""
+    WITH {_DD_SIG},
+    {_DD_PAIRS},
+    shing AS (SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN shing sa ON p.doc_a = sa.doc_id
+    JOIN shing sb ON p.doc_b = sb.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidates + exact shingle-Jaccard verification (the
+    full near-dup pipeline: generate candidates cheaply, verify
+    exactly only within candidates)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id"))
+    return jaccard_verify(pairs, d, F.col("text"), "doc_id").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_DD_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+_DD_SIMHASH_AGG = ", ".join(
+    f"COUNT(*) FILTER (WHERE substring(m, {j}, 1) >= '8') AS ones_{j}"
+    for j in range(1, 17)
+)
+_DD_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN 2 * ones_{j} >= n THEN '1' ELSE '0' END" for j in range(1, 17)
+)
+
+
+@register(
+    "simhash_clusters",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest({_DD_TOKS})) AS m FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n, {_DD_SIMHASH_AGG}
+      FROM toks GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {_DD_SIMHASH_BITS} AS simhash FROM agg
+    )
+    SELECT simhash, MIN(doc_id) AS representative_id, COUNT(*) AS n_docs
+    FROM sig
+    GROUP BY simhash
+    ORDER BY representative_id
+    """,
+)
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clustering: 16-bit token-majority simhash as
+    the grouping key (explode + one hash-aggregate, then one shuffle
+    on a 16-char key)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        simhash(d, F.col("text"), "doc_id")
+        .groupBy("simhash")
+        .agg(
+            F.min("doc").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("representative_id")
+    )
+
+
+@register(
+    "exact_dup_clusters",
+    f"""
+    SELECT md5({_DD_NORM}) AS fingerprint,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY fingerprint
+    ORDER BY representative_id
+    """,
+)
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-groupBy) dedup over normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d, F.col("text"), "doc_id").orderBy(
+        "representative_id"
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    v AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, v.cand_id,
+        list_reduce(list_transform(range(1, 65), i -> qv[i] * cv[i]), (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(range(1, 65), i -> cv[i] * cv[i]), (acc, x) -> acc + x)))
+          AS cos_sim
+      FROM v, q
+      WHERE v.cand_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over the embeddings table
+    (queries = every 50th vector). Fold expressions use a strict
+    left-to-right accumulation so Spark and DuckDB agree bitwise."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(e, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_lsh_buckets",
+    """
+    WITH b AS (
+      SELECT vec_id, label,
+        list_aggregate(list_transform(range(1, 13),
+          i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')
+          AS bucket
+      FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels,
+           MIN(vec_id) AS min_vec_id
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing — the ANN scale path: vectors shard into
+    2^12 sign-pattern buckets; ANN search then only compares within a
+    bucket (plus neighboring buckets for recall)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id", "label", sign_lsh_bucket(F.col("embedding")).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,181 @@
+"""Text-analysis queries over the documents table.
+
+The large-scale training-data operators (BASELINE.json north star):
+language ID, quality scoring, token counting, document
+fingerprinting. All are native column expressions — regexes and md5
+behave identically in Spark (Java regex) and DuckDB (RE2) for the
+portable subset used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.text import (
+    language_scores,
+    quality_metrics,
+    token_array,
+)
+from nbody6_data_pipeline_spark.queries import _t, dsum, register
+
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / NULLIF(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')), 0)
+                 AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — north-star text operator.
+    Pure column expressions: split + filter + size; no UDF, fully
+    codegen'd, scales linearly with no shuffle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = token_array(F.col("text"))
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.nullif(n_tokens, F.lit(0))
+        ).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tokens,
+        length(text) AS n_chars_x,
+        len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+        len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+      CAST(n_digits AS DOUBLE) / NULLIF(n_chars_x, 0) AS digit_ratio,
+      CAST(n_punct AS DOUBLE) / NULLIF(n_chars_x, 0) AS punct_ratio,
+      CAST(n_stopwords AS DOUBLE) / NULLIF(n_tokens, 0) AS stopword_ratio,
+      (n_tokens >= 5 AND CAST(n_stopwords AS DOUBLE) / NULLIF(n_tokens, 0) > 0.01)
+        AS passes_quality
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring — length / punctuation / digit / stopword
+    ratios with a pass/fail gate (Gopher-style heuristics, done as
+    native expressions).
+    """
+    d = _t(spark, sf_dir, "documents")
+    m = quality_metrics(d, F.col("text"))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_digits").cast("double") / F.nullif(F.col("n_chars_x"), F.lit(0))).alias("digit_ratio"),
+        (F.col("n_punct").cast("double") / F.nullif(F.col("n_chars_x"), F.lit(0))).alias("punct_ratio"),
+        (F.col("n_stopwords").cast("double") / F.nullif(F.col("n_tokens"), F.lit(0))).alias("stopword_ratio"),
+        (
+            (F.col("n_tokens") >= 5)
+            & (
+                F.col("n_stopwords").cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0))
+                > 0.01
+            )
+        ).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_language_id",
+    """
+    WITH scores AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|with|for)\\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|de|un|une)\\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|von|ein)\\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\\b(el|los|las|es|de|un|una|y)\\b')) AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+          WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_de >= s_es THEN 'de'
+          ELSE 'es'
+        END AS lang_pred
+      FROM scores
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+)
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID — stopword-hit n-gram heuristic with deterministic
+    argmax tie-breaking (en > fr > de > es), reported as a confusion
+    table against the labeled lang column.
+    """
+    d = _t(spark, sf_dir, "documents")
+    scored = language_scores(d, F.col("text"))
+    pred = scored.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")),
+            F.lit("fr"),
+        )
+        .when(F.col("s_de") >= F.col("s_es"), F.lit("de"))
+        .otherwise(F.lit("es"))
+        .alias("lang_pred"),
+    )
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY fingerprint
+    ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting — md5 over whitespace-normalized,
+    lowercased text; the grouping key for exact near-dup clustering.
+    md5 hex output is engine-portable (unlike engine-native hash()).
+    """
+    d = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.groupBy(F.md5(normalized).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,480 @@
+"""Window / time-series queries (SURVEY §2.5 W1-W6, §2.4 A8-A10, §2.3 J10).
+
+Event timestamps in the synthetic tables are nanosecond-precision
+parquet TIMESTAMP(NANOS); Spark reads them as nanosecond LONGs
+(``spark.sql.legacy.parquet.nanosAsLong``) while DuckDB truncates to
+microseconds — so all event-time arithmetic is done in integer epoch
+MICROseconds on both sides (Spark: ``ts div 1000``, DuckDB:
+``epoch_us(ts)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.queries import ensure_confs, register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("us", F.expr("ts div 1000"))
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@register(
+    "half_mass_cutoff",
+    """
+    WITH cum AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(CAST(l_quantity AS DECIMAL(30,4)))
+               OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+             SUM(CAST(l_quantity AS DECIMAL(30,4)))
+               OVER (PARTITION BY l_orderkey) AS total_qty
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           MIN(l_linenumber) AS half_line,
+           CAST(MAX(total_qty) AS DOUBLE) AS total_qty
+    FROM cum
+    WHERE cum_qty * 2 >= total_qty
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q_half_mass_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/W2 — cumulative-sum quantile cutoff, the half-mass-radius
+    pattern (reference calc/cluster.py:14-31: sort by distance,
+    cumsum(mass), first index where cum >= total/2). Exact decimal
+    cumsum; the `cum*2 >= total` form avoids FP division.
+    """
+    li = _lineitem(spark, sf_dir)
+    w_cum = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_orderkey")
+    dec_qty = F.col("l_quantity").cast("decimal(30,4)")
+    cum = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec_qty).over(w_cum).alias("cum_qty"),
+        F.sum(dec_qty).over(w_all).alias("total_qty"),
+    )
+    return (
+        cum.filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_linenumber").alias("half_line"),
+            F.max("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "timestamp_summary",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS first_us,
+           MAX(epoch_us(ts)) AS max_us,
+           CASE WHEN COUNT(*) > 1
+                THEN CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)
+                     / (COUNT(*) - 1)
+                ELSE NULL END AS mean_step_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_timestamp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W3 — timestamp summary: count/min/max/mean-step (reference
+    calc/summary.py:7-17). mean(diff(sorted ts)) telescopes to
+    (max-min)/(n-1), computed exactly on integer microseconds.
+    """
+    ev = _events(spark, sf_dir)
+    n = F.count(F.lit(1))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n.alias("n_events"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("max_us"),
+            F.when(
+                n > 1,
+                (F.max("us") - F.min("us")).cast("double") / (n - 1),
+            ).alias("mean_step_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ntile_binning",
+    """
+    SELECT bin, COUNT(*) AS n, MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max
+    FROM (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+      FROM customer
+    )
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — quantile binning for stratification (reference
+    dataset_split.ipynb `_bin_data` pd.qcut). Ties broken by key for
+    determinism.
+    """
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("bal_min"),
+            F.max("c_acctbal").alias("bal_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "dense_rank_factorize",
+    """
+    SELECT DISTINCT o_orderpriority,
+           DENSE_RANK() OVER (ORDER BY o_orderpriority) AS group_id
+    FROM orders
+    ORDER BY group_id
+    """,
+)
+def q_dense_rank_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — factorize: dense integer ids for a categorical key
+    (reference dataset_split.ipynb `split()` pd.factorize).
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.dense_rank().over(W.orderBy("o_orderpriority")).alias("group_id"),
+        )
+        .distinct()
+        .orderBy("group_id")
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > 1800000000 OR LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 — gap-based sessionization: lag + running sum of
+    session-start flags — the same running-block-id window pattern the
+    block-text reader uses (reference parser/base.py:241-307, SURVEY
+    §2.5 W1). 30-minute gap threshold.
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = ev.select(
+        "user_id",
+        "us",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "asof_join_prior_view",
+    """
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_us
+      FROM events
+    )
+    SELECT event_id, user_id, us, prior_view_us,
+           us - prior_view_us AS us_since_view
+    FROM ordered
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q_asof_join_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — as-of (tolerance) alignment join: each purchase aligned to
+    the most recent earlier 'view' by the same user (reference
+    loader.py:138-200 aligns per-file timestamps the same way). Native
+    windowed formulation — no applyInPandas needed; scales as one
+    shuffle on user_id.
+    """
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "us",
+            "event_type",
+            prior_view.alias("prior_view_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            "prior_view_us",
+            (F.col("us") - F.col("prior_view_us")).alias("us_since_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "grid_interpolation",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+      FROM events
+      GROUP BY user_id, day
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(range(MIN(day), MAX(day) + 1)) AS day
+      FROM obs GROUP BY user_id
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, o.value
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+    ),
+    bounded AS (
+      SELECT user_id, day, value,
+        LAST_VALUE(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        LAST_VALUE(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        FIRST_VALUE(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        FIRST_VALUE(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM joined
+    )
+    SELECT user_id, day,
+      CAST(FLOOR((CASE
+        WHEN value IS NOT NULL THEN value
+        WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+        ELSE prev_val + (next_val - prev_val) * (CAST(day - prev_day AS DOUBLE)
+             / CAST(next_day - prev_day AS DOUBLE))
+      END) * 1000000 + 0.5) AS BIGINT) AS value_interp_e6
+    FROM bounded
+    ORDER BY user_id, day
+    """,
+)
+def q_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — the flagship custom transform: time-grid linear
+    interpolation with pandas `interpolate('index',
+    limit_area='inside')` semantics (reference overall_stat.ipynb /
+    annular_stats.ipynb cell 3): exact at observed points, linear
+    between them, NULL outside each group's observed range.
+
+    Native plan: per-group daily grid via sequence+explode, left join
+    observations, forward/backward ignore-null window scans, one
+    arithmetic interpolation — a single shuffle on the group key; the
+    reference's per-group joblib fan-out disappears into shuffle
+    partitioning.
+    """
+    ev = _events(spark, sf_dir)
+    obs = (
+        ev.withColumn("day", F.expr("us div 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value")
+        )
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    joined = grid.join(obs, ["user_id", "day"], "left")
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("value").isNotNull(), F.col("day"))
+    bounded = joined.select(
+        "user_id",
+        "day",
+        "value",
+        F.last("value", ignorenulls=True).over(w_back).alias("prev_val"),
+        F.last(day_if_obs, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("value", ignorenulls=True).over(w_fwd).alias("next_val"),
+        F.first(day_if_obs, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    frac = (F.col("day") - F.col("prev_day")).cast("double") / (
+        F.col("next_day") - F.col("prev_day")
+    ).cast("double")
+    interp = F.when(F.col("value").isNotNull(), F.col("value")).when(
+        F.col("prev_val").isNull() | F.col("next_val").isNull(), F.lit(None)
+    ).otherwise(
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    )
+    # Quantize with explicit arithmetic (not ROUND): both engines run
+    # the identical float ops on identical inputs -> identical bits;
+    # engine ROUND() implementations tie-break differently.
+    return bounded.select(
+        "user_id",
+        "day",
+        F.floor(interp * 1_000_000 + 0.5).cast("long").alias("value_interp_e6"),
+    ).orderBy("user_id", "day")
+
+
+@register(
+    "bulk_velocity_subtraction",
+    """
+    WITH grp AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) FILTER (WHERE event_type = 'purchase')
+               AS DOUBLE)
+             / CAST(NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS bulk
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           e.value - g.bulk AS value_centered
+    FROM events e JOIN grp g ON e.user_id = g.user_id
+    WHERE g.bulk IS NOT NULL
+    ORDER BY e.event_id
+    """,
+)
+def q_bulk_velocity_subtraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — filtered group mean subtracted from every row (reference
+    collect_inclination_stats.py:40-45: bulk velocity over stars
+    within r_tidal subtracted from all stars). Windowed aggregate +
+    rebroadcast, one shuffle on the group key.
+    """
+    ev = _events(spark, sf_dir)
+    scoped = F.when(F.col("event_type") == "purchase", F.col("value"))
+    grp = ev.groupBy("user_id").agg(
+        (
+            F.sum(scoped.cast("decimal(30,6)")).cast("double")
+            / F.nullif(F.count(scoped), F.lit(0)).cast("double")
+        ).alias("bulk")
+    )
+    return (
+        ev.join(grp, "user_id")
+        .filter(F.col("bulk").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") - F.col("bulk")).alias("value_centered"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "dissolution_cut",
+    """
+    WITH cut AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN o_orderstatus = 'F' AND o_totalprice < 1000
+                      THEN epoch_us(o_orderdate) END) AS cut_us
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_custkey, COUNT(*) AS n_kept
+    FROM orders o JOIN cut c ON o.o_custkey = c.o_custkey
+    WHERE c.cut_us IS NULL OR epoch_us(o.o_orderdate) < c.cut_us
+    GROUP BY o.o_custkey
+    ORDER BY o.o_custkey
+    """,
+)
+def q_dissolution_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + ordering-sensitive truncation — the dissolved-cluster cut
+    (reference assembler.py:522-527, 698-704): drop all rows at or
+    after the first 'dissolved' timestamp per group, expressed as a
+    min-over-group + comparison instead of an ordered scan (SURVEY §4
+    'early abort' row).
+    """
+    ensure_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "us", F.unix_timestamp("o_orderdate") * 1_000_000
+    )
+    dissolved = F.when(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 1000),
+        F.col("us"),
+    )
+    cut = o.groupBy("o_custkey").agg(F.min(dissolved).alias("cut_us"))
+    return (
+        o.join(cut, "o_custkey")
+        .filter(F.col("cut_us").isNull() | (F.col("us") < F.col("cut_us")))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("o_custkey")
+    )

@@ -1,0 +1,95 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (``local[N]``) is a single JVM: ``spark.driver.memory`` is
+the only memory knob. On a real cluster the same settings apply per
+executor; AQE handles partition coalescing and skew splitting at
+runtime so one static ``shuffle.partitions`` value does not have to be
+right for every stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def get_spark(app_name: str = "nbody6_data_pipeline_spark") -> SparkSession:
+    """Create (or reuse) the tuned SparkSession.
+
+    Tuning rationale for scale (the same knobs matter at 100 TB):
+
+    - AQE on: runtime partition coalescing, skew-join splitting and
+      plan re-optimization replace hand-tiered process parallelism
+      (the reference's n_jobs=30/12/2 tiering,
+      collect_simulation_stats.py:213-250).
+    - ``shuffle.partitions`` ~ cores locally; on a cluster AQE's
+      coalescing makes a larger initial value safe.
+    - Arrow enabled: all pandas_udf / applyInPandas boundaries are
+      vectorized batch transfers, never row-at-a-time pickling.
+    - Session timezone pinned UTC so timestamp semantics agree with
+      columnar engines (parquet / DuckDB oracle).
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Timestamps in the synthetic parquet are naive; read them as NTZ so
+        # no session-TZ shift is applied (matches DuckDB's naive TIMESTAMP).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # The events table is parquet TIMESTAMP(NANOS): read as exact LONGs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
+    """Load the driver's synthetic star-schema tables as DataFrames.
+
+    Returns ``{name: DataFrame}`` and registers each as a temp view so
+    SQL-form queries can run against the same inputs.
+    """
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

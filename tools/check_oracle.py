@@ -1,0 +1,136 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries()[name] in Spark and the matching oracle_sql()
+in DuckDB on the same parquet tables, then compares row count, column
+names, and values (order-insensitive: rows sorted by all columns,
+columns sorted by name). Reports exact and approximate (1e-9) match
+status so float-hash risk is visible before the driver runs.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rel = con.sql(sql)
+    cols = rel.columns
+    rows = rel.fetchall()
+    con.close()
+    return cols, rows
+
+
+def normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        out.append(tuple(row[i] for i in order))
+    return sorted(colnames), sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def values_equal(a, b, tol=0.0):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        if math.isnan(a) and math.isnan(float(b)):
+            return True
+        return abs(a - float(b)) <= tol * max(1.0, abs(a))
+    return str(a) == str(b)
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols):
+    sc, srows = normalize(spark_rows, spark_cols)
+    dc, drows = normalize(duck_rows, duck_cols)
+    problems = []
+    if sc != dc:
+        problems.append(f"SCHEMA: spark={sc} duck={dc}")
+        return problems, False
+    if len(srows) != len(drows):
+        problems.append(f"ROWCOUNT: spark={len(srows)} duck={len(drows)}")
+        return problems, False
+    exact = True
+    approx = True
+    for i, (sr, dr) in enumerate(zip(srows, drows)):
+        for j, (sv, dv) in enumerate(zip(sr, dr)):
+            if not values_equal(sv, dv, 0.0):
+                exact = False
+                if not values_equal(sv, dv, 1e-9):
+                    approx = False
+                    if len(problems) < 5:
+                        problems.append(
+                            f"VALUE row {i} col {sc[j]}: spark={sv!r} duck={dv!r}"
+                        )
+    if exact:
+        return [], True
+    if approx:
+        problems.insert(0, "INEXACT-BUT-CLOSE (hash would FAIL)")
+    return problems, False
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from nbody6_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    n_pass = n_fail = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(spark_rows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_cols, duck_rows = duck_run(oracles[name], sf_dir)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems, ok = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        if ok:
+            print(f"PASS {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"  {p}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(qs) - len(oracles)} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
