@@ -1,0 +1,240 @@
+"""S1/S2 — block-structured text scan, Spark-native.
+
+Reference spec: parser/base.py:156-239 (parse), 241-307 (_iter_block),
+309-332 (_apply_schema). A file is a sequence of blocks: each block is
+``header_length`` header lines (prefix-tagged) followed by data lines
+until the next header/footer. Multi-line header tokens concatenate.
+Empty lines are skipped everywhere; footer lines terminate a block and
+are never parsed. ``time`` (rounded to 2 decimals) keys the block;
+duplicate timestamps keep the LAST block (parser/base.py:217-223).
+
+Spark recipe (SURVEY §2.1 S1): read lines with global line numbers
+(zipWithIndex — order must be carried explicitly because Spark rows
+are unordered), flag header/footer lines, assign block ids with a
+running ``sum(is_header) over (order by line_no)`` window, then
+aggregate header tokens per block and project data tokens positionally.
+
+The ordered window runs over a single partition per FILE — correct
+and cheap because one raw NBODY6 file is single-machine-sized; the
+engine scales across the RUN dimension (thousands of files), not
+within one file. For a pathological multi-TB single file, the same
+recipe applies per split with boundary stitching via mapPartitions
+(documented trade-off; not needed for this workload).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Index = int | list[int]
+
+
+@dataclass(frozen=True)
+class BlockSourceConfig:
+    """Declarative, positional schema for one file format
+    (reference FileParserConfig, parser/base.py:44-69)."""
+
+    header_prefix: str
+    header_length: int
+    # name -> (token index or index list, Spark type name)
+    header_schema: dict[str, tuple[Index, str]]
+    data_schema: dict[str, tuple[Index, str]]
+    footer_prefix: str | None = None
+
+
+@dataclass
+class BlockTables:
+    """Parsed output: one row per block in ``headers``, one row per
+    data line in ``data`` — both keyed by ``time`` (the reference's
+    dict[timestamp -> FileBlock] flattened into long tables)."""
+
+    headers: DataFrame
+    data: DataFrame
+
+
+def _lstrip_class(prefix: str) -> str:
+    """Regex matching the reference's str.lstrip(prefix) semantics:
+    lstrip strips any leading chars IN THE SET of prefix chars
+    (parser/base.py:288: ``ln_txt.lstrip(header_prefix)``)."""
+    chars = "".join(sorted(set(prefix)))
+    return "^[" + re.escape(chars) + "]+" if chars else ""
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Lines with explicit global order: (line_no starting at 1, line).
+
+    zipWithIndex is the one RDD touch in the engine — Spark DataFrames
+    are unordered sets, and block semantics are line-order-dependent
+    (SURVEY §7.4 item 1), so the order is materialized into a column
+    once at ingest and everything downstream is pure DataFrame.
+    """
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    return spark.createDataFrame(
+        rdd.map(lambda t: (t[1] + 1, t[0])),
+        schema=T.StructType(
+            [
+                T.StructField("line_no", T.LongType(), False),
+                T.StructField("raw", T.StringType(), True),
+            ]
+        ),
+    )
+
+
+def _token_col(tokens: F.Column, idx: Index, typ: str, is_strict: bool) -> F.Column:
+    """S2 positional token projection (parser/base.py:309-332).
+
+    strict: out-of-range index or bad conversion raises (ANSI
+    element_at / cast). lax: null instead (F.get / try_cast)."""
+
+    def one(i: int) -> F.Column:
+        tok = F.element_at(tokens, i + 1) if is_strict else F.get(tokens, i)
+        return tok.cast(typ) if is_strict else tok.try_cast(typ)
+
+    if isinstance(idx, int):
+        return one(idx)
+    return F.array(*[one(i) for i in idx])
+
+
+def parse_blocks(
+    lines: DataFrame,
+    cfg: BlockSourceConfig,
+    is_strict: bool = True,
+) -> BlockTables:
+    """Split ordered lines into blocks and apply the positional schema.
+
+    Returns headers (block_id, time, line-span meta, header columns)
+    and data (block_id, time, data columns). Duplicate timestamps:
+    last block wins, matching parser/base.py:217-223.
+    """
+    stripped = lines.select("line_no", F.trim(F.col("raw")).alias("txt"))
+    nonempty = stripped.filter(F.col("txt") != "")
+
+    is_footer = (
+        F.col("txt").startswith(cfg.footer_prefix)
+        if cfg.footer_prefix is not None
+        else F.lit(False)
+    )
+    # header match is tested BEFORE footer only when the prefixes don't
+    # shadow each other; reference checks footer first in the data loop
+    # and skips footer lines during header collection — net effect:
+    # a footer line is never a header line.
+    is_header = F.col("txt").startswith(cfg.header_prefix) & ~is_footer
+
+    w = W.orderBy("line_no").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = nonempty.select(
+        "line_no",
+        "txt",
+        is_header.alias("is_header"),
+        is_footer.alias("is_footer"),
+        F.sum(is_header.cast("long")).over(w).alias("hdr_cum"),
+    )
+
+    hl = cfg.header_length
+    # Structural validation (parser/base.py:272-283), ONE aggregation job:
+    # - a data line must appear only after a COMPLETE header group
+    # - EOF inside a header group is an incomplete-header error
+    bad_cond = (
+        ~F.col("is_header")
+        & ~F.col("is_footer")
+        & ((F.col("hdr_cum") % hl != 0) | (F.col("hdr_cum") == 0))
+    )
+    chk = flagged.agg(
+        F.max("hdr_cum").alias("tail"),
+        F.min(F.when(bad_cond, F.col("line_no"))).alias("bad_line"),
+        F.min_by(F.col("txt"), F.when(bad_cond, F.col("line_no"))).alias("bad_txt"),
+    ).first()
+    if chk["bad_line"] is not None:
+        raise ValueError(
+            f"[LINE {chk['bad_line']}] Expected a header line, but got: '{chk['bad_txt']}'"
+        )
+    if (chk["tail"] or 0) % hl != 0:
+        raise ValueError("Incomplete header at end of file.")
+
+    blocked = flagged.filter(~F.col("is_footer")).select(
+        "line_no",
+        "txt",
+        "is_header",
+        F.when(
+            F.col("is_header"), (F.col("hdr_cum") - 1) / hl
+        ).otherwise(F.col("hdr_cum") / hl - 1)
+        .cast("long")
+        .alias("block_id"),
+    )
+
+    strip_re = _lstrip_class(cfg.header_prefix)
+    header_txt = (
+        F.regexp_replace(F.col("txt"), strip_re, "") if strip_re else F.col("txt")
+    )
+    header_lines = blocked.filter("is_header").select(
+        "block_id",
+        "line_no",
+        F.split(F.trim(header_txt), r"\s+").alias("toks"),
+    )
+    # multi-line headers: concatenate tokens in line order
+    # (parser/base.py:258: flat token list across header rows)
+    header_tok = (
+        header_lines.groupBy("block_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "toks"))
+                    ),
+                    lambda s: s.getField("toks"),
+                )
+            ).alias("toks"),
+            F.min("line_no").alias("header_line_start"),
+            F.max("line_no").alias("header_line_end"),
+        )
+    )
+
+    hdr_cols = [
+        _token_col(F.col("toks"), idx, typ, is_strict).alias(name)
+        for name, (idx, typ) in cfg.header_schema.items()
+    ]
+    headers = header_tok.select(
+        "block_id", "header_line_start", "header_line_end", *hdr_cols
+    )
+    # time keys the block, rounded to 2 decimals (parser/base.py:215);
+    # the unrounded value is preserved as time_raw (the reference keeps
+    # it inside the block header dict).
+    headers = headers.withColumn("time_raw", F.col("time")).withColumn(
+        "time", F.round(F.col("time"), 2)
+    )
+
+    # duplicate timestamps: LAST block wins (parser/base.py:217-223)
+    w_dup = W.partitionBy("time").orderBy(F.col("block_id").desc())
+    headers = (
+        headers.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    data_lines = blocked.filter(~F.col("is_header")).select(
+        "block_id",
+        "line_no",
+        F.split(F.col("txt"), r"\s+").alias("toks"),
+    )
+    data_cols = [
+        _token_col(F.col("toks"), idx, typ, is_strict).alias(name)
+        for name, (idx, typ) in cfg.data_schema.items()
+    ]
+    data = data_lines.join(
+        headers.select("block_id", "time"), "block_id"
+    ).select("block_id", "time", "line_no", *data_cols)
+
+    return BlockTables(headers=headers, data=data)
+
+
+def read_block_file(
+    spark: SparkSession,
+    path: str,
+    cfg: BlockSourceConfig,
+    is_strict: bool = True,
+) -> BlockTables:
+    return parse_blocks(read_lines(spark, path), cfg, is_strict=is_strict)

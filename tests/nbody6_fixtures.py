@@ -1,0 +1,165 @@
+"""Synthetic NBODY6 raw-file fixtures (FIXTURES.md §1).
+
+Writes a tiny simulation run as actual block-structured text files in
+the reference's six formats, with known values so tests can
+hand-compute expectations.
+
+Cluster layout per timestamp (times 0.0, 1.0, 2.0):
+- regularized binary (1,2): OUT34 carries its center-of-mass particle
+  name=101; components' attrs in fort.82; pairing in OUT9
+- unregularized binary (3,4): atoms in OUT34, attrs in fort.83,
+  pairing in fort.19
+- triple ((1+2)+5): fort.19 row name1=101 (the cm name), name2=5
+- singles 5..10 in OUT34/fort.83; star 10 sits far outside 2*r_tidal
+- per-file timestamp jitter within the 2e-2 alignment tolerance
+- optional dissolved final timestamp (r_tidal <= 0)
+"""
+
+from __future__ import annotations
+
+import os
+
+R_TIDAL = 10.0
+DC = (1.0, 2.0, 3.0)  # density center [pc]
+
+# name -> (x, y, z, vx, vy, vz, mass)  (positions relative to origin)
+STARS = {
+    1: (1.0, 2.0, 3.5, 0.0, 1.0, 0.0, 5.0),
+    2: (1.0, 2.0, 2.5, 0.0, -1.0, 0.0, 3.0),
+    3: (2.0, 2.0, 3.0, 0.5, 0.0, 0.0, 2.0),
+    4: (2.0, 3.0, 3.0, -0.5, 0.0, 0.0, 1.0),
+    5: (4.0, 2.0, 3.0, 0.0, 0.0, 1.0, 1.5),
+    6: (1.0, 6.0, 3.0, 0.0, 0.0, -1.0, 1.0),
+    7: (6.0, 2.0, 3.0, 1.0, 1.0, 0.0, 0.8),
+    8: (1.0, 2.0, 9.0, 0.0, 1.0, 1.0, 0.6),
+    9: (9.0, 9.0, 9.0, 1.0, 0.0, 1.0, 0.5),
+    10: (40.0, 40.0, 40.0, 2.0, 2.0, 2.0, 0.4),  # outside 2x r_tidal
+}
+# attrs: name -> (zlum, rad, tempe)  [log10 solar units / log10 K]
+ATTRS = {
+    1: (1.0, 0.3, 3.9),
+    2: (0.5, 0.1, 3.8),
+    3: (0.2, 0.05, 3.76),
+    4: (-0.1, -0.05, 3.74),
+    5: (0.0, 0.0, 3.76),
+    6: (-0.3, -0.1, 3.72),
+    7: (-0.5, -0.15, 3.70),
+    8: (-0.8, -0.2, 3.68),
+    9: (-1.0, -0.25, 3.66),
+    10: (-1.2, -0.3, 3.64),
+}
+CM_NAME = 101
+# OUT9 regularized binary (1,2): ecc, semi(NB units), log10 period days
+REG_BIN = dict(ecc=0.1, semi=0.5, p=1.0, m1=5.0, m2=3.0, n1=1, n2=2)
+# fort.19 rows: (3,4) plain + (101,5) hierarchical triple
+F19_BINS = [
+    dict(ecc=0.3, semi=2.0, p=3.0, m1=2.0, m2=1.0, n1=3, n2=4, hi=0),
+    dict(ecc=0.5, semi=20.0, p=5.5, m1=8.0, m2=1.5, n1=CM_NAME, n2=5, hi=1),
+]
+
+TIMES = [0.0, 1.0, 2.0]
+JITTER = {"OUT34": 0.0, "OUT9": 0.004, "fort.19": -0.004, "fort.82": 0.004,
+          "fort.83": 0.0, "densCentre.txt": 0.0}
+
+
+def cm_row(t_idx: float):
+    """OUT34 center-of-mass particle for the (1,2) binary."""
+    s1, s2 = STARS[1], STARS[2]
+    m1, m2 = s1[6], s2[6]
+    tot = m1 + m2
+    pos = [(m1 * s1[i] + m2 * s2[i]) / tot for i in range(6)]
+    return (*pos, tot, CM_NAME, 0)
+
+
+def _drift(name: int, t: float) -> tuple:
+    x, y, z, vx, vy, vz, m = STARS[name]
+    return (x + 0.01 * t, y, z, vx, vy, vz, m)
+
+
+def write_run(root: str, dissolve_last: bool = False, drop_name: int | None = None):
+    """Write the six files. ``dissolve_last``: final timestamp has
+    r_tidal=-1. ``drop_name``: omit that star from fort.83 (strict-mode
+    missing-name fixture)."""
+    os.makedirs(root, exist_ok=True)
+
+    atomic = [n for n in STARS if n not in (1, 2)]
+
+    with open(os.path.join(root, "OUT34"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["OUT34"]
+            # 28 header tokens; schema picks 5..27 (out34.py:10-21)
+            toks = ["h%d" % i for i in range(28)]
+            toks[5] = "10"           # nzero
+            toks[7] = f"{tj:.4f}"    # time
+            toks[8] = "1.0"          # rbar
+            toks[9] = "1.0"          # vstar
+            toks[10] = f"{R_TIDAL}"  # rtide
+            toks[12] = "15.0"        # plummer_mass
+            toks[13:16] = [f"{v}" for v in DC]            # rd
+            toks[16:19] = ["0.1", "0.2", "0.3"]           # rcm
+            toks[22:25] = ["5.0", "6.0", "7.0"]           # rg
+            toks[25:28] = ["0.5", "0.6", "0.7"]           # vg
+            f.write("# " + " ".join(toks) + "\n")
+            rows = [cm_row(t)] + [(*_drift(n, t), n, 1) for n in atomic]
+            for r in rows:
+                f.write(" ".join(f"{v}" for v in r) + "\n")
+
+    with open(os.path.join(root, "OUT9"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["OUT9"]
+            f.write("# hdr1\n")
+            f.write(f"# {tj:.4f} 1\n")   # concatenated idx 1=time, 2=npairs
+            f.write("# hdr3\n")
+            b = REG_BIN
+            toks = ["0", "0", "0", f"{b['ecc']}", f"{b['semi']}", f"{b['p']}",
+                    f"{b['m1']}", f"{b['m2']}", str(b["n1"]), str(b["n2"]),
+                    "1", "1", "0", str(CM_NAME)]
+            f.write(" ".join(toks) + "\n")
+
+    with open(os.path.join(root, "fort.19"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["fort.19"]
+            f.write(f"# {tj:.4f} {len(F19_BINS)}\n")
+            for b in F19_BINS:
+                toks = ["0", "0", "0", f"{b['ecc']}", f"{b['semi']}", f"{b['p']}",
+                        f"{b['m1']}", f"{b['m2']}", str(b["n1"]), str(b["n2"]),
+                        "1", "1", str(b["hi"])]
+                f.write(" ".join(toks) + "\n")
+
+    with open(os.path.join(root, "fort.82"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["fort.82"]
+            f.write(f"## BEGIN T= {tj:.4f}\n")   # lstrip leaves ['T=', time]
+            s1, s2 = _drift(1, t), _drift(2, t)
+            a1, a2 = ATTRS[1], ATTRS[2]
+            toks = [str(1), str(2), "0", "0", "0",
+                    f"{(s1[0]+s2[0])/2}", f"{(s1[1]+s2[1])/2}", f"{(s1[2]+s2[2])/2}",
+                    "0", "0", "0",
+                    f"{s1[6]}", f"{s2[6]}",
+                    f"{a1[0]}", f"{a2[0]}", f"{a1[1]}", f"{a2[1]}",
+                    f"{a1[2]}", f"{a2[2]}"]
+            f.write(" ".join(toks) + "\n")
+            f.write("## END\n")
+
+    with open(os.path.join(root, "fort.83"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["fort.83"]
+            f.write(f"## BEGIN T= {tj:.4f}\n")
+            for n in atomic:
+                if n == drop_name:
+                    continue
+                s = _drift(n, t)
+                a = ATTRS[n]
+                # fort83.py schema: name@0, x@2..z@4, mass@5, zlum@6,
+                # rad@7, tempe@8 — token index 1 is skipped
+                toks = [str(n), "0", f"{s[0]}", f"{s[1]}", f"{s[2]}",
+                        f"{s[6]}", f"{a[0]}", f"{a[1]}", f"{a[2]}"]
+                f.write(" ".join(toks) + "\n")
+            f.write("## END\n")
+
+    with open(os.path.join(root, "densCentre.txt"), "w") as f:
+        for i, t in enumerate(TIMES):
+            rt = -1.0 if (dissolve_last and i == len(TIMES) - 1) else R_TIDAL
+            f.write(f"{t:.4f} {rt} {DC[0]} {DC[1]} {DC[2]}\n")
+
+    return root
