@@ -1,0 +1,90 @@
+"""Structured Streaming ingestion of the events table (SURVEY §2.10).
+
+The reference is strictly batch; this is the engine's streaming
+extension (BASELINE.json north star): the same windowed aggregations
+the batch layer computes, expressed over a file stream with
+watermarked event time, so late data is handled and results upsert
+incrementally.
+
+Smoke-testable locally: a parquet-directory stream + memory sink +
+``processAllAvailable()`` drives the query synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts is parquet TIMESTAMP(NANOS) -> read as LONG nanoseconds
+# (spark.sql.legacy.parquet.nanosAsLong); event_time is derived.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream (swap for kafka in production; the
+    transformations below are source-agnostic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+        .withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding event-time aggregation with late-data handling:
+    count + sum(value) per (window, event_type)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", window, slide or window).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str = "events_agg"
+) -> DataFrame:
+    """Drive the streaming query to completion over the currently
+    available files (local smoke path) and return the result table."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
