@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None):
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
     import nbody6_data_pipeline_spark.queries_window  # noqa: F401
 
@@ -65,6 +66,16 @@ def ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def q6(col):
+    """Fixed-point e6 quantization for transcendental-derived doubles:
+    pow/log/exp/acos/cbrt are NOT correctly-rounded IEEE ops, so Spark
+    (JVM) and DuckDB (libm) differ in the last ulp. floor(x*1e6+0.5)
+    as BIGINT is the same arithmetic on both sides -> equal unless the
+    1-ulp difference straddles a quantization boundary (~1e-10/value).
+    Only +,-,*,/ and sqrt are bit-exact cross-engine."""
+    return F.floor(col * 1_000_000 + F.lit(0.5)).cast("long")
 
 
 def dsum(col, alias: str, scale: int = 4):
