@@ -1,0 +1,132 @@
+"""End-to-end pipeline orchestration (reference entry point 1:
+collect_simulation_stats.process_all, SURVEY §3.1).
+
+Per run: parse -> align -> assemble -> observe (18 coordinates) ->
+overall + annular statistics -> parquet layers + CSV export. Each
+layer is a run_id-partitioned parquet dataset; completed runs are
+skipped (the reference's joblib/CSV skip-if-exists resume,
+collect_simulation_stats.py:59-117).
+
+The reference tiers process-level parallelism by cluster mass
+(n_jobs=30/12/2) to avoid OOM; here a run is ONE lazy DAG whose tasks
+Spark schedules — AQE handles the size skew, and the driver loop only
+sequences run DAGs (cheap), so no hand tiering is needed (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.align import align_run
+from nbody6_data_pipeline_spark.operators.assemble import assemble
+from nbody6_data_pipeline_spark.operators.observe import (
+    default_observer_coordinates,
+    observe,
+)
+from nbody6_data_pipeline_spark.operators.statistics import (
+    annular_statistics,
+    overall_statistics,
+)
+from nbody6_data_pipeline_spark.plans.checkpoints import completed_runs
+from nbody6_data_pipeline_spark.sources.discovery import RunInfo, fetch_sim_runs
+from nbody6_data_pipeline_spark.sources.nbody6 import load_run
+from nbody6_data_pipeline_spark.sources.sinks import write_csv, write_parquet
+
+OKEY = ["run_id", "obs_x", "obs_y", "obs_z", "time"]
+
+
+def process_run(
+    spark: SparkSession,
+    run_path: str,
+    run_id: str,
+    output_base: str,
+    coordinates: list[tuple] | None = None,
+    is_strict: bool = True,
+    is_slim: bool = True,
+    run_attrs: dict | None = None,
+) -> dict:
+    """Process one simulation run through all layers; returns the
+    paths written. ``is_slim`` skips persisting the raw (pre-
+    observation) star tables (reference observer.py:268-273)."""
+    coordinates = coordinates or default_observer_coordinates()
+    paths = {
+        name: os.path.join(output_base, name)
+        for name in (
+            "assembled_stars",
+            "assembled_binary_systems",
+            "snapshot_headers",
+            "observed_stars",
+            "observed_binary_systems",
+            "overall_stats",
+            "annular_stats",
+        )
+    }
+
+    if run_id in completed_runs(spark, paths["overall_stats"]):
+        return paths  # resume: stats already materialized
+
+    asm = assemble(align_run(load_run(spark, run_path, is_strict=is_strict)),
+                   run_id=run_id, is_strict=is_strict)
+    if not is_slim:
+        write_parquet(asm.stars, paths["assembled_stars"], ["run_id"])
+        write_parquet(
+            asm.binary_systems, paths["assembled_binary_systems"], ["run_id"]
+        )
+    write_parquet(asm.snapshot_headers, paths["snapshot_headers"], ["run_id"])
+
+    obs = observe(spark, asm, coordinates)
+    obs_stars = obs.stars.localCheckpoint()
+    obs_bins = obs.binary_systems.localCheckpoint()
+    write_parquet(obs_stars, paths["observed_stars"], ["run_id"])
+    write_parquet(obs_bins, paths["observed_binary_systems"], ["run_id"])
+
+    # per-(coord, time) statistics over the OBSERVED snapshots — the
+    # reference's collection.statistics walk (collection.py:202-242)
+    hdr_obs = (
+        asm.snapshot_headers.crossJoin(
+            spark.createDataFrame(
+                [(float(a), float(b), float(c)) for a, b, c in coordinates],
+                "obs_x double, obs_y double, obs_z double",
+            )
+        )
+    )
+    attrs = run_attrs or {}
+    overall = overall_statistics(obs_stars, obs_bins, hdr_obs, OKEY)
+    annular = annular_statistics(obs_stars, obs_bins, OKEY)
+    for name, df in (("overall_stats", overall), ("annular_stats", annular)):
+        for k, v in attrs.items():
+            df = df.withColumn(k, F.lit(v))
+        write_parquet(df, paths[name], ["run_id"])
+        write_csv(
+            df,
+            os.path.join(output_base, "csv", run_id, name),
+            order_by=["obs_x", "obs_y", "obs_z", "time"],
+        )
+    return paths
+
+
+def process_all(
+    spark: SparkSession,
+    sim_root_base: str,
+    output_base: str,
+    coordinates: list[tuple] | None = None,
+    is_strict: bool = True,
+    is_slim: bool = True,
+) -> list[RunInfo]:
+    """Discover runs (S9) and process each (resumable)."""
+    runs = fetch_sim_runs(sim_root_base)
+    for info in runs:
+        process_run(
+            spark,
+            info.path,
+            info.label,
+            output_base,
+            coordinates=coordinates,
+            is_strict=is_strict,
+            is_slim=is_slim,
+            run_attrs=info.attrs,
+        )
+    return runs
