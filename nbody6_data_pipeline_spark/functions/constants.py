@@ -25,8 +25,10 @@ DAY_S = 86400.0
 # Nominal solar effective temperature [K] (IAU 2015 resolution B3)
 T_SUN_K = 5772.0
 
-# Solar bolometric magnitude (IAU 2015 resolution B2)
-M_BOL_SUN = 4.74
+# Solar bolometric magnitude: -2.5*log10(L_sun / L_bol0) with
+# L_sun = 3.828e26 W and the IAU 2015 B2 zero point L_bol0 = 3.0128e28 W
+# (the reference derives it the same way, calc/star.py:30-35)
+M_BOL_SUN = 4.7399959339194595
 
 # Kepler's third law coefficient: a^3 = KEPLER_K * (M/M_sun) * (P/s)^2
 # gives a in meters; KEPLER_K = G * M_sun / (4 pi^2)

@@ -253,3 +253,72 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "embedding_ann_bucketed",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        list_aggregate(list_transform(range(1, 6),
+          i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')
+          AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        list_reduce(list_transform(range(1, 65), i -> qv[i] * (c.v)[i]), (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(range(1, 65), i -> (c.v)[i] * (c.v)[i]), (acc, x) -> acc + x)))
+          AS cos_sim
+      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cos_sim, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: candidates restricted to the query's sign-LSH
+    bucket, then exact cosine top-3 within the bucket. The bucket
+    equi-join replaces the brute-force cross join — at 100 TB each
+    bucket is an independent shard and the comparison count drops by
+    ~2^nbits."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        sign_lsh_bucket(F.col("embedding"), nbits=5).alias("bucket"),
+    )
+    q = (
+        b.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "bucket",
+        )
+    )
+    from nbody6_data_pipeline_spark.operators.similarity import cosine
+    from pyspark.sql import Window as W
+
+    scored = (
+        q.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .orderBy("query_id", "rank")
+    )

@@ -179,3 +179,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+             AS n_unique_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: word/number/punctuation pieces via a
+    portable regex (the GPT-2-style pre-tokenizer shape) — the token
+    accounting a training-data pipeline runs at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_tokens"),
+    ).orderBy("doc_id")

@@ -29,6 +29,21 @@ def write_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> No
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def read_stats_csvs(
+    spark: SparkSession, paths: str | list, schema=None
+) -> DataFrame:
+    """S11 — CSV scan + concat (reference notebook cells: read all
+    per-run stats CSVs and union). Spark's multi-path CSV reader is
+    the union; pass an explicit schema to avoid inference in
+    production."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(paths)
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:

@@ -108,8 +108,11 @@ def test_star_functions(spark):
     assert v == pytest.approx(5772.0, rel=1e-12)
     v = one(spark, fx.calc_log_effective_temperature_K(F.col("l"), F.col("r")), l=0.0, r=0.0)
     assert v == pytest.approx(math.log10(5772.0), rel=1e-12)
+    from nbody6_data_pipeline_spark.functions.constants import M_BOL_SUN
+
     v = one(spark, fx.calc_bolometric_magnitude(F.col("l")), l=0.0)
-    assert v == pytest.approx(4.74, rel=1e-12)
+    assert v == pytest.approx(M_BOL_SUN, rel=1e-12)
+    assert v == pytest.approx(4.74, abs=1e-4)  # IAU nominal value
     v = one(spark, fx.calc_apparent_magnitude(F.col("m"), F.col("d")), m=4.74, d=10.0)
     assert v == pytest.approx(4.74, rel=1e-12)
 
