@@ -43,6 +43,7 @@ def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
     import nbody6_data_pipeline_spark.queries_window  # noqa: F401
 

@@ -322,3 +322,171 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rank <= 3")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embedding_cosine_neardup",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        list_aggregate(list_transform(range(1, 6),
+          i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')
+          AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+      list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (c.v)[i]), (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (a.v)[i]), (acc, x) -> acc + x))
+           * sqrt(list_reduce(list_transform(range(1, 65), i -> (c.v)[i] * (c.v)[i]), (acc, x) -> acc + x)))
+        AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE cos_sim >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucketing for
+    candidate generation, exact cosine threshold within buckets. The
+    bucket equi-join keeps the pair count linear-ish in corpus size;
+    on real embeddings the threshold would be ~0.95 (synthetic test
+    vectors are near-orthogonal, so 0.35 exercises the path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        sign_lsh_bucket(F.col("embedding"), nbits=5).alias("bucket"),
+    )
+    from nbody6_data_pipeline_spark.operators.similarity import cosine
+
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("c.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ngram_jaccard_neardup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)) AS BIGINT)))
+               AS g
+      FROM toks
+    ),
+    inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    rare AS (
+      SELECT doc_id, gram FROM inv
+      QUALIFY count(*) OVER (PARTITION BY gram) BETWEEN 2 AND 20
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.g, gb.g))) AS jaccard
+    FROM cand
+    JOIN grams ga ON doc_a = ga.doc_id
+    JOIN grams gb ON doc_b = gb.doc_id
+    WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup with a DF-capped inverted index:
+    docs become candidates only by sharing a RARE trigram (document
+    frequency <= 20), then exact Jaccard over the full gram sets is
+    computed for candidates only. The df cap bounds the index-join
+    fan-out to df^2 per gram regardless of corpus size — the property
+    that keeps this runnable on a 100 TB corpus, where unfiltered
+    frequent grams would create quadratic pair explosions. Recall is
+    unaffected for near-dups at threshold 0.5: such pairs share many
+    grams, including their distinctive (rare) ones."""
+    d = _t(spark, sf_dir, "documents")
+    # Two-step projection: materialize the token array as a column so
+    # the regex+split runs once per row — referenced directly inside
+    # the transform() lambda it would re-evaluate per array element.
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    tdf = d.select("doc_id", toks.alias("t"))
+    t = F.col("t")
+    n_grams = F.greatest(F.size(t) - F.lit(2), F.lit(0))
+    # 48-bit portable gram hash (md5-prefix, same construction DuckDB
+    # evaluates) — integer set ops + a small index instead of 30-char
+    # string comparisons; collision odds at 48 bits are negligible.
+    gram_at = lambda i: F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    grams_col = F.when(n_grams == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_grams), gram_at))
+    )
+    # persist: the grams table feeds three plan branches (index build,
+    # and both sides of the verify join) — without it the text
+    # processing recomputes per branch.
+    grams = tdf.select("doc_id", grams_col.alias("g")).persist()
+    inv = grams.select("doc_id", F.explode("g").alias("gram"))
+    # DF-capped index: one hash-agg over grams, joined back. df=1
+    # grams can never produce a pair, so only df in [2, 20] is indexed
+    # — typically a tiny fraction of the vocabulary.
+    rare = inv.join(
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("gram"),
+        "gram",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("ga.g"), F.col("gb.g")))
+    return (
+        cand.join(grams.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(grams.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )

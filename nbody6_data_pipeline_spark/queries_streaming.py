@@ -1,0 +1,146 @@
+"""Streaming + multimodal queries (BASELINE.json north-star ops).
+
+These run REAL Structured Streaming queries (file source -> watermarked
+event-time aggregation -> memory sink, driven to completion with
+``processAllAvailable``) and compare the result against a batch SQL
+oracle — demonstrating that the streaming operators compute the same
+answer as the equivalent batch query over the same files.
+
+Determinism: window starts are returned as epoch MICROSECOND bigints
+(no raw timestamps cross engines), double sums use the exact-decimal
+idiom (queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.multimodal import extract_features
+from nbody6_data_pipeline_spark.queries import _t, register
+from nbody6_data_pipeline_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    session_event_counts,
+    windowed_event_counts,
+)
+
+_sink_ids = itertools.count()
+
+
+def _unique_sink() -> str:
+    return f"q_stream_sink_{next(_sink_ids)}"
+
+
+_WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour tumbling window
+
+
+@register(
+    "streaming_windowed_counts",
+    f"""
+    SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+    """,
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-time aggregation executed AS A STREAM
+    (readStream -> withWatermark -> window -> memory sink), checked
+    against the batch SQL answer. At scale the same code runs on a
+    Kafka source with incremental state and late-data handling; the
+    file-source run here proves semantic equivalence with batch."""
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = windowed_event_counts(stream, window="6 hours", watermark="365 days")
+    out = run_stream_to_memory(spark, agg, name=_unique_sink())
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(30,6)").cast("double").alias(
+            "total_value"
+        ),
+    ).orderBy("window_start_us", "event_type")
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@register(
+    "streaming_sessionization",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    o AS (
+      SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    s AS (
+      SELECT user_id, tus,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization: ``session_window`` merges
+    events separated by < 30 min per user incrementally as the stream
+    advances; the oracle is the classic batch gaps-and-islands SQL.
+    Matching results prove the streaming state machine implements the
+    same session semantics the batch layer defines."""
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = session_event_counts(stream, gap="30 minutes", watermark="365 days")
+    out = run_stream_to_memory(spark, agg, name=_unique_sink())
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
+
+
+@register("multimodal_features", None)  # rows-only: numpy decode stub
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents dressed as opaque
+    binary media (utf-8 payload; a real corpus carries jpeg/wav/mp4
+    bytes), typed metadata attached, features extracted via the
+    Arrow-batched mapInPandas kernel. The binary payload never
+    shuffles — only the FEATURE_DIM vector leaves the scan stage.
+    Rows-only check: the decode stub is numpy, not SQL-expressible."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(8)).alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(8)).alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit(3500)).alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return (
+        feats.join(
+            media.select("media_id", "media_type"), "media_id"
+        )
+        .select(
+            "media_id",
+            "media_type",
+            F.size("features").alias("feature_dim"),
+            F.floor(F.element_at("features", 1) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("feat0_q6"),
+        )
+        .orderBy("media_id")
+    )

@@ -30,14 +30,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-based event stream (swap for kafka in production; the
-    transformations below are source-agnostic)."""
+def read_event_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """File-based event stream over a directory (swap for kafka in
+    production; the transformations below are source-agnostic). The
+    optional ``glob`` restricts which files in the directory are
+    ingested (file-stream sources require a directory path)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 4
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(path)
+        reader.parquet(path)
         .withColumn(
             "event_time", F.timestamp_micros(F.expr("ts div 1000"))
         )
