@@ -47,6 +47,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-VECTOR precomputed norms: dot/(sqrt(A)*sqrt(B))
+    is the same expression tree either way, so values are bit-identical
+    to cosine() — but each vector's norm fold runs once per row instead
+    of once per PAIR (candidate sets are quadratic-ish in bucket size,
+    so this removes 2/3 of the fold work)."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -63,10 +72,14 @@ def cosine_topk(
     from pyspark.sql import Window as W
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
     )
     v = vectors.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -74,7 +87,9 @@ def cosine_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))

@@ -290,10 +290,17 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join replaces the brute-force cross join — at 100 TB each
     bucket is an independent shard and the comparison count drops by
     ~2^nbits."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+    from pyspark.sql import Window as W
+
     e = _t(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
+        norm(F.col("embedding")).alias("nrm"),
         sign_lsh_bucket(F.col("embedding"), nbits=5).alias("bucket"),
     )
     q = (
@@ -301,19 +308,19 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
             "bucket",
         )
     )
-    from nbody6_data_pipeline_spark.operators.similarity import cosine
-    from pyspark.sql import Window as W
-
     scored = (
         q.join(b, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -350,14 +357,18 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join keeps the pair count linear-ish in corpus size;
     on real embeddings the threshold would be ~0.95 (synthetic test
     vectors are near-orthogonal, so 0.35 exercises the path)."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
+        norm(F.col("embedding")).alias("nrm"),
         sign_lsh_bucket(F.col("embedding"), nbits=5).alias("bucket"),
     )
-    from nbody6_data_pipeline_spark.operators.similarity import cosine
-
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(
@@ -368,7 +379,9 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("c.vec_id").alias("vec_b"),
-            cosine(F.col("a.v"), F.col("c.v")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("a.v"), F.col("c.v"), F.col("a.nrm"), F.col("c.nrm")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
