@@ -1,0 +1,112 @@
+"""Property-based spot checks (SURVEY §5 item 5, hypothesis).
+
+Each example builds one tiny DataFrame and runs one local Spark job,
+so example counts are kept small; the point is randomized coverage of
+kernel invariants, not bulk fuzzing:
+
+- photocentric merge: luminosity additivity in linear space, merged
+  value between the components, mass additivity (calc/binary.py:10-54)
+- equivalent radius bounds (calc/binary.py:20-35)
+- W4 interpolation: full parity with the pandas
+  interpolate('index', limit_area='inside') recipe on random series
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+import nbody6_data_pipeline_spark.functions.binary as fb
+from nbody6_data_pipeline_spark.operators.interpolate import interpolate_on_grid
+
+finite = st.floats(
+    min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False
+)
+pos = st.floats(
+    min_value=1e-3, max_value=1e3, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    log_l1=finite,
+    log_l2=finite,
+    v1=finite,
+    v2=finite,
+    m1=pos,
+    m2=pos,
+    r1=pos,
+    r2=pos,
+)
+def test_merge_kernel_invariants(spark, log_l1, log_l2, v1, v2, m1, m2, r1, r2):
+    row = spark.createDataFrame(
+        [(log_l1, log_l2, v1, v2, m1, m2, r1, r2)],
+        ["la", "lb", "va", "vb", "ma", "mb", "ra", "rb"],
+    )
+    lum1 = F.pow(F.lit(10.0), F.col("la"))
+    lum2 = F.pow(F.lit(10.0), F.col("lb"))
+    got = row.select(
+        fb.calc_total_log_luminosity(F.col("la"), F.col("lb")).alias("ltot"),
+        fb.calc_photocentric_scalar(lum1, lum2, F.col("va"), F.col("vb")).alias(
+            "pc"
+        ),
+        fb.calc_total_mass(F.col("ma"), F.col("mb")).alias("mtot"),
+        fb.calc_equivalent_radius(F.col("ra"), F.col("rb")).alias("req"),
+    ).first()
+    # luminosity additivity in linear space
+    assert got["ltot"] == pytest.approx(
+        math.log10(10.0**log_l1 + 10.0**log_l2), rel=1e-12
+    )
+    # and therefore strictly above either component
+    assert got["ltot"] >= max(log_l1, log_l2)
+    # photocentric value lies between the components (weights positive)
+    assert min(v1, v2) - 1e-9 <= got["pc"] <= max(v1, v2) + 1e-9
+    # mass additivity
+    assert got["mtot"] == pytest.approx(m1 + m2, rel=1e-12)
+    # equivalent radius bounded by max(r) and r1+r2
+    assert max(r1, r2) - 1e-12 <= got["req"] <= r1 + r2 + 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=20.0, allow_nan=False),
+            st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=8,
+        unique_by=lambda tv: round(tv[0], 2),
+    )
+)
+def test_interpolation_matches_pandas_on_random_series(spark, data):
+    # distinct times rounded to 2dp (the engine's timestamp normal form)
+    data = sorted((round(t, 2), v) for t, v in data)
+    times = [t for t, _ in data]
+    values = [v for _, v in data]
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in data], ["g", "t", "v"]
+    )
+    out = {
+        r["t"]: r["v"]
+        for r in interpolate_on_grid(df, ["g"], "t", ["v"]).collect()
+    }
+    grid = np.arange(0, max(times) + 1.0, 1.0)
+    union = np.union1d(times, grid)
+    ref = (
+        pd.Series(values, index=times)
+        .reindex(union)
+        .interpolate(method="index", limit_area="inside")
+        .reindex(grid)
+    )
+    assert sorted(out) == list(ref.index)
+    for t in ref.index:
+        if np.isnan(ref[t]):
+            assert out[t] is None, t
+        else:
+            assert out[t] == pytest.approx(ref[t], rel=1e-9, abs=1e-9), t
