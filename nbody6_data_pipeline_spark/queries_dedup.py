@@ -503,3 +503,100 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "embedding_ivf_ann",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+    assigned AS (
+      SELECT e.vec_id, e.v, cent.c_id,
+        list_reduce(list_transform(range(1, 65),
+          i -> ((e.v)[i] - cv[i]) * ((e.v)[i] - cv[i])), (acc, x) -> acc + x) AS d2
+      FROM e, cent
+    ),
+    cells AS (
+      SELECT vec_id, v, c_id AS cell,
+        sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+             (acc, x) -> acc + x)) AS nrm
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+            FROM assigned)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+          FROM cells WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        list_reduce(list_transform(range(1, 65), i -> qv[i] * (c.v)[i]),
+                    (acc, x) -> acc + x) / (qnrm * c.nrm) AS cos_sim
+      FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT query_id, cand_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    16 lowest vec_ids; production would k-means a sample) assigns every
+    vector to its nearest cell by L2^2 — integer-free arithmetic only,
+    so assignment is bit-identical cross-engine — then exact cosine
+    top-3 runs within the query's cell (nprobe=1). At 100 TB the cell
+    id becomes the partition key: the index build is one broadcast
+    join + per-row argmin, and each search touches one partition."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        _fold_sum,
+        cosine_prenormed,
+        norm,
+    )
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    d2 = _fold_sum(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("d2", "c_id")
+    cells = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "c_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter("rn = 1")
+        .select(
+            "vec_id", "v", F.col("c_id").alias("cell"), norm(F.col("v")).alias("nrm")
+        )
+    )
+    q = cells.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "cell",
+    )
+    scored = (
+        q.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter("rank <= 3")
+        .orderBy("query_id", "rank")
+    )
