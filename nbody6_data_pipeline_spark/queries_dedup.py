@@ -581,8 +581,12 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
         "cell",
     )
+    # The query batch is small relative to the corpus: broadcast it so
+    # the big cells side never shuffles (each partition scans its own
+    # cells against the in-memory query batch).
     scored = (
-        q.join(cells, "cell")
+        F.broadcast(q)
+        .join(cells, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
