@@ -373,8 +373,11 @@ def assemble(run: NBody6Run, run_id: str, is_strict: bool = True) -> AssembledTa
     ).withColumns(
         {
             "is_wide_binary_system": F.col("semi") > 1000.0,
+            # reference rounds r_half_mass to 4 decimals BEFORE the
+            # Heggie threshold (assembler.py star stats dict), so
+            # borderline systems must see the rounded value
             "is_hard_binary_system": F.col("semi")
-            < (F.col("_r_half_mass") * F.lit(206264.80624709636))
+            < (F.round(F.col("_r_half_mass"), 4) * F.lit(206264.80624709636))
             / F.col("n_stars_within_2x_r_tidal"),
         }
     ).drop("_r_half_mass", "n_stars_within_2x_r_tidal")
@@ -436,8 +439,12 @@ def assemble(run: NBody6Run, run_id: str, is_strict: bool = True) -> AssembledTa
         .select(
             *KEY,
             "name",
+            # concat, NOT array_union: the reference builds
+            # list(pairs) + [name] keeping duplicate pair labels (a
+            # star in two identically-labeled systems has
+            # len(hierarchy) > 2 and is_multi_system=True)
             sort_hierarchy(
-                F.array_union(
+                F.concat(
                     F.col("pairs"), F.array(F.col("name").cast("string"))
                 )
             ).alias("hierarchy"),

@@ -112,21 +112,64 @@ def inclination_summary(
     the POPULATION std, np.std ddof=0)."""
     group_cols = group_cols or KEY
     sys_df = system_inclinations(assembled)
-    valid = F.when(F.col("inclination_rad").isNotNull(), F.col("inclination_rad"))
-    per_snap = sys_df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("int").alias("n_wide_bin_sys"),
-        F.count(valid).cast("int").alias("n_defined_wide_bin_sys"),
-        F.to_json(F.collect_list("names")).alias("names"),
-        F.to_json(F.collect_list("dist_pc")).alias("dist_pc"),
-        F.to_json(F.collect_list("dist_r_tidal")).alias("dist_r_tidal"),
-        F.to_json(F.collect_list("inclination_rad")).alias("radian"),
-        F.avg(valid).alias("radian_mean"),
-        F.stddev_pop(valid).alias("radian_std"),
-        F.to_json(
-            F.collect_list(F.degrees("inclination_rad"))
-        ).alias("degree"),
-        F.degrees(F.avg(valid)).alias("degree_mean"),
-        F.degrees(F.stddev_pop(valid)).alias("degree_std"),
+    # One struct per system, sorted by pair label: collect_list alone
+    # is order-nondeterministic, and collecting the bare inclination
+    # would DROP nulls — the reference keeps None placeholders aligned
+    # with the names list, so undefined inclinations must survive as
+    # JSON nulls inside the struct array.
+    per_sys = sys_df.select(
+        *group_cols,
+        F.struct(
+            "pair",
+            "names",
+            "dist_pc",
+            "dist_r_tidal",
+            F.col("inclination_rad").alias("rad"),
+        ).alias("_sys"),
     )
+    per_snap = per_sys.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_wide_bin_sys"),
+        F.count("_sys.rad").cast("int").alias("n_defined_wide_bin_sys"),
+        F.sort_array(F.collect_list("_sys")).alias("_syss"),
+        F.avg("_sys.rad").alias("radian_mean"),
+        F.stddev_pop("_sys.rad").alias("radian_std"),
+    )
+    arr = F.col("_syss")
+    per_snap = per_snap.select(
+        *group_cols,
+        "n_wide_bin_sys",
+        "n_defined_wide_bin_sys",
+        F.to_json(F.transform(arr, lambda s: s.getField("names"))).alias("names"),
+        F.to_json(F.transform(arr, lambda s: s.getField("dist_pc"))).alias("dist_pc"),
+        F.to_json(
+            F.transform(arr, lambda s: s.getField("dist_r_tidal"))
+        ).alias("dist_r_tidal"),
+        F.to_json(F.transform(arr, lambda s: s.getField("rad"))).alias("radian"),
+        "radian_mean",
+        "radian_std",
+        F.to_json(
+            F.transform(arr, lambda s: F.degrees(s.getField("rad")))
+        ).alias("degree"),
+        F.degrees(F.col("radian_mean")).alias("degree_mean"),
+        F.degrees(F.col("radian_std")).alias("degree_std"),
+    )
+    # Headers are the base: snapshots with no qualifying wide system
+    # still emit a row (n=0, empty JSON lists), matching the reference.
     hdr = assembled.snapshot_headers.select(*group_cols, "r_tidal")
-    return per_snap.join(hdr, group_cols, "left")
+    return hdr.join(per_snap, group_cols, "left").select(
+        *group_cols,
+        F.coalesce("n_wide_bin_sys", F.lit(0)).alias("n_wide_bin_sys"),
+        F.coalesce("n_defined_wide_bin_sys", F.lit(0)).alias(
+            "n_defined_wide_bin_sys"
+        ),
+        F.coalesce("names", F.lit("[]")).alias("names"),
+        F.coalesce("dist_pc", F.lit("[]")).alias("dist_pc"),
+        F.coalesce("dist_r_tidal", F.lit("[]")).alias("dist_r_tidal"),
+        F.coalesce("radian", F.lit("[]")).alias("radian"),
+        "radian_mean",
+        "radian_std",
+        F.coalesce("degree", F.lit("[]")).alias("degree"),
+        "degree_mean",
+        "degree_std",
+        "r_tidal",
+    )

@@ -251,7 +251,6 @@ def sliced_wasserstein_distance(
     na, nb = fa.shape[0], sb.shape[0]
     qs = np.union1d(np.arange(1, na + 1) / na, np.arange(1, nb + 1) / nb)
     widths = np.diff(np.concatenate([[0.0], qs]))
-    ia = np.minimum((qs * na).astype(int) + ((qs * na) % 1 > 1e-12) - 1, na - 1)
     ia = np.ceil(qs * na - 1e-12).astype(int) - 1
     ib = np.ceil(qs * nb - 1e-12).astype(int) - 1
     diff = fa[ia, :] - sb[ib, :]

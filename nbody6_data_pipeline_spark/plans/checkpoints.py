@@ -36,11 +36,6 @@ def pending_runs(
 def append_run(df: DataFrame, layer_path: str, run_id: str) -> None:
     """Write one run's rows into the layer (dynamic partition
     overwrite: re-running a run replaces only its own partition)."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.write.mode("overwrite")
-        .option("compression", "zstd")
-        .partitionBy("run_id")
-        .parquet(layer_path)
-    )
+    from nbody6_data_pipeline_spark.sources.sinks import write_parquet
+
+    write_parquet(df, layer_path, ["run_id"])

@@ -154,7 +154,8 @@ def q_hierarchy_pair_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "group_collect_sorted",
     """
-    SELECT l_orderkey, list_sort(list(l_partkey)) AS parts,
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_partkey)), ',') AS parts_csv,
            len(list(l_partkey)) AS n_parts
     FROM lineitem
     WHERE l_orderkey <= 100
@@ -164,12 +165,19 @@ def q_hierarchy_pair_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_group_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — group-collect to a deterministic sorted array (reference
-    assembler.py:88-96 groupby().apply(list))."""
+    assembler.py:88-96 groupby().apply(list)).
+
+    The sorted collection is emitted as a joined string (not a raw
+    array column): the driver's oracle harness canonicalizes outputs
+    with pandas sort_values, which cannot hash list cells.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+            F.array_join(
+                F.array_sort(F.collect_list("l_partkey")), ","
+            ).alias("parts_csv"),
             F.count(F.lit(1)).alias("n_parts"),
         )
         .orderBy("l_orderkey")

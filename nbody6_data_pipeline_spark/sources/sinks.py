@@ -48,9 +48,18 @@ def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:
     """S12/S13 — zstd parquet, optionally partitioned by run_id for
-    partition-pruned resume (replaces joblib caches)."""
+    partition-pruned resume (replaces joblib caches).
+
+    Partitioned writes use DYNAMIC partition overwrite: an
+    ``overwrite`` then replaces only the partitions present in ``df``,
+    so appending run N to a layer leaves runs 1..N-1 intact (static
+    mode would truncate the whole dataset on every call, breaking the
+    pipeline's per-run resume)."""
     w = df.write.mode("overwrite").option("compression", "zstd")
     if partition_by:
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         w = w.partitionBy(*partition_by)
     w.parquet(path)
 

@@ -16,13 +16,15 @@ from tests.nbody6_fixtures import write_run
 def sim_base(tmp_path_factory):
     base = tmp_path_factory.mktemp("simroot")
     write_run(str(base / "Rad04" / "zmet0014" / "M6" / "0001"))
+    write_run(str(base / "Rad04" / "zmet0014" / "M6" / "0002"))
     return str(base)
 
 
 def test_discovery(sim_base):
     runs = fetch_sim_runs(sim_base)
-    assert len(runs) == 1
+    assert len(runs) == 2
     assert runs[0].label == "Rad04-zmet0014-M6-0001"
+    assert runs[1].label == "Rad04-zmet0014-M6-0002"
     assert runs[0].attrs["init_mass_lv"] == 6
 
 
@@ -31,21 +33,32 @@ def test_process_all_and_resume(spark, sim_base, tmp_path):
     runs = process_all(
         spark, sim_base, out, coordinates=[(50.0, 0.0, 0.0)]
     )
-    assert len(runs) == 1
+    assert len(runs) == 2
+
+    # BOTH runs' partitions must survive in every layer — a static
+    # partition-overwrite would leave only the last run written.
+    for layer, per_run in (
+        ("overall_stats", 3),  # 3 timestamps x 1 coordinate
+        ("snapshot_headers", 3),
+        ("observed_stars", None),
+    ):
+        df = spark.read.parquet(os.path.join(out, layer))
+        run_ids = {r["run_id"] for r in df.select("run_id").distinct().collect()}
+        assert run_ids == {
+            "Rad04-zmet0014-M6-0001",
+            "Rad04-zmet0014-M6-0002",
+        }, f"{layer} lost a run partition"
+        if per_run is not None:
+            assert df.count() == 2 * per_run
 
     stats = spark.read.parquet(os.path.join(out, "overall_stats"))
-    rows = stats.collect()
-    assert len(rows) == 3  # 3 timestamps x 1 coordinate
-    r = rows[0]
-    assert r["run_id"] == "Rad04-zmet0014-M6-0001"
+    r = stats.filter(stats.run_id == "Rad04-zmet0014-M6-0001").collect()[0]
     assert r["obs_x"] == 50.0
     assert r["init_mass_lv"] == 6
     assert r["n_star"] > 0
 
     annular = spark.read.parquet(os.path.join(out, "annular_stats"))
-    assert annular.count() > 0
-    headers = spark.read.parquet(os.path.join(out, "snapshot_headers"))
-    assert headers.count() == 3
+    assert annular.select("run_id").distinct().count() == 2
 
     csv_dir = os.path.join(
         out, "csv", "Rad04-zmet0014-M6-0001", "overall_stats"
@@ -54,4 +67,4 @@ def test_process_all_and_resume(spark, sim_base, tmp_path):
 
     # resume: second invocation skips (no error, same outputs)
     process_all(spark, sim_base, out, coordinates=[(50.0, 0.0, 0.0)])
-    assert spark.read.parquet(os.path.join(out, "overall_stats")).count() == 3
+    assert spark.read.parquet(os.path.join(out, "overall_stats")).count() == 6
