@@ -109,14 +109,49 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start_us")
 
 
-@register("multimodal_features", None)  # rows-only: numpy decode stub
+@register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_type,
+             hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ), f AS (
+      SELECT media_id, media_type, h, n, n // 16 AS l, n % 16 AS r FROM m
+    )
+    SELECT media_id, media_type, 16 AS feature_dim,
+      array_to_string(
+        list_transform(range(0, 16), j ->
+          CASE WHEN (l + CASE WHEN j < r THEN 1 ELSE 0 END) = 0 THEN 0
+          ELSE CAST(floor(
+            CAST(list_sum(list_transform(
+                range(CAST(j*l + least(j, r) AS INT),
+                      CAST(j*l + least(j, r) + l
+                           + CASE WHEN j < r THEN 1 ELSE 0 END AS INT)),
+                b -> CAST(('0x' || substr(h, CAST(2*b+1 AS INT), 2)) AS INT)
+             )) AS DOUBLE)
+            / (l + CASE WHEN j < r THEN 1 ELSE 0 END) / 255.0
+            * 1000000 + 0.5) AS BIGINT) END
+        ), ',') AS feats_q6
+    FROM f ORDER BY media_id
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents dressed as opaque
     binary media (utf-8 payload; a real corpus carries jpeg/wav/mp4
     bytes), typed metadata attached, features extracted via the
     Arrow-batched mapInPandas kernel. The binary payload never
     shuffles — only the FEATURE_DIM vector leaves the scan stage.
-    Rows-only check: the decode stub is numpy, not SQL-expressible."""
+
+    Value-checked oracle: the fake_decode kernel (chunked byte means
+    / 255, numpy array_split semantics) is re-expressed in DuckDB blob
+    SQL — hex the utf-8 payload, per-chunk byte sums via list
+    comprehensions — and every feature is compared q6-quantized
+    (integer byte sums are exact in float64 on both engines, so the
+    divisions are bit-identical)."""
     d = _t(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -138,9 +173,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "media_type",
             F.size("features").alias("feature_dim"),
-            F.floor(F.element_at("features", 1) * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("feat0_q6"),
+            F.array_join(
+                F.transform(
+                    "features",
+                    lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long"),
+                ),
+                ",",
+            ).alias("feats_q6"),
         )
         .orderBy("media_id")
     )
