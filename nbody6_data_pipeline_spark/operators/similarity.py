@@ -17,6 +17,8 @@ the candidate set are large.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -110,6 +112,256 @@ def sign_lsh_bucket(vec: Column, nbits: int = 12) -> Column:
         for i in range(1, nbits + 1)
     ]
     return F.concat(*bits)
+
+
+def banded_sign_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    band_bits: int | None = None,
+    target_bucket: int = 32,
+    bucket_cap: int = 128,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded multi-table sign-LSH
+    — the scale-safe replacement for a single fixed-width bucket join.
+
+    Each of ``n_tables`` hash tables takes a disjoint ``r``-bit slice
+    of the vector's sign pattern as its bucket key; two vectors are
+    candidates if they collide in ANY table (the MinHash band OR-
+    construction applied to random-hyperplane LSH). Two properties
+    keep the downstream pair join linear in corpus size N:
+
+    - **Band width scales with N.** Unless ``band_bits`` pins it, r is
+      chosen so the expected bucket size stays ~``target_bucket``
+      (smallest r with 2^r >= N / target_bucket, clamped to [2, 8]).
+      Doubling the corpus adds one bit instead of quadrupling the
+      within-bucket pair count. The choice is made IN THE PLAN from
+      COUNT(*) via an integer threshold ladder — no driver action, and
+      no float log2 whose last-ulp could flip the bucket layout
+      cross-engine.
+    - **Oversized buckets are dropped** (> ``bucket_cap`` members),
+      exactly like the n-gram index's document-frequency cap: a
+      degenerate sign pattern shared by millions of vectors would
+      otherwise create an O(N^2) pair explosion on its own. Near-dup
+      recall is unaffected in the same way: a true near-dup pair
+      collides in several tables, and only pathological buckets are
+      cut.
+
+    Returns DISTINCT (vec_a, vec_b) with vec_a < vec_b.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bits = F.array_join(
+        F.transform(
+            "_v", lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    if band_bits is not None:
+        r = F.lit(band_bits)
+        tagged = base.select("_id", bits.alias("_bits"))
+    else:
+        nrow = base.agg(F.count(F.lit(1)).alias("_n"))
+        tagged = base.crossJoin(F.broadcast(nrow)).select(
+            "_id", bits.alias("_bits"), "_n"
+        )
+        n = F.col("_n")
+        r = F.lit(8)
+        for rr in range(7, 1, -1):  # smallest r with 2^r >= n/target
+            r = F.when(n <= target_bucket * (2 ** rr), F.lit(rr)).otherwise(r)
+    bands = tagged.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+        r.alias("_r"),
+        F.col("_bits"),
+    ).select(
+        "_id",
+        "t",
+        F.substr("_bits", F.col("t") * F.col("_r") + 1, F.col("_r")).alias(
+            "bucket"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    sized = bands.withColumn(
+        "_bsize", F.count(F.lit(1)).over(W.partitionBy("t", "bucket"))
+    ).filter(F.col("_bsize") <= bucket_cap)
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
+        .distinct()
+    )
+
+
+class IVFIndex:
+    """A built IVF (inverted-file) ANN index.
+
+    ``centroids`` is a small numpy [k, dim] matrix living on the
+    driver (broadcast to executors inside the assignment/probe UDFs);
+    ``assignments`` is the distributed posting-list table
+    (vec_id, cell, v, nrm) REPARTITIONED BY CELL — at cluster scale
+    this is written out bucketed/partitioned by ``cell`` so a probe
+    touches only its cells' files (partition pruning), which is what
+    makes search cost O(nprobe * N / k) instead of O(N)."""
+
+    def __init__(self, centroids, assignments: DataFrame):
+        self.centroids = centroids
+        self.assignments = assignments
+
+    @property
+    def k(self) -> int:
+        return int(self.centroids.shape[0])
+
+
+def _kmeans_fit(sample, k: int, iters: int, seed: int):
+    """Seeded Lloyd k-means on a driver-side sample (numpy). The
+    sample is capped, so this is O(sample * k * iters) driver work
+    regardless of corpus size — the standard IVF recipe (train on a
+    sample, assign the full corpus distributed)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype="float64")
+    rng = np.random.default_rng(seed)
+    xsq = (x**2).sum(axis=1)
+    # k-means++ seeding with the running min-distance recurrence:
+    # each new centroid updates d2 with ONE distance column, so seeding
+    # is O(k * n * dim), not O(k^2 * n * dim)
+    idx = rng.integers(len(x))
+    cents = [x[idx]]
+    d2 = np.maximum(xsq - 2.0 * (x @ x[idx]) + xsq[idx], 0.0)
+    for _ in range(1, k):
+        s = d2.sum()
+        p = d2 / s if s > 0 else None
+        idx = rng.choice(len(x), p=p)
+        cents.append(x[idx])
+        d2 = np.minimum(
+            d2, np.maximum(xsq - 2.0 * (x @ x[idx]) + xsq[idx], 0.0)
+        )
+    c = np.stack(cents)
+    for _ in range(iters):
+        # matmul-form distances + bincount centroid update: O(n*k*dim)
+        d = -2.0 * (x @ c.T) + (c**2).sum(axis=1)[None, :]
+        lab = d.argmin(axis=1)
+        counts = np.bincount(lab, minlength=k).astype("float64")
+        sums = np.zeros_like(c)
+        np.add.at(sums, lab, x)
+        nonempty = counts > 0
+        c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        # empty cell: keep the old centroid (deterministic)
+    return c
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    sample_cap: int = 20_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> IVFIndex:
+    """Build an IVF index: k-means a bounded sample on the driver,
+    then assign every vector to its nearest centroid with ONE
+    vectorized Pandas-UDF pass (numpy matmul per Arrow batch — no
+    k-fold crossJoin row blowup), and repartition the posting lists by
+    cell. ``k`` defaults to ~sqrt(N) so both the per-cell scan and the
+    number of cells grow as sqrt(N)."""
+    import numpy as np
+
+    n = df.count()
+    if k is None:
+        k = max(4, min(4096, int(math.isqrt(max(n, 1)))))
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = [
+        row[0]
+        for row in df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    ]
+    if len(sample) < k:  # tiny corpora: every vector is sample
+        sample = [row[0] for row in df.select(vec_col).collect()]
+    cents = _kmeans_fit(sample, k=min(k, len(sample)), iters=iters, seed=seed)
+
+    cb = cents  # captured by the UDF closure -> shipped once per executor
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(batch: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(batch.to_numpy()).astype("float64")
+        # argmin over squared L2: |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+        d = -2.0 * (m @ cb.T) + (cb**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    assignments = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .withColumn("cell", assign("v"))
+        .repartition("cell")
+    )
+    return IVFIndex(cents, assignments)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via the IVF index: each query probes its ``nprobe``
+    nearest cells and ranks exact cosine within those posting lists.
+
+    The probe table (query x nprobe cells) is broadcast; the big
+    assignments side is already partitioned by cell, so the join
+    shuffles nothing on the corpus side and each query scans
+    ~nprobe * N / k vectors — sublinear in N when k ~ sqrt(N)."""
+    import numpy as np
+
+    cb = index.centroids
+    npr = min(nprobe, index.k)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy()).astype("float64")
+        d = -2.0 * (m @ cb.T) + (cb**2).sum(axis=1)[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :npr]
+        return pd.Series(list(order.astype("int32")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnrm"),
+        F.explode(probe_cells(vec_col)).alias("cell"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        F.broadcast(q)
+        .join(index.assignments, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
 
 
 def cosine_scores_pandas(dim: int):

@@ -334,51 +334,72 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_neardup",
     """
-    WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-        list_aggregate(list_transform(range(1, 6),
-          i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')
-          AS bucket
+    WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+    pr AS (
+      SELECT CASE WHEN cnt <= 128 THEN 2 WHEN cnt <= 256 THEN 3
+                  WHEN cnt <= 512 THEN 4 WHEN cnt <= 1024 THEN 5
+                  WHEN cnt <= 2048 THEN 6 WHEN cnt <= 4096 THEN 7
+                  ELSE 8 END AS r
+      FROM nn
+    ),
+    b0 AS (
+      SELECT vec_id,
+        list_aggregate(list_transform(embedding,
+          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')
+          AS bits
       FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+    ),
+    bands AS (
+      SELECT vec_id, t, substr(bits, CAST(t*r+1 AS INT), CAST(r AS INT)) AS bucket
+      FROM b0, pr, (SELECT unnest(range(0, 8)) AS t)
+    ),
+    sized AS (
+      SELECT vec_id, t, bucket FROM bands
+      QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 128
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sized a JOIN sized b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_a, vec_b,
       list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (c.v)[i]), (acc, x) -> acc + x)
         / (sqrt(list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (a.v)[i]), (acc, x) -> acc + x))
            * sqrt(list_reduce(list_transform(range(1, 65), i -> (c.v)[i] * (c.v)[i]), (acc, x) -> acc + x)))
         AS cos_sim
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    FROM cand JOIN e a ON vec_a = a.vec_id JOIN e c ON vec_b = c.vec_id
     WHERE cos_sim >= 0.35
     ORDER BY vec_a, vec_b
     """,
 )
 def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-LSH bucketing for
-    candidate generation, exact cosine threshold within buckets. The
-    bucket equi-join keeps the pair count linear-ish in corpus size;
-    on real embeddings the threshold would be ~0.95 (synthetic test
-    vectors are near-orthogonal, so 0.35 exercises the path)."""
+    """Embedding-cosine near-duplicate pairs: banded multi-table
+    sign-LSH candidate generation (band width scales with corpus size,
+    oversized buckets capped — see banded_sign_lsh_pairs), exact cosine
+    threshold on candidates only. On real embeddings the threshold
+    would be ~0.95 (synthetic test vectors are near-orthogonal, so
+    0.35 exercises the path)."""
     from nbody6_data_pipeline_spark.operators.similarity import (
+        banded_sign_lsh_pairs,
         cosine_prenormed,
         norm,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        norm(F.col("embedding")).alias("nrm"),
-        sign_lsh_bucket(F.col("embedding"), nbits=5).alias("bucket"),
+    pairs = banded_sign_lsh_pairs(
+        e, n_tables=8, target_bucket=32, bucket_cap=128
     )
-    a, c = b.alias("a"), b.alias("c")
+    ev = e.select(
+        "vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
+    )
+    a, c = ev.alias("a"), ev.alias("c")
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
-        )
+        pairs.join(a, pairs["vec_a"] == F.col("a.vec_id"))
+        .join(c, pairs["vec_b"] == F.col("c.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
+            "vec_a",
+            "vec_b",
             cosine_prenormed(
                 F.col("a.v"), F.col("c.v"), F.col("a.nrm"), F.col("c.nrm")
             ).alias("cos_sim"),
@@ -502,6 +523,29 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("embedding_ivf_kmeans", None)  # rows-only: iterative k-means
+def q_embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF ANN: seeded k-means on a bounded sample builds
+    ~sqrt(N) cells, every vector is assigned by one vectorized
+    Pandas-UDF pass, posting lists are partitioned by cell, and each
+    query probes its nprobe=4 nearest cells. Search cost is
+    O(nprobe * N / k) = O(sqrt(N)) per query. No SQL oracle (k-means
+    is iterative); exactness of the probe/rank machinery is proven by
+    test_ivf_exhaustive_probe_equals_brute_force, which shows
+    nprobe=k reproduces brute force bitwise."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    index = build_ivf_index(e, seed=42)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_search(index, queries, k=3, nprobe=4).orderBy(
+        "query_id", "rank"
     )
 
 
