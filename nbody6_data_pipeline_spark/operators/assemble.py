@@ -59,15 +59,36 @@ def assemble(run: NBody6Run, run_id: str, is_strict: bool = True) -> AssembledTa
     timestamp (assembler.py:522-527, 698-704) — expressed as a
     min-over-group comparison, not an ordered scan.
     """
-    dens = _tag(run.headers("densCentre.txt"), run_id).select(
-        *KEY, "r_tidal", "density_center"
-    )
-    out34_h = _tag(run.headers("OUT34"), run_id)
-    out34_d = _tag(run.data("OUT34"), run_id)
-    out9_d = _tag(run.data("OUT9"), run_id)
-    f19_d = _tag(run.data("fort.19"), run_id)
-    f82_d = _tag(run.data("fort.82"), run_id)
-    f83_d = _tag(run.data("fort.83"), run_id)
+    tagged = {
+        name: (_tag(bt.headers, run_id), _tag(bt.data, run_id))
+        for name, bt in run.tables.items()
+    }
+    return assemble_tagged(tagged, is_strict=is_strict)
+
+
+def assemble_runs(runs, is_strict: bool = True) -> AssembledTables:
+    """Batched assembly: the multi-run tables already carry run_id, and
+    every aggregation/join in the dataflow keys on (run_id, time) — so
+    N runs assemble as ONE lazy DAG with O(1) driver actions (the
+    strict-validation firsts and fan-out checkpoints run once for the
+    whole batch, not once per run)."""
+    tagged = {
+        name: (bt.headers, bt.data) for name, bt in runs.tables.items()
+    }
+    return assemble_tagged(tagged, is_strict=is_strict)
+
+
+def assemble_tagged(
+    tagged: dict, is_strict: bool = True
+) -> AssembledTables:
+    """Core dataflow over run_id-tagged (headers, data) pairs."""
+    dens = tagged["densCentre.txt"][0].select(*KEY, "r_tidal", "density_center")
+    out34_h = tagged["OUT34"][0]
+    out34_d = tagged["OUT34"][1]
+    out9_d = tagged["OUT9"][1]
+    f19_d = tagged["fort.19"][1]
+    f82_d = tagged["fort.82"][1]
+    f83_d = tagged["fort.83"][1]
 
     # ---- dissolution cut (series truncated strictly BEFORE first dissolved ts)
     cut = dens.groupBy("run_id").agg(

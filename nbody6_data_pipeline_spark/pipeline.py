@@ -20,8 +20,8 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from nbody6_data_pipeline_spark.operators.align import align_run
-from nbody6_data_pipeline_spark.operators.assemble import assemble
+from nbody6_data_pipeline_spark.operators.align import align_run, align_runs
+from nbody6_data_pipeline_spark.operators.assemble import assemble, assemble_runs
 from nbody6_data_pipeline_spark.operators.observe import (
     default_observer_coordinates,
     observe,
@@ -32,8 +32,18 @@ from nbody6_data_pipeline_spark.operators.statistics import (
 )
 from nbody6_data_pipeline_spark.plans.checkpoints import completed_runs
 from nbody6_data_pipeline_spark.sources.discovery import RunInfo, fetch_sim_runs
-from nbody6_data_pipeline_spark.sources.nbody6 import load_run
+from nbody6_data_pipeline_spark.sources.nbody6 import load_run, load_runs
 from nbody6_data_pipeline_spark.sources.sinks import write_csv, write_parquet
+
+LAYERS = (
+    "assembled_stars",
+    "assembled_binary_systems",
+    "snapshot_headers",
+    "observed_stars",
+    "observed_binary_systems",
+    "overall_stats",
+    "annular_stats",
+)
 
 OKEY = ["run_id", "obs_x", "obs_y", "obs_z", "time"]
 
@@ -52,18 +62,7 @@ def process_run(
     paths written. ``is_slim`` skips persisting the raw (pre-
     observation) star tables (reference observer.py:268-273)."""
     coordinates = coordinates or default_observer_coordinates()
-    paths = {
-        name: os.path.join(output_base, name)
-        for name in (
-            "assembled_stars",
-            "assembled_binary_systems",
-            "snapshot_headers",
-            "observed_stars",
-            "observed_binary_systems",
-            "overall_stats",
-            "annular_stats",
-        )
-    }
+    paths = {name: os.path.join(output_base, name) for name in LAYERS}
 
     if run_id in completed_runs(spark, paths["overall_stats"]):
         return paths  # resume: stats already materialized
@@ -128,5 +127,92 @@ def process_all(
             is_strict=is_strict,
             is_slim=is_slim,
             run_attrs=info.attrs,
+        )
+    return runs
+
+
+def process_all_batched(
+    spark: SparkSession,
+    sim_root_base: str,
+    output_base: str,
+    coordinates: list[tuple] | None = None,
+    is_strict: bool = True,
+    is_slim: bool = True,
+) -> list[RunInfo]:
+    """Batched orchestration: ALL pending runs flow through one lazy
+    DAG per layer — O(1) driver actions per layer instead of O(runs).
+
+    load_runs parses every run's files as six grouped plans (one
+    structural-validation job total), align_runs makes every run's
+    alignment decision from ONE collect, assemble/observe/statistics
+    key on (run_id, time) throughout, and each parquet layer is ONE
+    dynamic-partition-overwrite write covering all new runs. Resume is
+    unchanged: completed run_ids are skipped via partition listing.
+    CSV export becomes one partitioned write (csv_batched/<layer>/
+    run_id=<id>/) instead of a per-run directory loop."""
+    coordinates = coordinates or default_observer_coordinates()
+    paths = {name: os.path.join(output_base, name) for name in LAYERS}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    runs = fetch_sim_runs(sim_root_base)
+    done = completed_runs(spark, paths["overall_stats"])
+    pending = [r for r in runs if r.label not in done]
+    if not pending:
+        return runs
+
+    multi = load_runs(
+        spark, [(r.label, r.path) for r in pending], is_strict=is_strict
+    )
+    asm = assemble_runs(align_runs(multi), is_strict=is_strict)
+    if not is_slim:
+        write_parquet(asm.stars, paths["assembled_stars"], ["run_id"])
+        write_parquet(
+            asm.binary_systems, paths["assembled_binary_systems"], ["run_id"]
+        )
+    write_parquet(asm.snapshot_headers, paths["snapshot_headers"], ["run_id"])
+
+    obs = observe(spark, asm, coordinates)
+    obs_stars = obs.stars.localCheckpoint()
+    obs_bins = obs.binary_systems.localCheckpoint()
+    write_parquet(obs_stars, paths["observed_stars"], ["run_id"])
+    write_parquet(obs_bins, paths["observed_binary_systems"], ["run_id"])
+
+    hdr_obs = asm.snapshot_headers.crossJoin(
+        spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in coordinates],
+            "obs_x double, obs_y double, obs_z double",
+        )
+    )
+    # per-run attrs (init_mass_lv, ...) as a broadcast dimension join
+    # instead of per-run literal columns
+    attr_keys = sorted({k for r in pending for k in (r.attrs or {})})
+    attrs_df = None
+    if attr_keys:
+        attrs_df = spark.createDataFrame(
+            [
+                tuple([r.label] + [r.attrs.get(k) for k in attr_keys])
+                for r in pending
+            ],
+            ", ".join(["run_id string"] + [f"{k} long" for k in attr_keys]),
+        )
+
+    overall = overall_statistics(obs_stars, obs_bins, hdr_obs, OKEY)
+    annular = annular_statistics(obs_stars, obs_bins, OKEY)
+    for name, df in (("overall_stats", overall), ("annular_stats", annular)):
+        if attrs_df is not None:
+            df = df.join(F.broadcast(attrs_df), "run_id", "left")
+        write_parquet(df, paths[name], ["run_id"])
+        out = df.orderBy("obs_x", "obs_y", "obs_z", "time")
+        for f in out.schema.fields:
+            if f.dataType.typeName() not in (
+                "string", "double", "float", "long", "integer", "short",
+                "boolean",
+            ):
+                out = out.withColumn(f.name, F.to_json(f.name))
+        (
+            out.write.mode("overwrite")
+            .option("header", True)
+            .partitionBy("run_id")
+            .csv(os.path.join(output_base, "csv_batched", name))
         )
     return runs

@@ -24,6 +24,7 @@ recipe applies per split with boundary stitching via mapPartitions
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -51,10 +52,16 @@ class BlockSourceConfig:
 class BlockTables:
     """Parsed output: one row per block in ``headers``, one row per
     data line in ``data`` — both keyed by ``time`` (the reference's
-    dict[timestamp -> FileBlock] flattened into long tables)."""
+    dict[timestamp -> FileBlock] flattened into long tables).
+
+    ``violations`` is non-None only under deferred validation (the
+    batched multi-run path): a lazy DataFrame of structural errors the
+    caller unions across files and checks in ONE job instead of one
+    eager action per file."""
 
     headers: DataFrame
     data: DataFrame
+    violations: DataFrame | None = None
 
 
 def _lstrip_class(prefix: str) -> str:
@@ -85,6 +92,52 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_lines_runs(
+    spark: SparkSession, run_paths: list[tuple[str, str]], min_partitions: int | None = None
+) -> DataFrame:
+    """Batched multi-run line source: (run_id, line_no, raw) for the
+    SAME file format across many runs, in ONE lazy source — no
+    per-file driver action (zipWithIndex runs a job per call; at
+    thousands of runs that serializes the driver).
+
+    Built on wholeTextFiles: each file is one record whose task
+    enumerates line numbers locally. Per-task memory is one whole
+    file — fine for NBODY6 outputs (single-machine-sized by format;
+    scale lives in the run dimension), with the splittable reader as
+    the complement for pathological single huge files.
+    """
+    abs_map = {os.path.abspath(p): rid for rid, p in run_paths}
+    paths = ",".join(abs_map)
+    minp = min_partitions or min(len(abs_map), 256)
+
+    def split_file(rec):
+        path, content = rec
+        p = path
+        for pre in ("file:", "hdfs://"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                p = "/" + p.lstrip("/")
+                break
+        rid = abs_map.get(os.path.abspath(p))
+        lines = content.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for i, ln in enumerate(lines):
+            yield (rid, i + 1, ln.rstrip("\r"))
+
+    rdd = spark.sparkContext.wholeTextFiles(paths, minp).flatMap(split_file)
+    return spark.createDataFrame(
+        rdd,
+        schema=T.StructType(
+            [
+                T.StructField("run_id", T.StringType(), False),
+                T.StructField("line_no", T.LongType(), False),
+                T.StructField("raw", T.StringType(), True),
+            ]
+        ),
+    )
+
+
 def _token_col(tokens: F.Column, idx: Index, typ: str, is_strict: bool) -> F.Column:
     """S2 positional token projection (parser/base.py:309-332).
 
@@ -104,14 +157,28 @@ def parse_blocks(
     lines: DataFrame,
     cfg: BlockSourceConfig,
     is_strict: bool = True,
+    group_cols: list[str] | None = None,
+    defer_validation: bool = False,
 ) -> BlockTables:
     """Split ordered lines into blocks and apply the positional schema.
 
     Returns headers (block_id, time, line-span meta, header columns)
     and data (block_id, time, data columns). Duplicate timestamps:
     last block wins, matching parser/base.py:217-223.
+
+    ``group_cols`` (e.g. ``["run_id"]``) parses MANY files in one
+    DataFrame: every window/aggregation is partitioned per group, so
+    thousands of runs parse as one shuffle-parallel job instead of a
+    driver loop of single-partition sorts. ``defer_validation``
+    returns structural errors as a lazy ``violations`` DataFrame
+    instead of raising eagerly — the batched path unions these across
+    file formats and checks them in ONE job.
     """
-    stripped = lines.select("line_no", F.trim(F.col("raw")).alias("txt"))
+    group_cols = group_cols or []
+    g = [F.col(c) for c in group_cols]
+    stripped = lines.select(
+        *group_cols, "line_no", F.trim(F.col("raw")).alias("txt")
+    )
     nonempty = stripped.filter(F.col("txt") != "")
 
     is_footer = (
@@ -125,8 +192,13 @@ def parse_blocks(
     # a footer line is never a header line.
     is_header = F.col("txt").startswith(cfg.header_prefix) & ~is_footer
 
-    w = W.orderBy("line_no").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy("line_no")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     flagged = nonempty.select(
+        *group_cols,
         "line_no",
         "txt",
         is_header.alias("is_header"),
@@ -143,19 +215,30 @@ def parse_blocks(
         & ~F.col("is_footer")
         & ((F.col("hdr_cum") % hl != 0) | (F.col("hdr_cum") == 0))
     )
-    chk = flagged.agg(
+    chk_df = flagged.groupBy(*group_cols).agg(
         F.max("hdr_cum").alias("tail"),
         F.min(F.when(bad_cond, F.col("line_no"))).alias("bad_line"),
         F.min_by(F.col("txt"), F.when(bad_cond, F.col("line_no"))).alias("bad_txt"),
-    ).first()
-    if chk["bad_line"] is not None:
-        raise ValueError(
-            f"[LINE {chk['bad_line']}] Expected a header line, but got: '{chk['bad_txt']}'"
-        )
-    if (chk["tail"] or 0) % hl != 0:
-        raise ValueError("Incomplete header at end of file.")
+    )
+    violations = chk_df.filter(
+        F.col("bad_line").isNotNull()
+        | (F.coalesce(F.col("tail"), F.lit(0)) % hl != 0)
+    ).select(
+        *group_cols,
+        "bad_line",
+        "bad_txt",
+        (F.coalesce(F.col("tail"), F.lit(0)) % hl != 0).alias(
+            "incomplete_header"
+        ),
+    )
+    if not defer_validation:
+        bad = violations.first()
+        if bad is not None:
+            raise_block_violation(bad)
+        violations = None
 
     blocked = flagged.filter(~F.col("is_footer")).select(
+        *group_cols,
         "line_no",
         "txt",
         "is_header",
@@ -171,6 +254,7 @@ def parse_blocks(
         F.regexp_replace(F.col("txt"), strip_re, "") if strip_re else F.col("txt")
     )
     header_lines = blocked.filter("is_header").select(
+        *group_cols,
         "block_id",
         "line_no",
         F.split(F.trim(header_txt), r"\s+").alias("toks"),
@@ -178,7 +262,7 @@ def parse_blocks(
     # multi-line headers: concatenate tokens in line order
     # (parser/base.py:258: flat token list across header rows)
     header_tok = (
-        header_lines.groupBy("block_id")
+        header_lines.groupBy(*group_cols, "block_id")
         .agg(
             F.flatten(
                 F.transform(
@@ -198,7 +282,7 @@ def parse_blocks(
         for name, (idx, typ) in cfg.header_schema.items()
     ]
     headers = header_tok.select(
-        "block_id", "header_line_start", "header_line_end", *hdr_cols
+        *group_cols, "block_id", "header_line_start", "header_line_end", *hdr_cols
     )
     # time keys the block, rounded to 2 decimals (parser/base.py:215);
     # the unrounded value is preserved as time_raw (the reference keeps
@@ -208,7 +292,7 @@ def parse_blocks(
     )
 
     # duplicate timestamps: LAST block wins (parser/base.py:217-223)
-    w_dup = W.partitionBy("time").orderBy(F.col("block_id").desc())
+    w_dup = W.partitionBy(*group_cols, "time").orderBy(F.col("block_id").desc())
     headers = (
         headers.withColumn("_rn", F.row_number().over(w_dup))
         .filter(F.col("_rn") == 1)
@@ -216,6 +300,7 @@ def parse_blocks(
     )
 
     data_lines = blocked.filter(~F.col("is_header")).select(
+        *group_cols,
         "block_id",
         "line_no",
         F.split(F.col("txt"), r"\s+").alias("toks"),
@@ -225,10 +310,27 @@ def parse_blocks(
         for name, (idx, typ) in cfg.data_schema.items()
     ]
     data = data_lines.join(
-        headers.select("block_id", "time"), "block_id"
-    ).select("block_id", "time", "line_no", *data_cols)
+        headers.select(*group_cols, "block_id", "time"),
+        [*group_cols, "block_id"],
+    ).select(*group_cols, "block_id", "time", "line_no", *data_cols)
 
-    return BlockTables(headers=headers, data=data)
+    return BlockTables(headers=headers, data=data, violations=violations)
+
+
+def raise_block_violation(bad) -> None:
+    """Raise the reference's parse error message for one violation row
+    (parser/base.py:272-283 wording)."""
+    if bad["bad_line"] is not None:
+        ctx = "".join(
+            f" [{c}={bad[c]}]"
+            for c in bad.asDict()
+            if c not in ("bad_line", "bad_txt", "incomplete_header")
+        )
+        raise ValueError(
+            f"[LINE {bad['bad_line']}]{ctx} Expected a header line, "
+            f"but got: '{bad['bad_txt']}'"
+        )
+    raise ValueError("Incomplete header at end of file.")
 
 
 def read_block_file(

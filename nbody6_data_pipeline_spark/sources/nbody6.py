@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from nbody6_data_pipeline_spark.sources.block_text import (
     BlockSourceConfig,
     BlockTables,
+    parse_blocks,
+    raise_block_violation,
     read_block_file,
+    read_lines_runs,
 )
 
 # reference parser/out34.py:7-33
@@ -179,3 +182,61 @@ def load_run(
             raise FileNotFoundError(f"Required file '{fname}' not found in '{run_root}'.")
         tables[fname] = read_block_file(spark, path, cfg, is_strict=is_strict)
     return NBody6Run(tables, run_root)
+
+
+class NBody6Runs:
+    """Batched multi-run tables: one headers+data pair per file format,
+    each carrying a ``run_id`` column spanning every loaded run."""
+
+    def __init__(self, tables: dict[str, BlockTables], run_ids: list[str]):
+        self.tables = tables
+        self.run_ids = run_ids
+
+    def headers(self, name: str) -> DataFrame:
+        return self.tables[name].headers
+
+    def data(self, name: str) -> DataFrame:
+        return self.tables[name].data
+
+
+def load_runs(
+    spark: SparkSession,
+    runs: list[tuple[str, str]],
+    is_strict: bool = True,
+    validate: bool = True,
+) -> NBody6Runs:
+    """Parse the six raw files of MANY runs as six batched lazy plans.
+
+    Per file format: ONE wholeTextFiles source over every run's file
+    and ONE grouped parse (windows partitioned by run_id). Structural
+    validation across all runs x formats is checked in a single job —
+    the per-run driver loop (2 jobs per file x 6 files x N runs)
+    becomes O(1) driver actions for the whole batch.
+    """
+    for rid, root in runs:
+        for fname in FILE_CONFIGS:
+            if not os.path.isfile(os.path.join(root, fname)):
+                raise FileNotFoundError(
+                    f"Required file '{fname}' not found in '{root}'."
+                )
+    tables: dict[str, BlockTables] = {}
+    all_viol = None
+    for fname, cfg in FILE_CONFIGS.items():
+        lines = read_lines_runs(
+            spark, [(rid, os.path.join(root, fname)) for rid, root in runs]
+        )
+        bt = parse_blocks(
+            lines, cfg, is_strict=is_strict,
+            group_cols=["run_id"], defer_validation=True,
+        )
+        tables[fname] = bt
+        v = bt.violations.select(
+            F.lit(fname).alias("file"), "run_id", "bad_line", "bad_txt",
+            "incomplete_header",
+        )
+        all_viol = v if all_viol is None else all_viol.unionByName(v)
+    if validate:
+        bad = all_viol.first()  # ONE job validates every run and format
+        if bad is not None:
+            raise_block_violation(bad)
+    return NBody6Runs(tables, [rid for rid, _ in runs])

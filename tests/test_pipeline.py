@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.pipeline import process_all
 from nbody6_data_pipeline_spark.sources.discovery import fetch_sim_runs
@@ -68,3 +69,69 @@ def test_process_all_and_resume(spark, sim_base, tmp_path):
     # resume: second invocation skips (no error, same outputs)
     process_all(spark, sim_base, out, coordinates=[(50.0, 0.0, 0.0)])
     assert spark.read.parquet(os.path.join(out, "overall_stats")).count() == 6
+
+
+def test_batched_pipeline_matches_per_run(spark, sim_base, tmp_path):
+    """process_all_batched must produce the same overall_stats rows as
+    the per-run path, with O(1) driver actions for load+align."""
+    from nbody6_data_pipeline_spark.pipeline import process_all_batched
+
+    out_a = str(tmp_path / "per_run")
+    out_b = str(tmp_path / "batched")
+    process_all(spark, sim_base, out_a, coordinates=[(50.0, 0.0, 0.0)])
+    process_all_batched(spark, sim_base, out_b, coordinates=[(50.0, 0.0, 0.0)])
+
+    cols = None
+    frames = []
+    for out in (out_a, out_b):
+        df = spark.read.parquet(os.path.join(out, "overall_stats"))
+        if cols is None:
+            cols = sorted(df.columns)
+        rows = sorted(
+            df.select(*[F.col(c).cast("string") for c in cols]).collect()
+        )
+        frames.append(rows)
+    assert frames[0] == frames[1]
+
+    headers = spark.read.parquet(os.path.join(out_b, "snapshot_headers"))
+    assert headers.select("run_id").distinct().count() == 2
+
+    # batched CSV export exists, partitioned by run_id
+    csv_dir = os.path.join(out_b, "csv_batched", "overall_stats")
+    assert any(
+        name.startswith("run_id=") for name in os.listdir(csv_dir)
+    )
+
+    # resume: re-invocation is a no-op
+    process_all_batched(spark, sim_base, out_b, coordinates=[(50.0, 0.0, 0.0)])
+    assert (
+        spark.read.parquet(os.path.join(out_b, "overall_stats")).count() == 6
+    )
+
+
+def test_batched_load_align_constant_driver_actions(spark, sim_base):
+    """load_runs + align_runs issue a constant number of driver
+    actions: the Spark job count (AQE materializes a few jobs per
+    action, fixed by plan shape) must NOT grow with the run count —
+    the per-run path issues ~2 actions per file per run instead."""
+    from nbody6_data_pipeline_spark.operators.align import align_runs
+    from nbody6_data_pipeline_spark.sources.nbody6 import load_runs
+
+    runs = fetch_sim_runs(sim_base)
+    assert len(runs) >= 2
+    sc = spark.sparkContext
+
+    def count_jobs(tag, subset):
+        sc.setJobGroup(tag, "job-count probe")
+        try:
+            multi = load_runs(spark, [(r.label, r.path) for r in subset])
+            align_runs(multi)  # plan construction + ONE collect
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+        finally:
+            sc.setJobGroup(None, None)
+
+    one = count_jobs("bla-1", runs[:1])
+    two = count_jobs("bla-2", runs)
+    # same plan shape -> same job count regardless of run count
+    # (tolerance 2 for AQE's incremental take-jobs in the first())
+    assert two <= one + 2
