@@ -14,12 +14,18 @@ are unordered), flag header/footer lines, assign block ids with a
 running ``sum(is_header) over (order by line_no)`` window, then
 aggregate header tokens per block and project data tokens positionally.
 
-The ordered window runs over a single partition per FILE — correct
-and cheap because one raw NBODY6 file is single-machine-sized; the
-engine scales across the RUN dimension (thousands of files), not
-within one file. For a pathological multi-TB single file, the same
-recipe applies per split with boundary stitching via mapPartitions
-(documented trade-off; not needed for this workload).
+Three readers share one block-finishing dataflow:
+
+- ``read_block_file`` — windowed, single file (the ordered window runs
+  over one partition; fine because one NBODY6 file is single-machine-
+  sized).
+- ``read_lines_runs`` + grouped ``parse_blocks`` — the batched path:
+  thousands of runs parse as ONE shuffle-parallel job, windows
+  partitioned per run.
+- ``read_block_file_split`` — the splittable path for a pathological
+  multi-TB SINGLE file: two linear mapPartitions passes with
+  boundary stitching (per-partition header/line counts prefix-summed
+  on the driver), no single-partition sort anywhere.
 """
 
 from __future__ import annotations
@@ -205,7 +211,24 @@ def parse_blocks(
         is_footer.alias("is_footer"),
         F.sum(is_header.cast("long")).over(w).alias("hdr_cum"),
     )
+    return _finish_blocks(
+        flagged, cfg, is_strict, group_cols, defer_validation
+    )
 
+
+def _finish_blocks(
+    flagged: DataFrame,
+    cfg: BlockSourceConfig,
+    is_strict: bool,
+    group_cols: list[str],
+    defer_validation: bool,
+) -> BlockTables:
+    """Shared back half of block parsing: from flagged lines
+    (line_no, txt, is_header, is_footer, hdr_cum) to validated
+    headers/data tables. The flagged table can come from the windowed
+    path (parse_blocks) or the splittable two-pass reader
+    (read_block_file_split) — everything from here on is keyed by
+    block_id and shuffle-parallel."""
     hl = cfg.header_length
     # Structural validation (parser/base.py:272-283), ONE aggregation job:
     # - a data line must appear only after a COMPLETE header group
@@ -340,3 +363,87 @@ def read_block_file(
     is_strict: bool = True,
 ) -> BlockTables:
     return parse_blocks(read_lines(spark, path), cfg, is_strict=is_strict)
+
+
+def read_block_file_split(
+    spark: SparkSession,
+    path: str,
+    cfg: BlockSourceConfig,
+    is_strict: bool = True,
+    min_partitions: int = 8,
+) -> BlockTables:
+    """Splittable reader for a HUGE single block file (reference spec
+    parser/base.py:241-307): same output as read_block_file, but no
+    single-partition sort — a multi-TB file parses across the cluster.
+
+    Two linear passes over the text splits (TextInputFormat keeps
+    lines whole and partitions in file order):
+
+    1. per-partition (line count, header count) — one tiny collect,
+       the same bookkeeping job zipWithIndex runs;
+    2. prefix-sum those counts on the driver, then a second pass
+       emits every nonempty line with its GLOBAL line number and
+       running header count (hdr_cum), stitching blocks that span
+       partition boundaries: a partition's leading data lines get the
+       header count carried in from earlier partitions.
+
+    The flagged lines then flow through the same block-finishing
+    dataflow as the windowed reader.
+    """
+    raw = spark.sparkContext.textFile(path, min_partitions)
+    header_prefix = cfg.header_prefix
+    footer_prefix = cfg.footer_prefix
+
+    def flags(txt: str) -> tuple[bool, bool]:
+        is_f = footer_prefix is not None and txt.startswith(footer_prefix)
+        return (txt.startswith(header_prefix) and not is_f, is_f)
+
+    def pass1(idx, it):
+        n = h = 0
+        for ln in it:
+            n += 1
+            t = ln.strip()
+            if t and flags(t)[0]:
+                h += 1
+        yield (idx, n, h)
+
+    counts = dict(
+        (i, (n, h))
+        for i, n, h in raw.mapPartitionsWithIndex(pass1).collect()
+    )
+    line_off: dict[int, int] = {}
+    hdr_off: dict[int, int] = {}
+    ln = hd = 0
+    for i in sorted(counts):
+        line_off[i], hdr_off[i] = ln, hd
+        ln += counts[i][0]
+        hd += counts[i][1]
+
+    def pass2(idx, it):
+        ln_no = line_off[idx]
+        hc = hdr_off[idx]
+        for ln_txt in it:
+            ln_no += 1
+            t = ln_txt.strip()
+            if not t:
+                continue
+            is_h, is_f = flags(t)
+            if is_h:
+                hc += 1
+            yield (ln_no, t, is_h, is_f, hc)
+
+    flagged = spark.createDataFrame(
+        raw.mapPartitionsWithIndex(pass2),
+        schema=T.StructType(
+            [
+                T.StructField("line_no", T.LongType(), False),
+                T.StructField("txt", T.StringType(), False),
+                T.StructField("is_header", T.BooleanType(), False),
+                T.StructField("is_footer", T.BooleanType(), False),
+                T.StructField("hdr_cum", T.LongType(), False),
+            ]
+        ),
+    )
+    return _finish_blocks(
+        flagged, cfg, is_strict, group_cols=[], defer_validation=False
+    )

@@ -6,11 +6,13 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.sources.block_text import (
     BlockSourceConfig,
     parse_blocks,
     read_block_file,
+    read_block_file_split,
 )
 from nbody6_data_pipeline_spark.sources.nbody6 import (
     DENS_CENTRE_CONFIG,
@@ -134,6 +136,61 @@ def test_strict_mode_bad_token_raises(spark):
     bt = parse_blocks(_mk(spark, "# 1.0 1\nBAD 7\n"), SIMPLE, is_strict=True)
     with pytest.raises(Exception):
         bt.data.collect()
+
+
+@pytest.mark.parametrize(
+    "fname,cfg",
+    [
+        ("OUT34", OUT34_CONFIG),
+        ("OUT9", OUT9_CONFIG),
+        ("fort.82", FORT82_CONFIG),
+        ("densCentre.txt", DENS_CENTRE_CONFIG),
+    ],
+)
+def test_split_reader_parity(spark, run_root, fname, cfg):
+    """read_block_file_split must equal the windowed reader on every
+    format — with enough partitions that blocks straddle split
+    boundaries (the fixture files are dozens of lines; 7 partitions
+    guarantee several blocks span partitions)."""
+    path = os.path.join(run_root, fname)
+    win = read_block_file(spark, path, cfg)
+    spl = read_block_file_split(spark, path, cfg, min_partitions=7)
+    for attr in ("headers", "data"):
+        a = getattr(win, attr)
+        b = getattr(spl, attr)
+        assert sorted(a.columns) == sorted(b.columns)
+        cols = sorted(a.columns)
+        ra = sorted(map(str, a.select(*cols).collect()))
+        rb = sorted(map(str, b.select(*cols).collect()))
+        assert ra == rb, f"{fname} {attr} mismatch"
+
+
+def test_split_reader_block_spans_partition_boundary(spark, tmp_path):
+    """One block whose data lines land in a later partition than its
+    header: the stitched hdr_cum must still attach them to it."""
+    p = tmp_path / "big.txt"
+    # one header + 40 data lines, then another block — with
+    # min_partitions=8 the first block inevitably crosses splits
+    body = "# 1.0 1\n" + "".join(f"{i}.0 {i}\n" for i in range(40))
+    body += "# 2.0 1\n" + "".join(f"{i}.5 {i}\n" for i in range(10))
+    p.write_text(body)
+    bt = read_block_file_split(spark, str(p), SIMPLE, min_partitions=8)
+    hdrs = {r["time"]: r["block_id"] for r in bt.headers.collect()}
+    assert set(hdrs) == {1.0, 2.0}
+    counts = {
+        r["time"]: r["n"]
+        for r in bt.data.groupBy("time").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == {1.0: 40, 2.0: 10}
+
+
+def test_split_reader_validation_errors(spark, tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("10.0 1\n# 1.0 1\n")
+    with pytest.raises(ValueError, match="Expected a header line"):
+        read_block_file_split(spark, str(p), SIMPLE, min_partitions=4)
 
 
 def test_empty_lines_skipped(spark):
