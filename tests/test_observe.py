@@ -104,6 +104,63 @@ def test_offset_frame_tangential_motion(spark):
     assert out2["lat_deg"] > 0 and out2["lon_deg"] == pytest.approx(0.0, abs=1e-12)
 
 
+def test_offset_frame_golden_analytic(spark):
+    """Closed-form golden table, derived BY HAND with spherical trig
+    on special angles — independent of both the Spark implementation
+    and the numpy cross-check (which lives in this repo and could
+    share a bug). Each case: (pos, vel, center) -> exact expectation.
+
+    Conventions checked: offset lon increases toward increasing
+    galactic lon, lat toward +z of the rotated frame, pm_lon carries
+    the cos(lat) factor (physical tangential velocity / distance).
+    """
+    K = KMS_PER_PC_TO_MAS_YR
+    s2 = math.sqrt(2.0)
+    cases = [
+        # rotated frame about z by 90deg: star 45deg "ahead" in lon
+        dict(pos=(-100, 100, 0), vel=(0, 0, 0), center=(0, 100, 0),
+             want=dict(lon_deg=45.0, lat_deg=0.0, dist_pc=100 * s2)),
+        # center on +z axis (polar degeneracy): star along it
+        dict(pos=(0, 0, 100), vel=(0, 0, 0), center=(0, 0, 50),
+             want=dict(lon_deg=0.0, lat_deg=0.0, dist_pc=100.0)),
+        # center at lat0=45deg in the xz-plane; star on +z axis sits
+        # 45deg ABOVE the center direction at distance 200
+        dict(pos=(0, 0, 200), vel=(0, 0, 0), center=(100, 0, 100),
+             want=dict(lon_deg=0.0, lat_deg=45.0, dist_pc=200.0)),
+        # lon0=45deg frame; galactic lon 135deg -> offset lon +90deg
+        dict(pos=(-100, 100, 0), vel=(0, 0, 0), center=(100, 100, 0),
+             want=dict(lon_deg=90.0, lat_deg=0.0, dist_pc=100 * s2)),
+        # tangential velocity in the rotated frame: star at the center
+        # of the lon0=45deg frame moving along +lon_hat=(-1,1,0)/sqrt2
+        # at |v|=5*sqrt2 km/s and distance 100*sqrt2 pc
+        dict(pos=(100, 100, 0), vel=(-5, 5, 0), center=(100, 100, 0),
+             want=dict(rv_kms=0.0, pm_lat_mas_yr=0.0,
+                       pm_lon_coslat_mas_yr=0.05 * K)),
+        # coslat convention: star at offset lat=60deg, dist 100,
+        # tangential +y velocity is pure lon motion: pm = v/d * K
+        dict(pos=(50, 0, 50 * math.sqrt(3.0)), vel=(0, 8, 0),
+             center=(100, 0, 0),
+             want=dict(lon_deg=0.0, lat_deg=60.0, dist_pc=100.0,
+                       rv_kms=0.0, pm_lat_mas_yr=0.0,
+                       pm_lon_coslat_mas_yr=0.08 * K)),
+        # lon0=180deg frame (atan2 branch point): small positive
+        # offset in the direction of increasing galactic lon
+        dict(pos=(-100, -10, 0), vel=(0, 0, 0), center=(-100, 0, 0),
+             want=dict(lon_deg=math.degrees(math.atan(0.1)),
+                       lat_deg=0.0)),
+        # radial motion away from the observer in a rotated frame
+        dict(pos=(0, 200, 0), vel=(0, 12, 0), center=(0, 100, 0),
+             want=dict(lon_deg=0.0, lat_deg=0.0, dist_pc=200.0,
+                       rv_kms=12.0, pm_lon_coslat_mas_yr=0.0,
+                       pm_lat_mas_yr=0.0)),
+    ]
+    for case in cases:
+        got = _spark_offset(spark, case["pos"], case["vel"], case["center"])
+        for key, val in case["want"].items():
+            assert got[key] == pytest.approx(val, rel=1e-9, abs=1e-9), (
+                case, key)
+
+
 def test_offset_frame_matches_numpy(spark):
     rng = np.random.RandomState(7)
     for _ in range(5):

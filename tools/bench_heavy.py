@@ -1,0 +1,131 @@
+"""Scale-curve bench for the heavy dedup/text queries.
+
+The per-round bench (bench.py) runs at sf0.1, where Spark's fixed
+job-scheduling floor hides data-dependent scaling. This tool scales
+the sf0.1 documents/embeddings tables by an integer factor (seeded
+derived rows: rotated word order for text so near-dup families stay
+realistic; perturbed vectors for embeddings), stages a synthetic
+sf_dir under /tmp (other tables symlinked), and times the heavy
+registered queries at each factor. A bucketing-design regression
+(quadratic candidate blowup) shows up as super-linear time growth.
+
+    python tools/bench_heavy.py [factor ...]    # default: 1 4
+
+Prints one JSON line per factor and a scaling summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+HEAVY = [
+    "minhash_lsh_pairs",
+    "minhash_lsh_verified",
+    "ngram_jaccard_neardup",
+    "simhash_clusters",
+    "exact_dup_clusters",
+    "embedding_cosine_neardup",
+    "embedding_ivf_kmeans",
+    "doc_bpe_tokens",
+]
+
+
+def stage_dir(spark, factor: int) -> str:
+    base = tempfile.mkdtemp(prefix=f"bench_heavy_x{factor}_")
+    for t in TABLES:
+        dst = os.path.join(base, f"{t}.parquet")
+        if t not in ("documents", "embeddings") or factor == 1:
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+            continue
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        n = df.count()
+        copies = spark.range(factor).select(F.col("id").alias("_copy"))
+        scaled = df.crossJoin(copies)
+        if t == "documents":
+            words = F.split(F.col("text"), " ")
+            k = (F.col("_copy") * 7) % F.greatest(F.size(words), F.lit(1))
+            rotated = F.concat(
+                F.slice(words, k + 1, F.size(words)),
+                F.slice(words, F.lit(1), k),
+            )
+            scaled = scaled.select(
+                (F.col("doc_id") + F.col("_copy") * n).alias("doc_id"),
+                F.array_join(rotated, " ").alias("text"),
+                *[c for c in df.columns if c not in ("doc_id", "text")],
+            )
+        else:
+            scaled = scaled.select(
+                (F.col("vec_id") + F.col("_copy") * n).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x + F.col("_copy").cast("float") * F.lit(0.001),
+                ).alias("embedding"),
+                *[c for c in df.columns if c not in ("vec_id", "embedding")],
+            )
+        scaled.write.mode("overwrite").parquet(dst)
+    return base
+
+
+def main(factors):
+    from nbody6_data_pipeline_spark.queries import ensure_confs, registry
+    from nbody6_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench_heavy")
+    ensure_confs(spark)
+    reg = registry()
+    # warmup: run every heavy query once at 1x so JVM/codegen warmup
+    # does not contaminate the first timed factor
+    warm = stage_dir(spark, 1)
+    for name in HEAVY:
+        reg[name]["spark"](spark, warm).collect()
+    shutil.rmtree(warm, ignore_errors=True)
+    results = []
+    for factor in factors:
+        sf_dir = stage_dir(spark, factor)
+        timings = {}
+        for name in HEAVY:
+            best = None
+            for _ in range(2):  # best-of-2 damps scheduler noise
+                spark.catalog.clearCache()  # queries may persist();
+                # a leaked cache from a prior run would thrash the JVM
+                t0 = time.time()
+                reg[name]["spark"](spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        rec = {"factor": factor, "total_sec": round(sum(timings.values()), 3),
+               "queries": timings}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+        shutil.rmtree(sf_dir, ignore_errors=True)
+    if len(results) >= 2:
+        a, z = results[0], results[-1]
+        print(json.dumps({
+            "summary": "heavy_scale",
+            "data_factor": z["factor"] / a["factor"],
+            "time_factor": round(z["total_sec"] / a["total_sec"], 2),
+            "per_query_factor": {
+                q: round(z["queries"][q] / max(a["queries"][q], 1e-9), 2)
+                for q in HEAVY
+            },
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    factors = [int(s) for s in sys.argv[1:]] or [1, 4]
+    main(factors)
