@@ -249,6 +249,70 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: the step
+    that turns near-duplicate PAIRS into duplicate CLUSTERS (component
+    id = the minimum member id, the usual canonical-keep key).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converged when no
+    label changes. Rounds are plain joins/groupBys (shuffle-parallel);
+    the driver loop runs O(graph diameter) rounds with ONE count
+    action each, and localCheckpoint truncates the growing lineage.
+    Near-dup clusters are dense (dup families link pairwise), so the
+    diameter — and the round count — is small regardless of corpus
+    size; a pathological chain still converges within max_iter. For
+    graphs with genuinely huge diameters the large-star/small-star
+    variant (O(log n) rounds) drops into the same loop shape.
+
+    Returns (node, comp) for every node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
+                .alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter("_chg").count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, text: Column, id_col: str, nbits: int = 16) -> DataFrame:
     """Per-document SimHash: (id, simhash bitstring).
 

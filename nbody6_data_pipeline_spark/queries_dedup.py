@@ -331,10 +331,11 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_cosine_neardup",
-    """
-    WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+# Shared CTE chain: banded sign-LSH candidates -> exact cosine pairs.
+# Used by embedding_cosine_neardup (pairs) and
+# embedding_neardup_components (connected components over the pairs).
+_BANDED_PAIRS_CTES = """
+    nn AS (SELECT count(*) AS cnt FROM embeddings),
     pr AS (
       SELECT CASE WHEN cnt <= 128 THEN 2 WHEN cnt <= 256 THEN 3
                   WHEN cnt <= 512 THEN 4 WHEN cnt <= 1024 THEN 5
@@ -362,24 +363,22 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sized a JOIN sized b
         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT vec_a, vec_b,
-      list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (c.v)[i]), (acc, x) -> acc + x)
-        / (sqrt(list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (a.v)[i]), (acc, x) -> acc + x))
-           * sqrt(list_reduce(list_transform(range(1, 65), i -> (c.v)[i] * (c.v)[i]), (acc, x) -> acc + x)))
-        AS cos_sim
-    FROM cand JOIN e a ON vec_a = a.vec_id JOIN e c ON vec_b = c.vec_id
-    WHERE cos_sim >= 0.35
-    ORDER BY vec_a, vec_b
-    """,
-)
-def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: banded multi-table
-    sign-LSH candidate generation (band width scales with corpus size,
-    oversized buckets capped — see banded_sign_lsh_pairs), exact cosine
-    threshold on candidates only. On real embeddings the threshold
-    would be ~0.95 (synthetic test vectors are near-orthogonal, so
-    0.35 exercises the path)."""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored_pairs AS (
+      SELECT vec_a, vec_b,
+        list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (c.v)[i]), (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(range(1, 65), i -> (a.v)[i] * (a.v)[i]), (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(range(1, 65), i -> (c.v)[i] * (c.v)[i]), (acc, x) -> acc + x)))
+          AS cos_sim
+      FROM cand JOIN e a ON vec_a = a.vec_id JOIN e c ON vec_b = c.vec_id
+    )
+"""
+
+
+def _banded_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the shared pair pipeline: banded sign-LSH
+    candidates scored with exact cosine (columns vec_a, vec_b,
+    cos_sim)."""
     from nbody6_data_pipeline_spark.operators.similarity import (
         banded_sign_lsh_pairs,
         cosine_prenormed,
@@ -404,9 +403,72 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.v"), F.col("c.v"), F.col("a.nrm"), F.col("c.nrm")
             ).alias("cos_sim"),
         )
+    )
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+    WITH {_BANDED_PAIRS_CTES}
+    SELECT vec_a, vec_b, cos_sim FROM scored_pairs
+    WHERE cos_sim >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded multi-table
+    sign-LSH candidate generation (band width scales with corpus size,
+    oversized buckets capped — see banded_sign_lsh_pairs), exact cosine
+    threshold on candidates only. On real embeddings the threshold
+    would be ~0.95 (synthetic test vectors are near-orthogonal, so
+    0.35 exercises the path)."""
+    return (
+        _banded_neardup_pairs(spark, sf_dir)
         .filter(F.col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "embedding_neardup_components",
+    f"""
+    WITH RECURSIVE {_BANDED_PAIRS_CTES},
+    np AS (SELECT vec_a, vec_b FROM scored_pairs WHERE cos_sim >= 0.35),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM np
+      UNION ALL SELECT vec_b, vec_a FROM np
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS vec_id, min(r) AS comp FROM reach
+    GROUP BY node ORDER BY vec_id
+    """,
+)
+def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from the near-dup pair graph: connected
+    components with component id = minimum member vec_id (the
+    canonical-keep key a dedup pipeline drops against). Spark runs
+    O(diameter) rounds of min-label propagation (see
+    connected_components); the DuckDB oracle computes the same
+    components with a recursive transitive-closure CTE — tractable on
+    the oracle's small data, quadratic in cluster size at scale, which
+    is exactly why the engine side uses propagation instead."""
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = (
+        _banded_neardup_pairs(spark, sf_dir)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("vec_id"), "comp"
+    ).orderBy("vec_id")
 
 
 @register(

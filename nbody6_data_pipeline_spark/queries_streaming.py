@@ -110,6 +110,46 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_first_event_dedup",
+    """
+    SELECT user_id, event_type,
+           epoch_us(ts) AS first_ts_us, event_id AS first_event_id
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q_streaming_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-batch first-occurrence dedup per (user_id, event_type) —
+    the streaming ingest pattern for dropping duplicate documents by
+    fingerprint. The update-mode sink accumulates monotonically
+    improving emissions; the per-key MIN equals batch
+    row_number()=1 dedup, which is the oracle."""
+    from nbody6_data_pipeline_spark.streaming.events import (
+        first_event_dedup,
+    )
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    dedup = first_event_dedup(stream)
+    out = run_stream_to_memory(
+        spark, dedup, name=_unique_sink(), output_mode="update"
+    )
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("first_ts_us", "first_event_id")).alias("m"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.first_ts_us").alias("first_ts_us"),
+            F.col("m.first_event_id").alias("first_event_id"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
     "multimodal_features",
     """
     WITH m AS (

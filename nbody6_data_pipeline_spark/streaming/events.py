@@ -31,15 +31,21 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """File-based event stream over a directory (swap for kafka in
     production; the transformations below are source-agnostic). The
     optional ``glob`` restricts which files in the directory are
-    ingested (file-stream sources require a directory path)."""
+    ingested (file-stream sources require a directory path);
+    ``max_files_per_trigger`` bounds each micro-batch (1 forces one
+    trigger per file — used by tests that exercise cross-batch
+    state)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", 4
+        "maxFilesPerTrigger", max_files_per_trigger
     )
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
@@ -80,12 +86,17 @@ def windowed_event_counts(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, agg: DataFrame, name: str = "events_agg"
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str = "events_agg",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drive the streaming query to completion over the currently
-    available files (local smoke path) and return the result table."""
+    available files (local smoke path) and return the result table.
+    ``update`` mode APPENDS each trigger's updated rows to the memory
+    sink — callers aggregate the per-key best afterwards."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -95,6 +106,84 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def first_event_dedup(
+    events: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch FIRST-occurrence dedup per key.
+
+    State per (user_id, event_type): the earliest (ts, event_id) seen
+    so far. A batch emits a row only when it strictly improves the
+    state — the streaming analogue of batch ``row_number() = 1``
+    dedup, and the pattern a streaming ingest pipeline uses to drop
+    duplicate documents by fingerprint. Emissions are monotonically
+    improving, so the final answer per key is the MIN over emitted
+    rows (what the caller aggregates from an update-mode sink).
+
+    State is O(distinct keys); no timeout (dedup state is permanent —
+    a production variant would use event-time timeout to expire keys
+    past the watermark).
+    """
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    keys = keys or ["user_id", "event_type"]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("first_ts_us", T.LongType()),
+            T.StructField("first_event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            ts_us = (pdf["ts"] // 1000).astype("int64")
+            for t, i in zip(ts_us, pdf["event_id"].astype("int64")):
+                cand = (int(t), int(i))
+                if best is None or cand < best:
+                    best = cand
+        if best is not None and (
+            not state.exists or best < tuple(state.get)
+        ):
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "first_ts_us": [best[0]],
+                    "first_event_id": [best[1]],
+                }
+            )
+
+    return (
+        events.select(*keys, "ts", "event_id")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def session_event_counts(

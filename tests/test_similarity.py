@@ -120,6 +120,30 @@ def test_ivf_sublinear_probe_and_recall_monotonic(spark, emb):
     assert probed < len(queries.collect()) * n * 0.75
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Path graph (worst-case diameter), a triangle, and an isolated
+    pair: every node must get the minimum member id of its component."""
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = (
+        # path 0-1-2-...-11 (diameter 11 forces many propagation rounds)
+        [(i, i + 1) for i in range(11)]
+        # triangle 20-21-22 plus a redundant edge
+        + [(20, 21), (21, 22), (20, 22)]
+        # isolated pair
+        + [(30, 31)]
+    )
+    df = spark.createDataFrame(edges, "vec_a long, vec_b long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(df).collect()
+    }
+    want = {i: 0 for i in range(12)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert got == want
+
+
 def test_banded_lsh_band_width_scales_with_corpus(spark):
     # The in-plan width ladder: expected bucket occupancy stays near
     # target_bucket as N grows, because r grows instead.

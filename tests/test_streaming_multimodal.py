@@ -39,6 +39,77 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     assert total == batch_n
 
 
+def test_streaming_first_event_dedup_multi_batch(spark, tmp_path):
+    """State must survive micro-batch boundaries: batch 2 carries an
+    EARLIER event for an existing key (update emitted) and a duplicate
+    later event (suppressed). Files are named so the source ingests
+    them in order with maxFilesPerTrigger forcing separate triggers."""
+    from pyspark.sql import Row
+
+    from nbody6_data_pipeline_spark.streaming.events import (
+        first_event_dedup,
+    )
+
+    stream_dir = tmp_path / "dedup_stream"
+    stream_dir.mkdir()
+
+    def write_batch(name, mtime, rows):
+        import glob as g
+        import os
+        import shutil
+
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=i, ts=t * 1000, user_id=u,
+                    event_type=e, value=1.0, props="{}",
+                )
+                for i, t, u, e in rows
+            ]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}")
+        )
+        src = g.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+        dst = stream_dir / f"{name}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))  # deterministic ingest order
+
+    # batch a: key (1,'x') first seen at ts_us=5000; key (2,'y') at 7000
+    write_batch("a", 1_000_000, [(10, 5000, 1, "x"), (11, 7000, 2, "y")])
+    # batch b: earlier event for (1,'x') -> improvement; later dup
+    # for (2,'y') -> suppressed; new key (3,'z')
+    write_batch(
+        "b", 1_000_100,
+        [(12, 3000, 1, "x"), (13, 9000, 2, "y"), (14, 1000, 3, "z")],
+    )
+
+    stream = read_event_stream(
+        spark, str(stream_dir), max_files_per_trigger=1
+    )
+    dedup = first_event_dedup(stream)
+    out = run_stream_to_memory(
+        spark, dedup, name="t_first_dedup", output_mode="update"
+    )
+    emitted = [tuple(r) for r in out.orderBy("user_id", "first_ts_us").collect()]
+    # final per-key min == batch dedup answer
+    final = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in out.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("first_ts_us", "first_event_id")).alias("m"))
+        .select("user_id", "event_type", "m.first_ts_us", "m.first_event_id")
+        .collect()
+    }
+    assert final == {
+        (1, "x"): (3000, 12),  # improved by batch b
+        (2, "y"): (7000, 11),  # batch b duplicate suppressed
+        (3, "z"): (1000, 14),
+    }
+    # the improvement for (1,'x') must have produced TWO emissions
+    # (one per micro-batch) — proof the state crossed batch boundaries
+    key1 = [e for e in emitted if e[0] == 1 and e[1] == "x"]
+    assert len(key1) == 2
+
+
 def test_multimodal_feature_extraction(spark):
     data = [
         (1, "image", bytes(range(64)), 8, 8, None),
