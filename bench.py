@@ -29,8 +29,16 @@ def main() -> None:
     # the first timed query doesn't pay session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(reg):
+        # isolate queries from each other: drop cached tables a prior
+        # query persisted and let the ContextCleaner release orphaned
+        # localCheckpoint blocks — leftovers otherwise inflate later
+        # queries' timings 3-5x through executor memory pressure
+        spark.catalog.clearCache()
+        gc.collect()
         fn = reg[name]["spark"]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)

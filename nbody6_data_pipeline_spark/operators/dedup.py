@@ -259,16 +259,15 @@ def connected_components(
     that turns near-duplicate PAIRS into duplicate CLUSTERS (component
     id = the minimum member id, the usual canonical-keep key).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converged when no
-    label changes. Rounds are plain joins/groupBys (shuffle-parallel);
-    the driver loop runs O(graph diameter) rounds with ONE count
-    action each, and localCheckpoint truncates the growing lineage.
-    Near-dup clusters are dense (dup families link pairwise), so the
-    diameter — and the round count — is small regardless of corpus
-    size; a pathological chain still converges within max_iter. For
-    graphs with genuinely huge diameters the large-star/small-star
-    variant (O(log n) rounds) drops into the same loop shape.
+    Min-label propagation with POINTER JUMPING: each round every node
+    takes the minimum label among itself and its neighbors, then
+    labels are compressed one hop (comp := comp(comp)) — the label-
+    doubling trick that turns O(diameter) rounds into O(log diameter).
+    Rounds are plain joins/groupBys (shuffle-parallel); the driver
+    loop runs ONE count action per round and localCheckpoint truncates
+    the growing lineage. Near-dup clusters are dense, so in practice
+    2-3 rounds converge regardless of corpus size; a pathological
+    chain of length L needs ~log2(L) rounds.
 
     Returns (node, comp) for every node that appears in ``pairs``.
     """
@@ -294,15 +293,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        prop = labels.join(
+            neigh, labels["node"] == neigh["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+            ).alias("comp"),
+            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
+            .alias("_chg"),
+        )
+        # pointer jumping: follow the label one more hop so long
+        # chains collapse exponentially instead of one hop per round
+        lab2 = prop.select(
+            F.col("node").alias("n2"), F.col("comp").alias("c2")
+        )
         updated = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            prop.join(lab2, prop["comp"] == lab2["n2"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("c2"), F.col("comp"))
                 ).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
-                .alias("_chg"),
+                (
+                    F.col("_chg")
+                    | (F.coalesce(F.col("c2"), F.col("comp")) < F.col("comp"))
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )

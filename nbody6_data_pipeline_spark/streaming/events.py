@@ -143,9 +143,12 @@ def first_event_dedup(
             T.StructField("first_event_id", T.LongType()),
         ]
     )
+    # state keeps the RAW ns timestamp: comparisons must happen at
+    # full resolution (the batch oracle orders by raw ts), truncation
+    # to us is presentation-only at emission time
     state_schema = T.StructType(
         [
-            T.StructField("ts_us", T.LongType()),
+            T.StructField("ts_ns", T.LongType()),
             T.StructField("event_id", T.LongType()),
         ]
     )
@@ -153,22 +156,25 @@ def first_event_dedup(
     def dedup_fn(key, pdfs, state: GroupState):
         import pandas as pd
 
-        best = state.get if state.exists else None
+        best = tuple(state.get) if state.exists else None
         for pdf in pdfs:
-            ts_us = (pdf["ts"] // 1000).astype("int64")
-            for t, i in zip(ts_us, pdf["event_id"].astype("int64")):
-                cand = (int(t), int(i))
-                if best is None or cand < best:
-                    best = cand
-        if best is not None and (
-            not state.exists or best < tuple(state.get)
-        ):
+            if not len(pdf):
+                continue
+            # vectorized lexicographic min of (ts, event_id) — no
+            # per-row Python loop (that costs ~100x on large batches)
+            ts = pdf["ts"].astype("int64")
+            tmin = int(ts.min())
+            imin = int(pdf["event_id"][ts == tmin].astype("int64").min())
+            cand = (tmin, imin)
+            if best is None or cand < best:
+                best = cand
+        if best is not None and (not state.exists or best < tuple(state.get)):
             state.update(best)
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "event_type": [key[1]],
-                    "first_ts_us": [best[0]],
+                    "first_ts_us": [best[0] // 1000],
                     "first_event_id": [best[1]],
                 }
             )
