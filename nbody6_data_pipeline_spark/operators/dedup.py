@@ -254,6 +254,7 @@ def connected_components(
     a_col: str = "vec_a",
     b_col: str = "vec_b",
     max_iter: int = 50,
+    jumps: int = 3,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: the step
     that turns near-duplicate PAIRS into duplicate CLUSTERS (component
@@ -261,13 +262,30 @@ def connected_components(
 
     Min-label propagation with POINTER JUMPING: each round every node
     takes the minimum label among itself and its neighbors, then
-    labels are compressed one hop (comp := comp(comp)) — the label-
-    doubling trick that turns O(diameter) rounds into O(log diameter).
-    Rounds are plain joins/groupBys (shuffle-parallel); the driver
-    loop runs ONE count action per round and localCheckpoint truncates
-    the growing lineage. Near-dup clusters are dense, so in practice
-    2-3 rounds converge regardless of corpus size; a pathological
-    chain of length L needs ~log2(L) rounds.
+    labels are compressed ``jumps`` more hops (comp := comp(comp)) —
+    the label-doubling trick that turns O(diameter) rounds into
+    O(log diameter). Rounds are plain joins/groupBys
+    (shuffle-parallel); the driver loop runs ONE count action per
+    round and localCheckpoint truncates the growing lineage. Near-dup
+    clusters are dense, so in practice 2-3 rounds converge regardless
+    of corpus size; a pathological chain of length L needs ~log2(L)
+    rounds.
+
+    Every round's result is ``localCheckpoint().persist()`` — BOTH are
+    load-bearing, for different reasons:
+
+    - localCheckpoint truncates the logical plan, or the self-join
+      fan-out nests a copy of every prior round (analysis blows up).
+    - persist (materialized by the round's convergence count) replaces
+      the checkpoint's INHERITED size estimate with the relation's
+      REAL byte size. Catalyst's size-only join estimate is the
+      PRODUCT of the children's sizeInBytes, and a localCheckpoint
+      carries its origin plan's estimate — so without the persist the
+      estimate's bit-length MULTIPLIES every round (~8x with 3 nested
+      self-joins), and by round ~6 the driver spends minutes doing
+      BigInteger arithmetic on million-bit "sizes" inside
+      SizeInBytesOnlyStatsPlanVisitor while every executor sits idle.
+      Real cached sizes also let small label tables broadcast.
 
     Returns (node, comp) for every node that appears in ``pairs``.
     """
@@ -281,36 +299,58 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Size the round partitioning to the GRAPH, not the session
+    # default: each round is several stages over the label table, and
+    # 32-task stages on a few thousand rows cost ~10x the work itself
+    # in scheduling latency. ~500k edges per partition keeps rounds
+    # single-digit-task at oracle scale and still spreads a trillion-
+    # edge graph across a cluster.
+    n_edges = edges.count()
+    parts = max(1, n_edges // 500_000)
+    edges = edges.repartition(parts, "dst").localCheckpoint().persist()
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
+        .coalesce(parts)
         .localCheckpoint()
+        .persist()
     )
+    labels.count()
+    to_unpersist: list[DataFrame] = []
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        prop = labels.join(
-            neigh, labels["node"] == neigh["src"], "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-            ).alias("comp"),
-            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
-            .alias("_chg"),
-        )
-        # pointer jumping: follow the label one more hop so long
-        # chains collapse exponentially instead of one hop per round
-        lab2 = prop.select(
-            F.col("node").alias("n2"), F.col("comp").alias("c2")
-        )
-        updated = (
-            prop.join(lab2, prop["comp"] == lab2["n2"], "left")
+        prop = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
+                .alias("_chg"),
+            )
+            # prop feeds BOTH sides of the jump join: checkpoint so the
+            # neighbor-join subtree is not recomputed per branch
+            .coalesce(parts)
+            .localCheckpoint()
+        )
+        # pointer jumping: follow the label ``jumps`` more hops so long
+        # chains collapse exponentially instead of one hop per round
+        # (each jump joins only the small label table against itself)
+        updated = prop
+        for _j in range(jumps):
+            lab2 = updated.select(
+                F.col("node").alias("n2"), F.col("comp").alias("c2")
+            )
+            updated = updated.join(
+                lab2, updated["comp"] == lab2["n2"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("c2"), F.col("comp"))
@@ -320,12 +360,19 @@ def connected_components(
                     | (F.coalesce(F.col("c2"), F.col("comp")) < F.col("comp"))
                 ).alias("_chg"),
             )
-            .localCheckpoint()
-        )
+        updated = updated.coalesce(parts).localCheckpoint().persist()
+        # one action per round: the convergence count doubles as the
+        # persist's materialization, so the NEXT round plans against
+        # real cached sizes
         changed = updated.filter("_chg").count()
+        to_unpersist.append(labels)
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    # release intermediate round caches; the final labels cache stays
+    # alive for the caller (cleared by session cache management)
+    for df in to_unpersist:
+        df.unpersist(blocking=False)
     return labels
 
 

@@ -144,6 +144,36 @@ def test_connected_components_chain_and_islands(spark):
     assert got == want
 
 
+def test_connected_components_stats_stay_real(spark):
+    """Regression: each round's result must carry REAL cached-size
+    statistics, not the checkpoint-inherited estimate. Catalyst's
+    size-only join estimate is the PRODUCT of child sizes, so an
+    inherited estimate's bit-length multiplies every round through the
+    nested pointer-jump self-joins — by round ~6 the driver spends
+    minutes on million-bit BigInteger products (observed: 400 s for a
+    198-edge graph). A long chain forces many rounds; the returned
+    plan's sizeInBytes staying word-sized proves the per-round
+    persist() reset the estimate."""
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "vec_a long, vec_b long"
+    )
+    labels = connected_components(chain)
+    comps = {r["comp"] for r in labels.collect()}
+    assert comps == {0}
+    size = int(
+        labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert size.bit_length() < 64, (
+        f"stats estimate is {size.bit_length()} bits — the checkpoint "
+        "inherited a compounded join-product estimate instead of the "
+        "persisted relation's real size"
+    )
+
+
 def test_banded_lsh_band_width_scales_with_corpus(spark):
     # The in-plan width ladder: expected bucket occupancy stays near
     # target_bucket as N grows, because r grows instead.
