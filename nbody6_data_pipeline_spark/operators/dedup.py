@@ -335,11 +335,14 @@ def connected_components(
                 (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
                 .alias("_chg"),
             )
-            # prop feeds BOTH sides of the jump join: checkpoint so the
-            # neighbor-join subtree is not recomputed per branch
+            # prop feeds BOTH sides of every jump join: a LAZY persist
+            # computes the neighbor-join subtree once within the
+            # round-end job instead of once per branch, without paying
+            # an extra eager action (lineage is truncated at round end)
             .coalesce(parts)
-            .localCheckpoint()
+            .persist()
         )
+        to_unpersist.append(prop)
         # pointer jumping: follow the label ``jumps`` more hops so long
         # chains collapse exponentially instead of one hop per round
         # (each jump joins only the small label table against itself)
