@@ -69,6 +69,31 @@ def ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def event_us(df: DataFrame, col: str = "ts"):
+    """Epoch-MICROSECOND BIGINT from an event-time column, independent
+    of the physical parquet type (the driver's generator has emitted
+    both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds):
+
+    - LONG (TIMESTAMP(NANOS) under nanosAsLong): integer ``div 1000``.
+    - TIMESTAMP_NTZ (TIMESTAMP(MICROS), naive): cast to TIMESTAMP under
+      the UTC session tz (wall clock preserved), then ``unix_micros`` —
+      identical to DuckDB's ``epoch_us(ts)`` on the naive value.
+    - TIMESTAMP: ``unix_micros`` directly.
+
+    All event-time arithmetic in the engine goes through this so query
+    semantics survive schema drift in the upstream feed — the same
+    guard a production ingest layer needs when a source flips timestamp
+    precision."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} div 1000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.col(col).cast(T.TimestampType()))
+    return F.unix_micros(F.col(col))
+
+
 def q6(col):
     """Fixed-point e6 quantization for transcendental-derived doubles:
     pow/log/exp/acos/cbrt are NOT correctly-rounded IEEE ops, so Spark

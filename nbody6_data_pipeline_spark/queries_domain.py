@@ -285,12 +285,11 @@ def q_nearest_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 — nearest-key lookup (reference parser/base.py:96-106: the
     closest-timestamp suggestion): per user, the event closest to a
     target instant. TakeOrdered per group, no full sort."""
-    from nbody6_data_pipeline_spark.queries import ensure_confs
+    from nbody6_data_pipeline_spark.queries import ensure_confs, event_us
 
     ensure_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "us", F.expr("ts div 1000")
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("us", event_us(ev))
     w = W.partitionBy("user_id").orderBy(
         F.abs(F.col("us") - F.lit(1_710_000_000_000_000)), F.col("event_id")
     )

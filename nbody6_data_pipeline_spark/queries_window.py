@@ -1,10 +1,10 @@
 """Window / time-series queries (SURVEY §2.5 W1-W6, §2.4 A8-A10, §2.3 J10).
 
-Event timestamps in the synthetic tables are nanosecond-precision
-parquet TIMESTAMP(NANOS); Spark reads them as nanosecond LONGs
-(``spark.sql.legacy.parquet.nanosAsLong``) while DuckDB truncates to
-microseconds — so all event-time arithmetic is done in integer epoch
-MICROseconds on both sides (Spark: ``ts div 1000``, DuckDB:
+Event timestamps in the synthetic tables have varied physical parquet
+type across data generations (TIMESTAMP(NANOS) read as LONG nanos
+under ``nanosAsLong``; TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) — so
+all event-time arithmetic is done in integer epoch MICROseconds on
+both sides (Spark: ``event_us`` in queries.py, DuckDB:
 ``epoch_us(ts)``).
 """
 
@@ -14,13 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from nbody6_data_pipeline_spark.queries import ensure_confs, register
+from nbody6_data_pipeline_spark.queries import ensure_confs, event_us, register
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("us", F.expr("ts div 1000"))
+    return df.withColumn("us", event_us(df))
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,20 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is parquet TIMESTAMP(NANOS) -> read as LONG nanoseconds
-# (spark.sql.legacy.parquet.nanosAsLong); event_time is derived.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -42,19 +28,41 @@ def read_event_stream(
     ingested (file-stream sources require a directory path);
     ``max_files_per_trigger`` bounds each micro-batch (1 forces one
     trigger per file — used by tests that exercise cross-batch
-    state)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    state).
+
+    File streams require an explicit schema; it is taken from a batch
+    metadata read of the same directory so the stream follows the
+    feed's physical timestamp type (the generator has emitted both
+    TIMESTAMP(NANOS)->LONG and TIMESTAMP(MICROS)->TIMESTAMP_NTZ across
+    rounds). Two normalized columns are appended for downstream
+    operators: ``event_time`` (TIMESTAMP, for watermarks/windows) and
+    ``ts_us`` (epoch-microsecond BIGINT, for stateful comparisons)."""
+    from nbody6_data_pipeline_spark.queries import ensure_confs
+
+    ensure_confs(spark)
+    batch = spark.read
+    if glob is not None:
+        batch = batch.option("pathGlobFilter", glob)
+    schema = batch.parquet(path).schema
+
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
-    return (
-        reader.parquet(path)
-        .withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    )
+    df = reader.parquet(path)
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos as long
+        us = F.expr("ts div 1000")
+        event_time = F.timestamp_micros(us)
+    elif isinstance(ts_type, T.TimestampNTZType):
+        event_time = F.col("ts").cast(T.TimestampType())
+        us = F.unix_micros(event_time)
+    else:
+        event_time = F.col("ts")
+        us = F.unix_micros(event_time)
+    return df.withColumn("ts_us", us).withColumn("event_time", event_time)
 
 
 def windowed_event_counts(
@@ -143,12 +151,12 @@ def first_event_dedup(
             T.StructField("first_event_id", T.LongType()),
         ]
     )
-    # state keeps the RAW ns timestamp: comparisons must happen at
-    # full resolution (the batch oracle orders by raw ts), truncation
-    # to us is presentation-only at emission time
+    # state compares on the normalized epoch-us integer (ts_us from
+    # read_event_stream) so ordering is identical across physical
+    # timestamp types and matches the batch oracle's epoch_us order
     state_schema = T.StructType(
         [
-            T.StructField("ts_ns", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
             T.StructField("event_id", T.LongType()),
         ]
     )
@@ -160,9 +168,9 @@ def first_event_dedup(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            # vectorized lexicographic min of (ts, event_id) — no
+            # vectorized lexicographic min of (ts_us, event_id) — no
             # per-row Python loop (that costs ~100x on large batches)
-            ts = pdf["ts"].astype("int64")
+            ts = pdf["ts_us"].astype("int64")
             tmin = int(ts.min())
             imin = int(pdf["event_id"][ts == tmin].astype("int64").min())
             cand = (tmin, imin)
@@ -174,13 +182,13 @@ def first_event_dedup(
                 {
                     "user_id": [key[0]],
                     "event_type": [key[1]],
-                    "first_ts_us": [best[0] // 1000],
+                    "first_ts_us": [best[0]],
                     "first_event_id": [best[1]],
                 }
             )
 
     return (
-        events.select(*keys, "ts", "event_id")
+        events.select(*keys, "ts_us", "event_id")
         .groupBy(*keys)
         .applyInPandasWithState(
             dedup_fn,
