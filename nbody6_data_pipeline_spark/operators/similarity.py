@@ -386,3 +386,182 @@ def cosine_scores_pandas(dim: int):
         return score
 
     return build
+
+
+# ---- Exact-parity k-means IVF (cross-engine deterministic) ----
+#
+# The production IVF path (build_ivf_index / ivf_search) k-means a
+# sample on the driver with numpy — fast, but numpy's pairwise/SIMD
+# summation order is engine-specific, so its centroids can't be
+# reproduced bit-identically in an independent SQL engine. This
+# variant makes every arithmetic step deterministic by construction:
+#
+# - vectors are quantized to integers (floor(x * 2^20 + 0.5)), so
+#   centroid means are EXACT integer sums over an exact count — one
+#   correctly-rounded double division, identical regardless of
+#   aggregation order;
+# - distances and dot products are strict left-folds (the same
+#   accumulation order as DuckDB's list_reduce);
+# - ties in assignment and ranking break on integer ids.
+#
+# Lloyd iterations are fixed (KM_ITERS) and init is the KM_K lowest
+# vec_ids, so the whole index build is a pure function of the data.
+# At scale each update is ONE map-side-combinable hash aggregation
+# (64 SUM columns), and the final posting lists partition by cell —
+# the same layout ivf_search probes.
+
+KM_K = 16
+KM_ITERS = 2
+KM_NPROBE = 2
+KM_QUANT = 1 << 20
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(
+        _as_double(vec),
+        lambda x: F.floor(x * F.lit(float(KM_QUANT)) + F.lit(0.5)).cast("long"),
+    )
+
+
+_CENT_SCHEMA = T.StructType(
+    [
+        T.StructField("c_id", T.LongType()),
+        T.StructField("cv", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+# distance of the row's quantized vector to every centroid in the
+# broadcast `cents` array column: strict left-fold squared L2 per
+# centroid (bit-identical to the DuckDB oracle's list_reduce), with
+# (d2, c_id) structs so array_min / array_sort break ties on c_id
+_CELL_STRUCTS = (
+    "transform(cents, c -> struct("
+    "aggregate(zip_with(vq, c.cv, (x, y) -> "
+    "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "0.0D, (acc, x) -> acc + x) AS d2, c.c_id AS c_id))"
+)
+
+
+def _with_cents(df: DataFrame, spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Attach the centroid table to every row as ONE broadcast
+    array<struct> column. Shipping centroids as broadcast DATA (not
+    compiled literals) keeps the generated code identical across Lloyd
+    iterations, so whole-stage codegen compiles once and is cache-hit
+    on every subsequent iteration — inlining k x dim literals instead
+    costs a multi-second Janino recompile per iteration."""
+    carr = (
+        spark.createDataFrame(cents, _CENT_SCHEMA)
+        .agg(F.collect_list(F.struct("c_id", "cv")).alias("cents"))
+    )
+    return df.crossJoin(F.broadcast(carr))
+
+
+def exact_kmeans_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Fixed-iteration exact-arithmetic Lloyd k-means. Returns
+    ``(centroids, cells)``: centroids as a [(c_id, [dim doubles])]
+    list and cells ``(vec_id, v, vq, nrm, cell)`` with every vector
+    assigned to its nearest final centroid (ties on c_id).
+
+    Centroids live on the driver between iterations — k x dim doubles,
+    the same design as Spark MLlib KMeans — so each Lloyd iteration is
+    ONE job: a shuffle-free argmin projection over the broadcast
+    centroid array feeding one map-side-combinable hash aggregation
+    (dim SUM columns + COUNT), collected as k tiny rows. No per-vector
+    crossJoin row blowup, no window sort, no lineage growth across
+    iterations.
+
+    Exactness: quantized coordinates make every centroid mean an exact
+    integer sum over an exact count; Python's int/int float division
+    is the same correctly-rounded IEEE divide as the SQL oracle's
+    CAST(sum AS DOUBLE)/cnt. Empty clusters keep their previous
+    centroid (standard Lloyd fallback)."""
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        _quantize(F.col(vec_col)).alias("vq"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    init = sorted(
+        (r["vec_id"], [float(x) for x in r["vq"]])
+        for r in e.filter(F.col("vec_id") < k).select("vec_id", "vq").collect()
+    )
+    cents = init
+    assign_expr = F.expr(f"array_min({_CELL_STRUCTS}).c_id")
+    for _ in range(iters):
+        assigned = (
+            _with_cents(e, spark, cents)
+            .withColumn("cell", assign_expr)
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.col("vq")[i]).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        updated = {
+            r["cell"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)]
+            for r in sums
+        }
+        cents = [(c_id, updated.get(c_id, cv)) for c_id, cv in cents]
+    cells = (
+        _with_cents(e, spark, cents)
+        .withColumn("cell", assign_expr)
+        .select("vec_id", "v", "vq", "nrm", "cell")
+    )
+    return cents, cells
+
+
+def exact_kmeans_ivf_search(
+    cents: list[tuple[int, list[float]]],
+    cells: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = KM_NPROBE,
+) -> DataFrame:
+    """ANN search over the exact k-means cells: each query row of
+    ``queries`` (vec_id, v, vq, nrm — e.g. a filter of ``cells``)
+    probes its ``nprobe`` nearest centroids (a sorted slice of the
+    broadcast centroid distances — shuffle-free) and ranks exact
+    cosine within those posting lists. The probe table is broadcast;
+    the corpus side stays partitioned by cell."""
+    from pyspark.sql import Window as W
+
+    spark = queries.sparkSession
+    probe_expr = F.expr(
+        f"transform(slice(array_sort({_CELL_STRUCTS}), 1, {int(nprobe)}),"
+        " s -> s.c_id)"
+    )
+    probes = _with_cents(
+        queries.select("vec_id", "v", "vq", "nrm"), spark, cents
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(probe_expr).alias("cell"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

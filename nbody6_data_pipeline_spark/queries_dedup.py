@@ -588,25 +588,129 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ivf_kmeans", None)  # rows-only: iterative k-means
-def q_embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production IVF ANN: seeded k-means on a bounded sample builds
-    ~sqrt(N) cells, every vector is assigned by one vectorized
-    Pandas-UDF pass, posting lists are partitioned by cell, and each
-    query probes its nprobe=4 nearest cells. Search cost is
-    O(nprobe * N / k) = O(sqrt(N)) per query. No SQL oracle (k-means
-    is iterative); exactness of the probe/rank machinery is proven by
-    test_ivf_exhaustive_probe_equals_brute_force, which shows
-    nprobe=k reproduces brute force bitwise."""
+def _km_oracle_sql() -> str:
+    """Generated DuckDB oracle for the exact-parity k-means IVF: the
+    same quantize -> KM_ITERS x (assign, exact-integer-mean update) ->
+    final assign -> nprobe probe -> cosine top-3 pipeline, with
+    identical fold order and tie-breaks (see
+    operators/similarity.py exact_kmeans_cells)."""
     from nbody6_data_pipeline_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_search,
+        KM_K,
+        KM_NPROBE,
+        KM_QUANT,
+    )
+
+    dim = 64
+
+    def d2(vq: str, cv: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), j -> "
+            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j]) * "
+            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j])), (acc, x) -> acc + x)"
+        )
+
+    sums = ", ".join(f"SUM(vq[{j + 1}]) AS s{j}" for j in range(dim))
+    means = ", ".join(f"CAST(s{j} AS DOUBLE) / cnt" for j in range(dim))
+
+    def iteration(i: int) -> str:
+        prev = f"c{i - 1}"
+        return f"""
+    a{i} AS (
+      SELECT vec_id, vq, c_id AS cell FROM (
+        SELECT e.vec_id, e.vq, c.c_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+        FROM e, {prev} c)
+      WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cell AS c_id, COUNT(*) AS cnt, {sums}
+      FROM a{i} GROUP BY cell
+    ),
+    c{i} AS (
+      SELECT p.c_id, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN
+        (SELECT c_id, [{means}] AS cv FROM m{i}) u USING (c_id)
+    )"""
+
+    fold_dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> qv[i] * (af.v)[i]), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        lambda v: f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
+    )
+    iters = ",".join(iteration(i) for i in (1, 2))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * {KM_QUANT}.0 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS c_id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS cv
+      FROM e WHERE vec_id < {KM_K}
+    ),{iters},
+    af AS (
+      SELECT x.vec_id, e.v, {nrm('(e.v)')} AS nrm, x.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT e.vec_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+          FROM e, c2 c)
+        WHERE rn = 1) x JOIN e USING (vec_id)
+    ),
+    probes AS (
+      SELECT query_id, qv, qnrm, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, {nrm('(e.v)')} AS qnrm,
+          c.c_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS pr
+        FROM e, c2 c WHERE e.vec_id % 50 = 0)
+      WHERE pr <= {KM_NPROBE}
+    ),
+    scored AS (
+      SELECT query_id, af.vec_id AS cand_id,
+        {fold_dot} / (qnrm * af.nrm) AS cos_sim
+      FROM probes JOIN af ON probes.cell = af.cell
+        AND af.vec_id != probes.query_id
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT query_id, cand_id, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@register("embedding_ivf_kmeans", _km_oracle_sql())
+def q_embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means IVF ANN, exact-parity variant: integer-quantized
+    fixed-iteration Lloyd (centroid means are exact integer sums, so
+    the index is a pure deterministic function of the data), posting
+    lists partitioned by cell, nprobe-cell probe, exact cosine top-3
+    within probed cells. Fully value-checked against a DuckDB oracle
+    that replays the same iterations.
+
+    The production path (build_ivf_index / ivf_search: numpy k-means
+    on a bounded sample + vectorized Pandas-UDF assignment) shares the
+    probe/rank machinery and is proven by
+    test_ivf_exhaustive_probe_equals_brute_force +
+    test_exact_kmeans_exhaustive_probe_equals_brute_force; it stays
+    the scale path, this query is the correctness anchor."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        exact_kmeans_cells,
+        exact_kmeans_ivf_search,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    index = build_ivf_index(e, seed=42)
-    queries = e.filter(F.col("vec_id") % 50 == 0)
-    return ivf_search(index, queries, k=3, nprobe=4).orderBy(
+    cents, cells = exact_kmeans_cells(e)
+    queries = cells.filter(F.col("vec_id") % 50 == 0)
+    return exact_kmeans_ivf_search(cents, cells, queries, k=3).orderBy(
         "query_id", "rank"
     )
 

@@ -191,3 +191,45 @@ def test_banded_lsh_band_width_scales_with_corpus(spark):
         small, n_tables=8, target_bucket=32, bucket_cap=128
     )
     assert pairs_small.count() > 0  # N=100 -> r=2 branch also runs
+
+
+def test_exact_kmeans_exhaustive_probe_equals_brute_force(spark, emb):
+    """The exact-parity k-means IVF (integer-quantized Lloyd,
+    broadcast-centroid argmin) must also degenerate to brute force
+    when every cell is probed — proving its probe/rank plumbing is
+    lossless, independent of centroid quality."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        exact_kmeans_cells,
+        exact_kmeans_ivf_search,
+    )
+
+    cents, cells = exact_kmeans_cells(emb, k=8)
+    queries = cells.filter(F.col("vec_id") % 100 == 0)
+    got = exact_kmeans_ivf_search(
+        cents, cells, queries, k=5, nprobe=len(cents)
+    ).collect()
+    exact = cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
+    ).collect()
+    assert sorted([tuple(r) for r in got], key=lambda t: (t[0], t[3])) == sorted(
+        [tuple(r) for r in exact], key=lambda t: (t[0], t[3])
+    )
+
+
+def test_exact_kmeans_deterministic_and_covering(spark, emb):
+    """Two independent fits produce bit-identical centroids (the whole
+    build is a pure function of the data — the property the DuckDB
+    oracle relies on), every vector lands in exactly one cell, and
+    nonempty cells partition the corpus."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        exact_kmeans_cells,
+    )
+
+    cents1, cells1 = exact_kmeans_cells(emb, k=8)
+    cents2, _ = exact_kmeans_cells(emb, k=8)
+    assert cents1 == cents2
+    n = emb.count()
+    assigned = cells1.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in assigned) == n
+    assert {r["cell"] for r in assigned} <= {c for c, _ in cents1}
