@@ -45,6 +45,7 @@ def registry() -> dict[str, QuerySpec]:
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
     import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_training  # noqa: F401
     import nbody6_data_pipeline_spark.queries_window  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,309 @@
+"""Training-data-pipeline queries over documents/events (BASELINE.json
+north-star ops beyond the reference's own surface).
+
+The operations a large-scale LLM training-data pipeline runs between
+raw corpus and training shards: deterministic sampling, fixed-size
+chunking with overlap, TF-IDF term extraction, repetition-based
+quality filtering, and rolling event-time feature windows. All are
+native column expressions / window functions (no UDFs); hashes are
+portable md5 constructions and transcendental-derived scores use the
+q6 fixed-point idiom (queries.py) so the DuckDB oracles match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.text import token_array
+from nbody6_data_pipeline_spark.queries import _t, event_us, q6, register
+
+# ---- deterministic sampling ----
+
+SAMPLE_PCT = 20  # keep 20% of each stratum
+
+
+@register(
+    "doc_deterministic_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < {SAMPLE_PCT}
+    ORDER BY doc_id
+    """,
+)
+def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed sampling: a document is kept iff
+    md5(doc_id) lands in the first SAMPLE_PCT of 100 hash buckets.
+    Unlike rand()-based sampling this is reproducible across engines,
+    retries, and partitionings — the property a training-data pipeline
+    needs so a resampled corpus is the SAME corpus. Per-row projection
+    + filter: no shuffle, scales embarrassingly. Stratification is
+    free: the hash is independent of lang/source, so each stratum is
+    sampled at the same rate (test_training.py asserts per-lang rates
+    concentrate around SAMPLE_PCT)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < SAMPLE_PCT)
+        .orderBy("doc_id")
+    )
+
+
+# ---- fixed-size chunking with overlap ----
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+        unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+      CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+      CAST(least(n - start, {CHUNK_TOKENS}) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(
+        list_slice(toks, CAST(start + 1 AS BIGINT),
+                   CAST(least(start + {CHUNK_TOKENS}, n) AS BIGINT)),
+        ' ') AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (training-shard prep):
+    every document becomes windows of CHUNK_TOKENS whitespace tokens
+    at stride CHUNK_STRIDE (final partial window kept). Expressed as
+    sequence + explode + slice — per-row array ops, no shuffle, and
+    the chunk fan-out stays inside the scan stage at scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = token_array(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    return (
+        base.select("doc_id", "toks", n.alias("n"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.col("n") - F.col("start"), F.lit(CHUNK_TOKENS))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---- TF-IDF top terms ----
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "doc_tfidf_topterms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        CAST(floor(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                   * 1000000 + 0.5) AS BIGINT) AS tfidf_q6
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf_q6, rank FROM (
+      SELECT doc_id, term, tfidf_q6,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf_q6 DESC, term ASC) AS rank
+      FROM scored)
+    WHERE rank <= {TFIDF_TOPK}
+    ORDER BY doc_id, rank
+    """,
+)
+def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_TOPK} terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1). The classic two-aggregation pipeline:
+    explode terms -> (doc, term) counts (map-side combinable) ->
+    document frequencies (second hash-agg on the much smaller term
+    dimension) -> broadcast df back. Ranking happens on the
+    q6-quantized score so the cross-engine ln() ulp difference cannot
+    flip an ordering the oracle sees."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(token_array(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    tfidf = F.col("tf") * (
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf_q6").desc(), F.col("term").asc()
+    )
+    out = (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", q6(tfidf).alias("tfidf_q6"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tfidf_q6", "rank")
+        .orderBy("doc_id", "rank")
+    )
+    return out
+
+
+# ---- repetition-based quality filter ----
+
+REPETITION_MAX = 0.2
+
+
+@register(
+    "doc_repetition_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')
+          AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, len(toks) - 1 AS n_bigrams,
+        unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, n_bigrams, bigram, COUNT(*) AS c
+      FROM bg GROUP BY doc_id, n_bigrams, bigram
+    ),
+    top AS (
+      SELECT doc_id, n_bigrams, MAX(c) AS top_count FROM cnt
+      GROUP BY doc_id, n_bigrams
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      CAST(top_count AS BIGINT) AS top_count,
+      CAST(top_count AS DOUBLE) / n_bigrams AS repetition_ratio,
+      CAST(top_count AS DOUBLE) / n_bigrams <= {REPETITION_MAX}
+        AS passes_repetition
+    FROM top
+    ORDER BY doc_id
+    """,
+)
+def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (C4/Gopher-style): the most
+    frequent bigram's share of all bigrams; documents above
+    REPETITION_MAX are machine-generated-looking boilerplate. The
+    ratio is an exact integer division (deterministic cross-engine).
+    One explode + one map-side-combinable count + one max — linear,
+    keyed by doc_id throughout, so at scale it partitions cleanly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = token_array(F.lower(F.col("text")))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ratio = F.col("top_count").cast("double") / F.col("n_bigrams")
+    return (
+        base.select(
+            "doc_id",
+            (n - 1).cast("long").alias("n_bigrams"),
+            F.explode(bigrams).alias("bigram"),
+        )
+        .groupBy("doc_id", "n_bigrams", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_bigrams")
+        .agg(F.max("c").cast("long").alias("top_count"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_count",
+            ratio.alias("repetition_ratio"),
+            (ratio <= REPETITION_MAX).alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---- rolling event-time window features ----
+
+ROLL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "events_rolling_1h",
+    f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+    SELECT event_id, user_id, us,
+      COUNT(*) OVER w AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, us, event_id
+    """,
+)
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour event-time features per user (the feature-store
+    pattern: activity counts/sums as-of each event). A RANGE-framed
+    window over integer epoch-us — Spark's rangeBetween and DuckDB's
+    RANGE BETWEEN have identical peer semantics on the integer key,
+    and the sum uses the exact-decimal idiom so frame-order float
+    accumulation can't diverge."""
+    from nbody6_data_pipeline_spark.queries import ensure_confs
+
+    ensure_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        "event_id", "user_id", event_us(ev).alias("us"), "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ROLL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_1h"),
+    ).orderBy("user_id", "us", "event_id")
