@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nbody6_data_pipeline_spark.operators.text import fingerprint, token_array
 
@@ -249,12 +250,45 @@ def jaccard_verify(
     )
 
 
+def _union_find_local(edge_rows, spark, id_type):
+    """Driver-side union-find with path compression for SMALL edge
+    lists (the post-LSH near-dup graph is usually orders of magnitude
+    smaller than the corpus). Same (node, comp=min member) contract as
+    the distributed path — test_connected_components_paths_agree
+    proves the two produce identical labelings."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the canonical min label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = sorted((n, find(n)) for n in parent)
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("comp", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "vec_a",
     b_col: str = "vec_b",
     max_iter: int = 50,
     jumps: int = 3,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: the step
     that turns near-duplicate PAIRS into duplicate CLUSTERS (component
@@ -287,6 +321,15 @@ def connected_components(
       SizeInBytesOnlyStatsPlanVisitor while every executor sits idle.
       Real cached sizes also let small label tables broadcast.
 
+    Size-adaptive dispatch: the post-threshold near-dup graph is
+    typically orders of magnitude smaller than the corpus (LSH +
+    cosine cut has already run distributed), so when it has at most
+    ``small_graph_edges`` undirected edges the labeling itself runs as
+    driver-side union-find — one collect of the edge list versus
+    several join rounds, each with fixed scheduling latency. Larger
+    graphs take the propagation path below; both produce identical
+    labelings (parity-tested).
+
     Returns (node, comp) for every node that appears in ``pairs``.
     """
     edges = (
@@ -306,6 +349,13 @@ def connected_components(
     # single-digit-task at oracle scale and still spreads a trillion-
     # edge graph across a cluster.
     n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        id_type = edges.schema["src"].dataType
+        return _union_find_local(
+            [(r["src"], r["dst"]) for r in edges.collect()],
+            pairs.sparkSession,
+            id_type,
+        )
     parts = max(1, n_edges // 500_000)
     edges = edges.repartition(parts, "dst").localCheckpoint().persist()
     edges.count()

@@ -136,8 +136,11 @@ def test_connected_components_chain_and_islands(spark):
         + [(30, 31)]
     )
     df = spark.createDataFrame(edges, "vec_a long, vec_b long")
+    # force the distributed propagation path (the small-graph
+    # union-find path is covered by the parity test below)
     got = {
-        r["node"]: r["comp"] for r in connected_components(df).collect()
+        r["node"]: r["comp"]
+        for r in connected_components(df, small_graph_edges=0).collect()
     }
     want = {i: 0 for i in range(12)}
     want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
@@ -161,7 +164,7 @@ def test_connected_components_stats_stay_real(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(400)], "vec_a long, vec_b long"
     )
-    labels = connected_components(chain)
+    labels = connected_components(chain, small_graph_edges=0)
     comps = {r["comp"] for r in labels.collect()}
     assert comps == {0}
     size = int(
@@ -233,3 +236,32 @@ def test_exact_kmeans_deterministic_and_covering(spark, emb):
     assigned = cells1.groupBy("cell").count().collect()
     assert sum(r["count"] for r in assigned) == n
     assert {r["cell"] for r in assigned} <= {c for c, _ in cents1}
+
+
+def test_connected_components_paths_agree(spark):
+    """The size-adaptive dispatch must be invisible: driver union-find
+    and distributed min-label propagation produce identical labelings
+    on a graph mixing a long chain, dense cliques, and singleton
+    pairs."""
+    import random
+
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(50)]
+    for base in (100, 200, 300):
+        members = [base + j for j in range(6)]
+        for _ in range(8):
+            edges.append(tuple(sorted(rng.sample(members, 2))))
+    edges += [(1000, 1001), (2000, 2001)]
+    df = spark.createDataFrame(edges, "vec_a long, vec_b long")
+    local = sorted(
+        tuple(r) for r in connected_components(df).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in connected_components(df, small_graph_edges=0).collect()
+    )
+    assert local == dist
