@@ -307,3 +307,179 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value_1h"),
     ).orderBy("user_id", "us", "event_id")
+
+
+# ---- token-level sequence packing ----
+
+SEQ_LEN = 128
+
+
+@register(
+    "doc_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+          AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM t
+    ),
+    spans AS (
+      SELECT source, doc_id, n_tokens,
+        cum_end - n_tokens AS cum_start, cum_end,
+        unnest(range(CAST((cum_end - n_tokens) // {SEQ_LEN} AS BIGINT),
+                     CAST((cum_end - 1) // {SEQ_LEN} + 1 AS BIGINT)))
+          AS pack_id
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+      CAST(least(cum_end, (pack_id + 1) * {SEQ_LEN})
+           - greatest(cum_start, pack_id * {SEQ_LEN}) AS BIGINT)
+        AS n_tokens_in_pack
+    FROM spans
+    ORDER BY source, doc_id, pack_id
+    """,
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level sequence packing (training-shard prep): per source
+    shard, documents in doc_id order are conceptually concatenated and
+    cut into fixed SEQ_LEN-token sequences; a document spanning a cut
+    contributes to both packs. One row per (doc, pack) intersection
+    with the token count it contributes — exactly the bookkeeping a
+    sharded pretraining tokenizer emits.
+
+    Pure integer window arithmetic: a per-shard prefix sum + a range
+    explode. Partitioning by source is the scale design — each shard
+    packs independently, so the window never needs a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(token_array(F.col("text")))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = (
+        d.select("source", "doc_id", n.alias("n_tokens"))
+        .withColumn("cum_end", F.sum("n_tokens").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    pack = F.col("pack_id")
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "cum_start",
+            "cum_end",
+            F.explode(
+                F.sequence(
+                    (F.col("cum_start") / SEQ_LEN).cast("long"),
+                    ((F.col("cum_end") - 1) / SEQ_LEN).cast("long"),
+                )
+            ).alias("pack_id"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "pack_id",
+            (
+                F.least(F.col("cum_end"), (pack + 1) * SEQ_LEN)
+                - F.greatest(F.col("cum_start"), pack * SEQ_LEN)
+            )
+            .cast("long")
+            .alias("n_tokens_in_pack"),
+        )
+        .orderBy("source", "doc_id", "pack_id")
+    )
+
+
+# ---- benchmark decontamination ----
+
+CONTAM_GRAM = 8
+BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+@register(
+    "doc_benchmark_contamination",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')
+          AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - {CONTAM_GRAM - 2}),
+        i -> array_to_string(list_slice(toks, i, i + {CONTAM_GRAM - 1}), ' '))))
+        AS gram
+      FROM t WHERE len(toks) >= {CONTAM_GRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % {BENCH_MOD} != 0
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+      COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+      COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated
+    FROM t LEFT JOIN hits h USING (doc_id)
+    WHERE t.doc_id % {BENCH_MOD} != 0
+    ORDER BY t.doc_id
+    """,
+)
+def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    CONTAM_GRAM-token shingle with a held-out benchmark set (here:
+    doc_id % BENCH_MOD == 0 plays the benchmark). The standard
+    pretraining-hygiene pass.
+
+    Scale shape: benchmark sets are tiny relative to the corpus, so
+    the distinct benchmark-gram table BROADCASTS and the corpus-side
+    gram explode never shuffles — contamination detection rides the
+    scan. Distinct-per-doc grams bound the join fan-out."""
+    d = _t(spark, sf_dir, "documents")
+    toks = token_array(F.lower(F.col("text")))
+    base = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (CONTAM_GRAM - 1)),
+            lambda i: F.array_join(
+                F.slice(F.col("toks"), i, CONTAM_GRAM), " "
+            ),
+        )
+    )
+    g = (
+        base.filter(n >= CONTAM_GRAM)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    bench = (
+        g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        g.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

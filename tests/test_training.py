@@ -108,3 +108,67 @@ def test_rolling_1h_brute_force(spark, sf_dir):
         for r in evs:
             expect_n = sum(1 for o in evs if r["us"] - ROLL_US <= o["us"] <= r["us"])
             assert r["n_1h"] == expect_n
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing must conserve tokens: per doc, contributions across
+    packs sum to its token count; per (source, pack), contributions
+    sum to SEQ_LEN except the shard's final partial pack."""
+    from collections import defaultdict
+
+    from nbody6_data_pipeline_spark.queries_training import (
+        SEQ_LEN,
+        q_doc_pack_sequences,
+    )
+
+    rows = q_doc_pack_sequences(spark, sf_dir).collect()
+    per_doc = defaultdict(int)
+    per_pack = defaultdict(int)
+    max_pack = {}
+    for r in rows:
+        per_doc[r["doc_id"]] += r["n_tokens_in_pack"]
+        per_pack[(r["source"], r["pack_id"])] += r["n_tokens_in_pack"]
+        max_pack[r["source"]] = max(
+            max_pack.get(r["source"], -1), r["pack_id"]
+        )
+    docs = _docs(spark, sf_dir).collect()
+    for r in docs:
+        n = len(r["text"].split())
+        if n:
+            assert per_doc[r["doc_id"]] == n
+    for (source, pack_id), tot in per_pack.items():
+        if pack_id < max_pack[source]:
+            assert tot == SEQ_LEN, (source, pack_id, tot)
+        else:
+            assert 0 < tot <= SEQ_LEN
+
+
+def test_benchmark_contamination_brute_force(spark, sf_dir):
+    """Contamination flags match a python set-intersection recompute
+    of 8-gram overlap against the benchmark subset."""
+    from nbody6_data_pipeline_spark.queries_training import (
+        BENCH_MOD,
+        CONTAM_GRAM,
+        q_doc_benchmark_contamination,
+    )
+
+    def grams(text):
+        t = text.lower().split()
+        return {
+            " ".join(t[i : i + CONTAM_GRAM])
+            for i in range(len(t) - CONTAM_GRAM + 1)
+        }
+
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark, sf_dir).collect()}
+    bench = set()
+    for i, txt in docs.items():
+        if i % BENCH_MOD == 0:
+            bench |= grams(txt)
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in q_doc_benchmark_contamination(spark, sf_dir).collect()
+    }
+    assert set(got) == {i for i in docs if i % BENCH_MOD != 0}
+    for i, txt in list(docs.items())[:150]:
+        if i % BENCH_MOD != 0:
+            assert got[i] == len(grams(txt) & bench), i
