@@ -38,7 +38,11 @@ HEAVY = [
     "exact_dup_clusters",
     "embedding_cosine_neardup",
     "embedding_ivf_kmeans",
+    "embedding_neardup_components",
     "doc_bpe_tokens",
+    "doc_tfidf_topterms",
+    "doc_benchmark_contamination",
+    "doc_pack_sequences",
 ]
 
 
