@@ -223,3 +223,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "streaming_enriched_counts",
+    f"""
+    SELECT (epoch_us(e.ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY window_start_us, segment
+    ORDER BY window_start_us, segment
+    """,
+)
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer segment) BEFORE the watermarked windowed
+    aggregation — the canonical streaming-ETL shape (click stream x
+    user dim). Spark re-broadcasts the static side per micro-batch;
+    state is keyed by (window, segment) only. Checked against the
+    equivalent batch join+aggregate SQL."""
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("event_time", "365 days")
+        .groupBy(
+            F.window("event_time", "6 hours").alias("w"),
+            "segment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    out = run_stream_to_memory(spark, agg, name=_unique_sink())
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "segment",
+        "n_events",
+        F.col("total_value").cast("decimal(30,6)").cast("double").alias(
+            "total_value"
+        ),
+    ).orderBy("window_start_us", "segment")
