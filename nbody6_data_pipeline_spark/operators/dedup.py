@@ -288,7 +288,7 @@ def connected_components(
     b_col: str = "vec_b",
     max_iter: int = 50,
     jumps: int = 3,
-    small_graph_edges: int = 2_000_000,
+    small_graph_edges: int = 250_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: the step
     that turns near-duplicate PAIRS into duplicate CLUSTERS (component
@@ -326,7 +326,10 @@ def connected_components(
     cosine cut has already run distributed), so when it has at most
     ``small_graph_edges`` undirected edges the labeling itself runs as
     driver-side union-find — one collect of the edge list versus
-    several join rounds, each with fixed scheduling latency. Larger
+    several join rounds, each with fixed scheduling latency. The
+    default (250k edges ≈ low tens of MB of Row tuples) keeps the
+    collect far from driver-OOM territory with default driver memory;
+    raise it only with a sized driver. Larger
     graphs take the propagation path below; both produce identical
     labelings (parity-tested).
 

@@ -595,6 +595,7 @@ def _km_oracle_sql() -> str:
     identical fold order and tie-breaks (see
     operators/similarity.py exact_kmeans_cells)."""
     from nbody6_data_pipeline_spark.operators.similarity import (
+        KM_ITERS,
         KM_K,
         KM_NPROBE,
         KM_QUANT,
@@ -641,7 +642,7 @@ def _km_oracle_sql() -> str:
         lambda v: f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
         f"i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
     )
-    iters = ",".join(iteration(i) for i in (1, 2))
+    iters = ",".join(iteration(i) for i in range(1, KM_ITERS + 1))
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -659,7 +660,7 @@ def _km_oracle_sql() -> str:
           SELECT e.vec_id, c.c_id,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
               ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
-          FROM e, c2 c)
+          FROM e, c{KM_ITERS} c)
         WHERE rn = 1) x JOIN e USING (vec_id)
     ),
     probes AS (
@@ -668,7 +669,7 @@ def _km_oracle_sql() -> str:
           c.c_id AS cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS pr
-        FROM e, c2 c WHERE e.vec_id % 50 = 0)
+        FROM e, c{KM_ITERS} c WHERE e.vec_id % 50 = 0)
       WHERE pr <= {KM_NPROBE}
     ),
     scored AS (

@@ -258,7 +258,10 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # Exact decimal INSIDE the agg: summing raw doubles is
+            # accumulation-order dependent across micro-batches, so the
+            # 6-dp rounding could flip vs the oracle's DECIMAL sum.
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("total_value"),
         )
     )
     out = run_stream_to_memory(spark, agg, name=_unique_sink())
@@ -266,7 +269,5 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "segment",
         "n_events",
-        F.col("total_value").cast("decimal(30,6)").cast("double").alias(
-            "total_value"
-        ),
+        F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("window_start_us", "segment")

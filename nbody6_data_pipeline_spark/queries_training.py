@@ -164,8 +164,10 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(token_array(F.lower(F.col("text")))).alias("term"),
     )
+    # No persist: df/n/main are branches of ONE plan, so ReuseExchange
+    # shares the (doc_id, term) shuffle across them — a persist here
+    # would leak cached blocks for the life of the shared session.
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size flows through a broadcast 1-row aggregate — no
     # driver-side count action in the query's construction
@@ -176,8 +178,11 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(
         F.col("tfidf_q6").desc(), F.col("term").asc()
     )
+    # No broadcast hint on df: the distinct-term table grows with the
+    # corpus (Heaps' law) — at 100 TB it is billions of rows. Both
+    # sides are already keyed by `term`; let AQE pick the strategy.
     out = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", q6(tfidf).alias("tfidf_q6"))
         .withColumn("rank", F.row_number().over(w))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nbody6_data_pipeline_spark.operators.ranking import with_exact_ntile
 from nbody6_data_pipeline_spark.queries import ensure_confs, event_us, register
 
 
@@ -135,12 +136,20 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 — quantile binning for stratification (reference
     dataset_split.ipynb `_bin_data` pd.qcut). Ties broken by key for
     determinism.
+
+    NTILE stays only in the oracle SQL: a global NTILE window is a
+    single-partition sort in Spark (the one WindowExec shape that dies
+    at scale). The Spark plan uses the distributed exact-ntile
+    operator: percentile-sketch range buckets -> per-bucket local
+    row_number + broadcast offsets -> closed-form NTILE assignment
+    (operators/ranking.py). Identical bins, no global sort.
     """
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    binned = with_exact_ntile(
+        c.select("c_acctbal", "c_custkey"), ["c_acctbal", "c_custkey"], 4
+    )
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("bin"))
-        .groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("c_acctbal").alias("bal_min"),
@@ -162,14 +171,23 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dense_rank_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 — factorize: dense integer ids for a categorical key
     (reference dataset_split.ipynb `split()` pd.factorize).
+
+    No window at all: partial map-side ``collect_set`` reduces the
+    full table to the tiny category set (bounded by |categories| per
+    task), ``array_sort`` + ``posexplode`` assigns the dense ids —
+    equivalent to DENSE_RANK over the distinct values, with zero
+    single-partition WindowExec (DENSE_RANK stays as the oracle SQL).
     """
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return (
-        o.select(
-            "o_orderpriority",
-            F.dense_rank().over(W.orderBy("o_orderpriority")).alias("group_id"),
+        o.agg(F.array_sort(F.collect_set("o_orderpriority")).alias("vals"))
+        .select(
+            F.posexplode("vals").alias("pos", "o_orderpriority"),
         )
-        .distinct()
+        .select(
+            "o_orderpriority",
+            (F.col("pos") + 1).cast("int").alias("group_id"),
+        )
         .orderBy("group_id")
     )
 

@@ -25,6 +25,55 @@ HARD_FLAGS = {
     "CartesianProduct": "all-pairs cartesian product",
     "BatchEvalPython": "row-at-a-time Python UDF",
 }
+
+
+def global_window_flags(plan: str) -> list[str]:
+    """Flag WindowExec nodes with an EMPTY partition spec ("Moving all
+    data to a single partition") whose input was NOT reduced by an
+    aggregation first.
+
+    A global window over raw rows is the one plan shape that cannot
+    survive scale-up: the whole table sorts in one task. A global
+    window over an already-aggregated input (e.g. rank over a distinct
+    set of ~5 categories) is fine — the single partition holds a
+    handful of rows regardless of table size. Detection: a ``Window``
+    line with only two top-level bracket groups (functions, order — no
+    partition group), and no ``HashAggregate``/``ObjectHashAggregate``
+    /``SortAggregate`` between it and the first source scan below it.
+    """
+    lines = plan.splitlines()
+    flags = []
+    for i, raw in enumerate(lines):
+        body = re.sub(r"^[\s:+*()\-]*", "", raw)
+        if not body.startswith("Window "):
+            continue
+        # A partitioned window shuffles on its keys: the nearest
+        # Exchange below it is hashpartitioning. A GLOBAL window sits
+        # above Exchange SinglePartition. (Bracket-counting the Window
+        # line cannot tell "partition only, no order" from "order
+        # only".)
+        single = False
+        j = i + 1
+        for j, below in enumerate(lines[i + 1 :], start=i + 1):
+            if "Exchange" in below or "ShuffleQueryStage" in below:
+                single = "SinglePartition" in below
+                break
+            if "FileScan" in below or "Scan parquet" in below:
+                break
+        if not single:
+            continue
+        reduced = False
+        for below in lines[j + 1 :]:
+            if re.search(r"HashAggregate|SortAggregate", below):
+                reduced = True
+                break
+            if "FileScan" in below or "Scan parquet" in below:
+                break
+        if not reduced:
+            flags.append(
+                "global single-partition window over unreduced input"
+            )
+    return flags
 SOFT_FLAGS = {
     "BroadcastNestedLoopJoin": "nested-loop join (fine only for tiny broadcast side)",
     "SortMergeJoin": "sort-merge join (check whether a broadcast was possible)",
@@ -58,6 +107,7 @@ def main() -> int:
             bad.append(name)
             continue
         hard = [msg for pat, msg in HARD_FLAGS.items() if pat in plan]
+        hard += global_window_flags(plan)
         soft = [msg for pat, msg in SOFT_FLAGS.items() if pat in plan]
         n_scans = len(re.findall(r"FileScan parquet", plan))
         wide_scans = len(
