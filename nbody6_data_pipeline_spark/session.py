@@ -29,6 +29,38 @@ TABLES = (
 )
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def configure_state_store(spark: SparkSession, provider: str = "rocksdb") -> None:
+    """Select the streaming state-store backend for subsequently
+    STARTED streaming queries (the provider class is a runtime SQLConf
+    captured at query start, so this can flip per-query).
+
+    ``rocksdb``: per-key state lives off-heap in RocksDB with changelog
+    checkpointing — the backend that survives 100 TB-scale key
+    cardinality (billions of dedup fingerprints) where the default
+    HDFS-backed in-memory map would OOM each executor.
+    ``memory`` (default provider): fine locally and for bounded key
+    spaces.
+    """
+    if provider == "rocksdb":
+        spark.conf.set(_STATE_PROVIDER_KEY, ROCKSDB_STATE_PROVIDER)
+        # changelog checkpointing: upload only the delta per batch, not
+        # a full snapshot — the production setting for large state
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif provider == "memory":
+        spark.conf.unset(_STATE_PROVIDER_KEY)
+    else:
+        raise ValueError(f"unknown state-store provider: {provider!r}")
+
+
 def _cpus() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:
@@ -74,6 +106,11 @@ def get_spark(app_name: str = "nbody6_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(_STATE_PROVIDER_KEY, ROCKSDB_STATE_PROVIDER).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

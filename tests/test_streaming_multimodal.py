@@ -39,16 +39,24 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     assert total == batch_n
 
 
-def test_streaming_first_event_dedup_multi_batch(spark, tmp_path):
+@pytest.mark.parametrize("state_provider", ["memory", "rocksdb"])
+def test_streaming_first_event_dedup_multi_batch(spark, tmp_path, state_provider):
     """State must survive micro-batch boundaries: batch 2 carries an
     EARLIER event for an existing key (update emitted) and a duplicate
     later event (suppressed). Files are named so the source ingests
-    them in order with maxFilesPerTrigger forcing separate triggers."""
+    them in order with maxFilesPerTrigger forcing separate triggers.
+
+    Parametrized over both state-store backends: the default in-memory
+    provider and RocksDB (the 100 TB-key-cardinality production path,
+    VERDICT r2 next-round #5) — semantics must be identical."""
     from pyspark.sql import Row
 
+    from nbody6_data_pipeline_spark.session import configure_state_store
     from nbody6_data_pipeline_spark.streaming.events import (
         first_event_dedup,
     )
+
+    configure_state_store(spark, state_provider)
 
     stream_dir = tmp_path / "dedup_stream"
     stream_dir.mkdir()
@@ -87,9 +95,15 @@ def test_streaming_first_event_dedup_multi_batch(spark, tmp_path):
         spark, str(stream_dir), max_files_per_trigger=1
     )
     dedup = first_event_dedup(stream)
-    out = run_stream_to_memory(
-        spark, dedup, name="t_first_dedup", output_mode="update"
-    )
+    try:
+        out = run_stream_to_memory(
+            spark,
+            dedup,
+            name=f"t_first_dedup_{state_provider}",
+            output_mode="update",
+        )
+    finally:
+        configure_state_store(spark, "memory")
     emitted = [tuple(r) for r in out.orderBy("user_id", "first_ts_us").collect()]
     # final per-key min == batch dedup answer
     final = {
