@@ -183,18 +183,31 @@ def banded_sign_lsh_pairs(
     )
     from pyspark.sql import Window as W
 
+    # Pair generation is ONE pass, not a self-join: the self-join's two
+    # branches would each recompute scan -> bits -> explode -> count
+    # (ReuseExchange does not always fire across join sides under AQE).
+    # Instead: (1) window count over (t, bucket) — the memory-safe cut
+    # for degenerate buckets, since WindowExec streams each partition
+    # and a million-member bucket is dropped without ever being
+    # materialized as an array; (2) collect_list over the SAME key — no
+    # second shuffle, and every array is <= bucket_cap by construction;
+    # (3) within-array pair explosion (a < b).
     sized = bands.withColumn(
         "_bsize", F.count(F.lit(1)).over(W.partitionBy("t", "bucket"))
     ).filter(F.col("_bsize") <= bucket_cap)
-    a, b = sized.alias("a"), sized.alias("b")
+    grouped = (
+        sized.groupBy("t", "bucket")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+        grouped.select(F.explode("ids").alias("vec_a"), "ids")
+        .select(
+            "vec_a",
+            F.explode(
+                F.filter("ids", lambda x: x > F.col("vec_a"))
+            ).alias("vec_b"),
         )
-        .select(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
         .distinct()
     )
 

@@ -337,9 +337,9 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDED_PAIRS_CTES = """
     nn AS (SELECT count(*) AS cnt FROM embeddings),
     pr AS (
-      SELECT CASE WHEN cnt <= 128 THEN 2 WHEN cnt <= 256 THEN 3
-                  WHEN cnt <= 512 THEN 4 WHEN cnt <= 1024 THEN 5
-                  WHEN cnt <= 2048 THEN 6 WHEN cnt <= 4096 THEN 7
+      SELECT CASE WHEN cnt <= 64 THEN 2 WHEN cnt <= 128 THEN 3
+                  WHEN cnt <= 256 THEN 4 WHEN cnt <= 512 THEN 5
+                  WHEN cnt <= 1024 THEN 6 WHEN cnt <= 2048 THEN 7
                   ELSE 8 END AS r
       FROM nn
     ),
@@ -387,7 +387,7 @@ def _banded_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     pairs = banded_sign_lsh_pairs(
-        e, n_tables=8, target_bucket=32, bucket_cap=128
+        e, n_tables=8, target_bucket=16, bucket_cap=128
     )
     ev = e.select(
         "vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
