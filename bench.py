@@ -68,7 +68,48 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    out.update(bench_pipeline(spark))
     print(json.dumps(out))
+
+
+def bench_pipeline(spark, n_runs: int = 10) -> dict:
+    """Time the NBODY6 batch pipeline end-to-end (parse -> align ->
+    assemble -> observe -> stats -> parquet+CSV layers) over n_runs
+    synthetic fixture runs via the batched orchestrator, and record the
+    driver-side Spark job count — the scale guard: the batched path's
+    job count is fixed by plan shape, not run count, so a driver-loop
+    regression (O(runs) actions) shows up here as a job-count jump."""
+    import shutil
+    import tempfile
+
+    from nbody6_data_pipeline_spark.pipeline import process_all_batched
+    from tests.nbody6_fixtures import write_run
+
+    base = tempfile.mkdtemp(prefix="nbody6_bench_sim_")
+    out_dir = tempfile.mkdtemp(prefix="nbody6_bench_out_")
+    sc = spark.sparkContext
+    try:
+        for i in range(1, n_runs + 1):
+            write_run(os.path.join(base, "Rad04", "zmet0014", "M6", f"{i:04d}"))
+        spark.catalog.clearCache()
+        sc.setJobGroup("pipeline-bench", "end-to-end pipeline bench")
+        t0 = time.perf_counter()
+        process_all_batched(
+            spark, base, out_dir, coordinates=[(50.0, 0.0, 0.0)]
+        )
+        wall = time.perf_counter() - t0
+        jobs = len(sc.statusTracker().getJobIdsForGroup("pipeline-bench"))
+        return {
+            "pipeline_sec": round(wall, 3),
+            "pipeline_runs": n_runs,
+            "pipeline_jobs": jobs,
+        }
+    except Exception as exc:  # never let the pipeline leg sink the bench line
+        return {"pipeline_error": f"{type(exc).__name__}: {exc}"[:200]}
+    finally:
+        sc.setJobGroup("", "")  # detach from the bench job group
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

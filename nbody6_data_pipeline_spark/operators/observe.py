@@ -286,15 +286,29 @@ def observe(
         "r_half_mass": F.col("_rhm"),
     }
 
-    side1 = F.when(
-        F.size("obj1_ids") == 2,
-        _merge_pair(F.col("_s1a"), F.col("_s1b"), hdr),
-    ).otherwise(F.col("_s1a"))
-    side2 = F.when(
-        F.size("obj2_ids") == 2,
-        _merge_pair(F.col("_s2a"), F.col("_s2b"), hdr),
-    ).otherwise(F.col("_s2a"))
-    top = top.withColumn("_m", _merge_pair(side1, side2, hdr))
+    # Each merge level is materialized as its OWN column before the
+    # next level references it: inlining `side1`/`side2` directly into
+    # _merge_pair would embed their whole expression trees at every one
+    # of the ~20 field references, giving an exponentially duplicated
+    # analyzed plan (measured: 40+ s of driver-side Catalyst time for a
+    # 10-run batch). As separate non-cheap multi-referenced aliases,
+    # CollapseProject keeps the projects layered and every level only
+    # references attributes.
+    top = top.withColumns(
+        {
+            "_side1": F.when(
+                F.size("obj1_ids") == 2,
+                _merge_pair(F.col("_s1a"), F.col("_s1b"), hdr),
+            ).otherwise(F.col("_s1a")),
+            "_side2": F.when(
+                F.size("obj2_ids") == 2,
+                _merge_pair(F.col("_s2a"), F.col("_s2b"), hdr),
+            ).otherwise(F.col("_s2a")),
+        }
+    )
+    top = top.withColumn(
+        "_m", _merge_pair(F.col("_side1"), F.col("_side2"), hdr)
+    ).drop("_s1a", "_s1b", "_s2a", "_s2b", "_side1", "_side2")
 
     # hierarchy: member id strings + pair labels of unresolved systems
     # whose members are a subset of this one (observer.py:133-151)

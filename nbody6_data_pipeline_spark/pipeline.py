@@ -15,6 +15,7 @@ sequences run DAGs (cheap), so no hand tiering is needed (SURVEY §4).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -48,6 +49,38 @@ LAYERS = (
 OKEY = ["run_id", "obs_x", "obs_y", "obs_z", "time"]
 
 
+@contextlib.contextmanager
+def _pipeline_confs(spark: SparkSession):
+    """Runtime confs scoped to a pipeline invocation.
+
+    - dynamic partition overwrite: re-processing a run must not wipe
+      other runs' partitions from a layer.
+    - constraint propagation OFF: the assemble/observe dataflow chains
+      ~20 multi-condition joins; InferFiltersFromConstraints is
+      exponential in that shape and dominated driver time (measured
+      ~28 s of a 31 s optimize on a 10-run batch) while inferring
+      nothing useful for these hand-keyed inner joins. Spark documents
+      this conf as the escape hatch (SPARK-33152 lineage).
+    """
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.partitionOverwriteMode",
+            "spark.sql.constraintPropagation.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def process_run(
     spark: SparkSession,
     run_path: str,
@@ -67,6 +100,17 @@ def process_run(
     if run_id in completed_runs(spark, paths["overall_stats"]):
         return paths  # resume: stats already materialized
 
+    with _pipeline_confs(spark):
+        return _process_run_body(
+            spark, run_path, run_id, output_base, paths, coordinates,
+            is_strict, is_slim, run_attrs,
+        )
+
+
+def _process_run_body(
+    spark, run_path, run_id, output_base, paths, coordinates,
+    is_strict, is_slim, run_attrs,
+):
     asm = assemble(align_run(load_run(spark, run_path, is_strict=is_strict)),
                    run_id=run_id, is_strict=is_strict)
     if not is_slim:
@@ -152,7 +196,6 @@ def process_all_batched(
     run_id=<id>/) instead of a per-run directory loop."""
     coordinates = coordinates or default_observer_coordinates()
     paths = {name: os.path.join(output_base, name) for name in LAYERS}
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     runs = fetch_sim_runs(sim_root_base)
     done = completed_runs(spark, paths["overall_stats"])
@@ -160,6 +203,17 @@ def process_all_batched(
     if not pending:
         return runs
 
+    with _pipeline_confs(spark):
+        _process_batched_body(
+            spark, output_base, paths, coordinates, is_strict, is_slim,
+            pending,
+        )
+    return runs
+
+
+def _process_batched_body(
+    spark, output_base, paths, coordinates, is_strict, is_slim, pending
+):
     multi = load_runs(
         spark, [(r.label, r.path) for r in pending], is_strict=is_strict
     )
@@ -215,4 +269,3 @@ def process_all_batched(
             .partitionBy("run_id")
             .csv(os.path.join(output_base, "csv_batched", name))
         )
-    return runs

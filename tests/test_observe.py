@@ -110,6 +110,19 @@ def test_offset_frame_golden_analytic(spark):
     and the numpy cross-check (which lives in this repo and could
     share a bug). Each case: (pos, vel, center) -> exact expectation.
 
+    Why no astropy-generated golden parquet (SURVEY §7.4 watch-item):
+    astropy is not installable in this environment (no network, no
+    pip), so the parity chain is (a) this hand-derived analytic table
+    on exact special angles, (b) the independent numpy implementation
+    over randomized inputs (test below), and (c) the documented
+    conventions of SkyOffsetFrame (offset lon toward increasing
+    galactic lon, cos(lat) factor on pm_lon, ICRS-style rotation
+    order) which both implementations encode. A future environment
+    with astropy can regenerate a golden parquet via
+    SkyCoord(...).transform_to(SkyOffsetFrame(origin=...)) and assert
+    1e-9 agreement; the conventions asserted here are the same ones
+    that transform defines (reference calc/cluster.py:34-79).
+
     Conventions checked: offset lon increases toward increasing
     galactic lon, lat toward +z of the rotated frame, pm_lon carries
     the cos(lat) factor (physical tangential velocity / distance).
