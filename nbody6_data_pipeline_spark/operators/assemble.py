@@ -153,31 +153,47 @@ def assemble_tagged(
     )
     pos_vel = pos_vel.localCheckpoint()
 
-    dup = (
+    # ---- validation: duplicate attr names + (strict) bidirectional
+    # missing-name checks, unioned into ONE driver action — three
+    # separate .first() jobs would each pay plan-optimization and
+    # scheduling for what is one validation pass over the same two
+    # checkpointed tables
+    checks = [
         attrs.groupBy(*KEY, "name")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter("n > 1")
-        .first()
-    )
-    if dup is not None:
-        raise ValueError(
-            f"Duplicate names found in attributes: {dup['name']} at {dup['time']}."
-        )
-
-    # ---- J1 + J2: star join with bidirectional missing-name validation
+        .select(F.lit("dup").alias("_kind"), "time", "name")
+    ]
     if is_strict:
-        missing_attr = pos_vel.join(attrs, [*KEY, "name"], "left_anti").first()
-        if missing_attr is not None:
-            raise ValueError(
-                f"[{missing_attr['time']} Myr] Names in OUT34/OUT9 are missing "
-                f"from fort.82/83 (e.g. {missing_attr['name']})."
+        checks.append(
+            pos_vel.join(attrs, [*KEY, "name"], "left_anti").select(
+                F.lit("missing_attr").alias("_kind"), "time", "name"
             )
-        missing_pv = attrs.join(pos_vel, [*KEY, "name"], "left_anti").first()
-        if missing_pv is not None:
-            raise ValueError(
-                f"[{missing_pv['time']} Myr] Names in fort.82/83 are missing "
-                f"from OUT34/OUT9 (e.g. {missing_pv['name']})."
+        )
+        checks.append(
+            attrs.join(pos_vel, [*KEY, "name"], "left_anti").select(
+                F.lit("missing_pv").alias("_kind"), "time", "name"
             )
+        )
+    viol = checks[0]
+    for c in checks[1:]:
+        viol = viol.unionByName(c)
+    bad_row = viol.first()
+    if bad_row is not None:
+        if bad_row["_kind"] == "dup":
+            raise ValueError(
+                f"Duplicate names found in attributes: {bad_row['name']} "
+                f"at {bad_row['time']}."
+            )
+        if bad_row["_kind"] == "missing_attr":
+            raise ValueError(
+                f"[{bad_row['time']} Myr] Names in OUT34/OUT9 are missing "
+                f"from fort.82/83 (e.g. {bad_row['name']})."
+            )
+        raise ValueError(
+            f"[{bad_row['time']} Myr] Names in fort.82/83 are missing "
+            f"from OUT34/OUT9 (e.g. {bad_row['name']})."
+        )
 
     stars = pos_vel.join(attrs, [*KEY, "name"], "inner").withColumnsRenamed(
         {
