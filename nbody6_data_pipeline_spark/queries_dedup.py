@@ -815,3 +815,103 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rank <= 3")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "doc_neardup_keep_best",
+    f"""
+    WITH RECURSIVE {_DD_SIG},
+    {_DD_PAIRS},
+    shing AS (SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   AS jaccard
+      FROM pairs p
+      JOIN shing sa ON p.doc_a = sa.doc_id
+      JOIN shing sb ON p.doc_b = sb.doc_id
+    ),
+    np AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM np
+      UNION ALL SELECT doc_b, doc_a FROM np
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    members AS (
+      SELECT c.node, c.comp, length(d.text) AS tlen
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    sel AS (
+      SELECT comp, node,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY tlen DESC, node ASC) AS rk,
+             count(*) OVER (PARTITION BY comp) AS n_members
+      FROM members
+    )
+    SELECT comp, node AS kept_doc_id, n_members,
+           n_members - 1 AS n_dropped
+    FROM sel WHERE rk = 1
+    ORDER BY comp
+    """,
+)
+def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-materialization step of near-dup dedup: MinHash+LSH
+    candidate pairs -> exact-Jaccard verify (>= 0.8) -> connected
+    components -> keep ONE canonical doc per cluster (longest text,
+    ties to the lowest doc_id) and count what gets dropped.
+
+    Composition of three already-bucketed stages, so the whole plan
+    stays linear in corpus size: candidate generation is band-bucketed
+    (no all-pairs), verification touches candidates only, and the
+    cluster labeling is min-label propagation (O(log diameter)
+    rounds). The keep-best choice is one hash-aggregate over cluster
+    members: max of a (tlen, -doc_id, doc_id) struct — no window over
+    the corpus. The DuckDB oracle replays the identical construction
+    with a recursive transitive-closure CTE.
+    """
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_verify(
+            lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id")),
+            d,
+            F.col("text"),
+            "doc_id",
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    members = comp.join(
+        d.select(F.col("doc_id"), F.length("text").alias("_tlen")),
+        comp["node"] == F.col("doc_id"),
+    )
+    return (
+        members.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("_tlen"),
+                    (-F.col("doc_id")).alias("_neg"),
+                    F.col("doc_id").alias("_kept"),
+                )
+            )["_kept"].alias("kept_doc_id"),
+        )
+        .select(
+            "comp",
+            "kept_doc_id",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("comp")
+    )
