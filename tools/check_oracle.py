@@ -85,8 +85,15 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    record: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from nbody6_data_pipeline_spark.session import get_spark
@@ -106,19 +113,35 @@ def main():
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            record[name] = {"rows_match": len(spark_rows) >= 0,
+                            "schema_match": None, "hash_match": None,
+                            "spark_rows": len(spark_rows), "err": None,
+                            "note": "rows-only (no oracle)"}
             continue
         try:
             duck_cols, duck_rows = duck_run(oracles[name], sf_dir)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
         problems, ok = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        record[name] = {
+            "rows_match": len(spark_rows) == len(duck_rows),
+            "schema_match": sorted(spark_cols) == sorted(duck_cols),
+            "hash_match": ok,
+            "spark_rows": len(spark_rows),
+            "oracle_rows": len(duck_rows),
+            "err": "; ".join(problems) or None,
+        }
         if ok:
             print(f"PASS {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
@@ -129,6 +152,12 @@ def main():
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(qs) - len(oracles)} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
