@@ -271,3 +271,68 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("window_start_us", "segment")
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           p.us - c.us AS lag_us
+    FROM e c JOIN e p ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.us BETWEEN c.us AND c.us + 3600000000
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: every purchase matched to the same
+    user's clicks in the preceding hour — the attribution-join shape
+    (click stream x conversion stream). Both sides are watermarked
+    event-time streams (derived from the same file source, as a
+    self-join); the join condition carries the event-time interval so
+    a bounded-watermark deployment can expire per-key state (the
+    oracle-replay run uses an effectively unbounded watermark to keep
+    every row). Pair identity and the microsecond lag are checked
+    against the equivalent batch interval-join SQL."""
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("event_time").alias("click_time"),
+            F.col("ts_us").alias("click_us"),
+        )
+        .withWatermark("click_time", "365 days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("ts_us").alias("purchase_us"),
+        )
+        .withWatermark("purchase_time", "365 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    out = run_stream_to_memory(
+        spark, joined, name=_unique_sink(), output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_us") - F.col("click_us")).alias("lag_us"),
+    ).orderBy("click_id", "purchase_id")
