@@ -117,7 +117,9 @@ def run_stream_to_memory(
 
 
 def first_event_dedup(
-    events: DataFrame, keys: list[str] | None = None
+    events: DataFrame,
+    keys: list[str] | None = None,
+    expire_after: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     cross-micro-batch FIRST-occurrence dedup per key.
@@ -130,9 +132,15 @@ def first_event_dedup(
     improving, so the final answer per key is the MIN over emitted
     rows (what the caller aggregates from an update-mode sink).
 
-    State is O(distinct keys); no timeout (dedup state is permanent —
-    a production variant would use event-time timeout to expire keys
-    past the watermark).
+    ``expire_after=None``: state is permanent — O(distinct keys),
+    exact dedup forever (pair with the RocksDB state store at large
+    key cardinality, session.configure_state_store).
+    ``expire_after="1 hour"``: event-time timeout — once the watermark
+    passes last-seen + TTL the key's state is dropped, bounding state
+    to the keys active inside the watermark horizon; a duplicate
+    arriving after expiry re-emits as a new first occurrence (the
+    standard bounded-state dedup trade; ``events`` must carry a
+    watermark on ``event_time``).
     """
     import pandas as pd  # noqa: F401 (Arrow batch interface)
 
@@ -142,6 +150,16 @@ def first_event_dedup(
     )
 
     keys = keys or ["user_id", "event_type"]
+    ttl_ms = None
+    if expire_after is not None:
+        qty, unit = expire_after.split()
+        ttl_ms = int(qty) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit]
 
     out_schema = T.StructType(
         [
@@ -164,6 +182,11 @@ def first_event_dedup(
     def dedup_fn(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last-seen + TTL: drop the key's state;
+            # a later duplicate re-emits as a fresh first occurrence
+            state.remove()
+            return
         best = tuple(state.get) if state.exists else None
         for pdf in pdfs:
             if not len(pdf):
@@ -178,6 +201,15 @@ def first_event_dedup(
                 best = cand
         if best is not None and (not state.exists or best < tuple(state.get)):
             state.update(best)
+            if ttl_ms is not None:
+                # timeout must sit beyond the current watermark (Spark
+                # rejects an already-passed event-time timeout)
+                state.setTimeoutTimestamp(
+                    max(
+                        best[0] // 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -186,17 +218,26 @@ def first_event_dedup(
                     "first_event_id": [best[1]],
                 }
             )
+        elif ttl_ms is not None and state.exists:
+            # duplicates arrived but did not improve the state:
+            # refresh the TTL so an active key stays deduped
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + ttl_ms
+            )
 
-    return (
-        events.select(*keys, "ts_us", "event_id")
-        .groupBy(*keys)
-        .applyInPandasWithState(
-            dedup_fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    cols = events.select(*keys, "ts_us", "event_id")
+    if ttl_ms is not None:
+        cols = events.select(*keys, "ts_us", "event_id", "event_time")
+    return cols.groupBy(*keys).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

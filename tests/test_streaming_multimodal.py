@@ -149,3 +149,67 @@ def test_frame_sample_plan(spark):
     assert {(r["media_id"], r["frame_idx"], r["offset_ms"]) for r in plan} == {
         (3, 0, 0), (3, 1, 1000), (3, 2, 2000),
     }
+
+
+def test_streaming_dedup_event_time_expiry(spark, tmp_path):
+    """Bounded-state dedup: with expire_after, once the watermark
+    passes last-seen + TTL the key's state is dropped, so a duplicate
+    arriving after expiry re-emits as a fresh first occurrence (and a
+    duplicate arriving while the state is live stays suppressed)."""
+    from pyspark.sql import Row
+
+    from nbody6_data_pipeline_spark.streaming.events import (
+        first_event_dedup,
+    )
+
+    stream_dir = tmp_path / "expiry_stream"
+    stream_dir.mkdir()
+
+    def write_batch(name, mtime, rows):
+        import glob as g
+        import os
+        import shutil
+
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=i, ts=t * 1000, user_id=u,
+                    event_type=e, value=1.0, props="{}",
+                )
+                for i, t, u, e in rows
+            ]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}")
+        )
+        src = g.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+        dst = stream_dir / f"{name}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    H = 3_600_000_000  # 1 hour in us
+    # batch a: key (1,'x') first at t=1h (off epoch 0: the initial
+    # watermark is 0 and ts=0 would sit exactly on the late cutoff)
+    write_batch("a", 1_000_000, [(10, H, 1, "x")])
+    # batch b: far-future event for another key drives the watermark
+    # (delay 1s) way past (1,'x')'s TTL of 1 hour
+    write_batch("b", 1_000_100, [(20, 10 * H, 2, "y")])
+    # batch c: watermark update lands; (1,'x') state times out here.
+    # Include a LIVE duplicate for (2,'y') -> still suppressed.
+    write_batch("c", 1_000_200, [(21, 10 * H + 1000, 2, "y")])
+    # batch d: duplicate of (1,'x') AFTER expiry -> re-emitted
+    write_batch("d", 1_000_300, [(11, 10 * H + 2000, 1, "x")])
+
+    stream = read_event_stream(
+        spark, str(stream_dir), max_files_per_trigger=1
+    ).withWatermark("event_time", "1 second")
+    dedup = first_event_dedup(stream, expire_after="1 hour")
+    out = run_stream_to_memory(
+        spark, dedup, name="t_dedup_expiry", output_mode="update"
+    )
+    rows = [tuple(r) for r in out.orderBy("first_ts_us").collect()]
+    key1 = [r for r in rows if r[0] == 1]
+    key2 = [r for r in rows if r[0] == 2]
+    # (1,'x'): emitted at t=1h AND re-emitted after expiry
+    assert [r[3] for r in key1] == [10, 11]
+    # (2,'y'): first emission only; the live duplicate was suppressed
+    assert [r[3] for r in key2] == [20]
