@@ -496,3 +496,87 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_mixture_sample",
+    """
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    cnt AS (
+      SELECT source, count(*) AS n_avail,
+             CAST(floor(sqrt(count(*)) * 1000000 + 0.5) AS BIGINT) AS wq
+      FROM documents GROUP BY source
+    ),
+    tw AS (SELECT SUM(wq) AS sum_wq FROM cnt),
+    tgt AS (
+      SELECT c.source, c.n_avail,
+             least(CAST(((n.total * 3) // 5) * c.wq // t.sum_wq AS BIGINT),
+                   c.n_avail) AS n_target
+      FROM cnt c, tw t, n
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT r.source AS source, r.doc_id AS doc_id
+    FROM ranked r JOIN tgt ON r.source = tgt.source
+    WHERE r.rk <= tgt.n_target
+    ORDER BY r.source, r.doc_id
+    """,
+)
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual /
+    multi-source LLM recipe): per-source sampling budgets proportional
+    to count^alpha with alpha=0.5, upweighting low-resource sources
+    relative to proportional sampling, for a target corpus of 60% of
+    the input. Selection within a source is deterministic (md5 of the
+    doc id — a seeded shuffle both engines replay bit-identically).
+
+    Determinism notes: the sqrt weights are quantized to integers
+    (floor(sqrt(n)*1e6 + .5)) BEFORE summing, so the weight total and
+    every budget are exact integer arithmetic — a float sum's
+    accumulation order could flip a floor() across engines. The
+    per-source rank is a window partitioned by source: distributed
+    across sources, and bounded by the largest single source — the
+    natural partitioning for per-source quotas at any scale.
+    """
+    d = _t(spark, sf_dir, "documents")
+    total = d.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    cnt = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_avail"),
+        F.floor(
+            F.sqrt(F.count(F.lit(1)).cast("double")) * 1_000_000 + 0.5
+        ).cast("long").alias("wq"),
+    )
+    tw = cnt.groupBy().agg(F.sum("wq").alias("sum_wq"))
+    # budgets in pure integer arithmetic (Spark `div` == DuckDB `//`):
+    # no double rounding anywhere, so engines agree at any magnitude
+    tgt = (
+        cnt.crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_avail",
+            F.least(
+                F.expr("((total * 3) div 5) * wq div sum_wq"),
+                F.col("n_avail"),
+            ).alias("n_target"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = d.select("doc_id", "source", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rk") <= F.col("n_target"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
