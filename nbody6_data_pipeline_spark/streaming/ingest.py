@@ -1,0 +1,107 @@
+"""Streaming corpus ingest with dedup against a historical store.
+
+The production ingest-dedup shape: new documents arrive as a stream;
+each micro-batch is (1) deduped WITHIN the batch, (2) anti-joined
+against the persistent fingerprint store (documents seen in any prior
+batch or any prior run), and (3) the survivors are appended to both
+the corpus sink and the fingerprint store — all inside ONE
+``foreachBatch`` transaction per micro-batch.
+
+Why foreachBatch instead of a stateful operator: the fingerprint
+store must outlive the streaming query (it IS the corpus registry —
+new runs, backfills, and batch jobs all consult it), so it lives as a
+parquet table, not in the state store. applyInPandasWithState keeps
+per-key state inside the query's checkpoint; this keeps it in the
+lake. The two compose: in-query state for hot short-horizon dedup
+(streaming/events.py:first_event_dedup), the store for
+corpus-lifetime exactness.
+
+Scale notes: the anti-join is a shuffle join keyed by fingerprint —
+both sides hash-partition, no broadcast of the (unbounded) store; at
+100 TB the store would be bucketed by fingerprint
+(plans/bucketing.py) so each batch's anti-join reads only matching
+buckets. The store append is partitioned parquet; batch id is
+recorded so replays of a failed batch (foreachBatch may re-run a
+batch after recovery) can be made idempotent by filtering out rows
+of the replayed batch id before re-appending.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["fingerprints", "start_ingest_dedup"]
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-text md5 fingerprint per row (same normalization as
+    operators/dedup.exact_duplicates: collapse whitespace, trim,
+    lowercase)."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    return docs.withColumn("fingerprint", F.md5(norm))
+
+
+def start_ingest_dedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start the ingest-dedup stream over ``stream`` (a streaming
+    DataFrame of documents). Returns the StreamingQuery.
+
+    Layout under ``out_base``:
+      corpus/   deduped documents (append-only parquet)
+      seen/     fingerprint store: (fingerprint, first_doc_id, batch_id)
+    """
+    corpus_dir = os.path.join(out_base, "corpus")
+    seen_dir = os.path.join(out_base, "seen")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fp = fingerprints(batch_df, text_col)
+        # (1) within-batch dedup: keep the lowest id per fingerprint
+        best = (
+            fp.groupBy("fingerprint")
+            .agg(F.min(id_col).alias("_keep"))
+        )
+        batch_unique = fp.join(
+            best,
+            (fp["fingerprint"] == best["fingerprint"])
+            & (fp[id_col] == best["_keep"]),
+        ).select(fp["*"])
+        # (2) drop fingerprints already in the store (idempotent
+        # replay: ignore rows this same batch id wrote before a crash)
+        try:
+            seen = s.read.parquet(seen_dir).filter(
+                F.col("batch_id") != batch_id
+            )
+            fresh = batch_unique.join(
+                seen.select("fingerprint"), "fingerprint", "left_anti"
+            )
+        except Exception:  # first batch: no store yet
+            fresh = batch_unique
+        fresh = fresh.localCheckpoint()  # one computation, two writes
+        # (3) append survivors to corpus + store
+        fresh.drop("fingerprint").write.mode("append").parquet(corpus_dir)
+        (
+            fresh.select(
+                "fingerprint",
+                F.col(id_col).alias("first_doc_id"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(seen_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))
+        .start()
+    )
