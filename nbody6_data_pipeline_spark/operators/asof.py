@@ -1,0 +1,99 @@
+"""General as-of join (pandas ``merge_asof`` semantics, backward,
+inclusive): every left row picks the LATEST right row with the same
+``by`` keys and right.on <= left.on, optionally within a tolerance.
+
+The classic distributed formulation — union both sides with a side
+tag, one window per ``by`` partition carrying the last-seen right
+payload forward — so the cost is ONE shuffle on the by-keys and a
+partition-local sort: no range-condition join (which Spark would plan
+as a broadcast-nested-loop or an exploded inequality join, both
+quadratic shapes), and no per-key driver loop. This generalizes the
+per-run alignment join (operators/align.py, reference
+loader.py:138-200) and the windowed single-table variant
+(queries_window.py asof_join_prior_view) to two arbitrary tables.
+
+Ties: the right side is first reduced to ONE row per (by, on) — the
+maximum of the payload struct — so the match is deterministic and
+cross-engine reproducible (DuckDB's native ASOF JOIN leaves the
+equal-timestamp choice unspecified; the reduction makes both engines
+agree by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["merge_asof"]
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    tolerance: int | float | None = None,
+    suffix: str = "_match",
+) -> DataFrame:
+    """As-of join ``left`` with ``right``.
+
+    ``on``: ordering column, present in both (numeric or anything with
+    a total order under Spark comparison; the tolerance check uses
+    subtraction, so numeric/epoch columns for that).
+    ``by``: equality key columns present in both.
+    ``right_cols``: right-side payload columns to attach; each appears
+    in the output as ``<col><suffix>``, plus ``<on><suffix>`` (the
+    matched right timestamp). All NULL when no match (or none within
+    tolerance).
+    """
+    by = list(by)
+    # one deterministic right row per (by, on): max payload struct
+    r = right.groupBy(*by, on).agg(
+        F.max(F.struct(*right_cols)).alias("_rp")
+    )
+    rpay = r.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(F.col(on).alias("_ron"), F.col("_rp").alias("_rv")).alias(
+            "_r"
+        ),
+    )
+    rtype = rpay.schema["_r"].dataType
+    lt = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtype).alias("_r"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    rt = rpay.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
+    u = lt.unionByName(rt)
+
+    # right rows (side 0) sort before left rows at the same _t, so an
+    # equal-timestamp right row IS visible to the left row (inclusive)
+    w = (
+        W.partitionBy(*by)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = F.last("_r", ignorenulls=True).over(w)
+    out = u.withColumn("_m", matched).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(
+                F.col("_t") - F.col("_m._ron") <= F.lit(tolerance), F.col("_m")
+            ),
+        )
+    return out.select(
+        F.col("_l.*"),
+        F.col("_m._ron").alias(f"{on}{suffix}"),
+        *[
+            F.col(f"_m._rv.{c}").alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )

@@ -496,3 +496,57 @@ def q_dissolution_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "asof_join_tables",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value, event_type
+      FROM events
+    ),
+    p AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase'),
+    err AS (
+      SELECT user_id, us, event_id, value
+      FROM ev WHERE event_type = 'error'
+      QUALIFY row_number() OVER (PARTITION BY user_id, us
+                                 ORDER BY event_id DESC, value DESC) = 1
+    ),
+    j AS (
+      SELECT p.event_id, p.user_id, p.us,
+             e.us AS m_us, e.event_id AS m_eid, e.value AS m_val
+      FROM p ASOF LEFT JOIN err e
+        ON p.user_id = e.user_id AND p.us >= e.us
+    )
+    SELECT event_id, user_id, us,
+           CASE WHEN us - m_us <= 7200000000 THEN m_us END AS us_match,
+           CASE WHEN us - m_us <= 7200000000 THEN m_eid END AS event_id_match,
+           CASE WHEN us - m_us <= 7200000000 THEN m_val END AS value_match
+    FROM j ORDER BY event_id
+    """,
+)
+def q_asof_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-table as-of join (operators/asof.py merge_asof):
+    each purchase takes the latest prior-or-equal 'error' by the same
+    user within a 2 h tolerance. One shuffle on user_id via the
+    union-tag + last-non-null-window formulation — no range join. The
+    oracle is DuckDB's NATIVE ASOF JOIN over the same tie-reduced
+    right side, so the operator's semantics are pinned to the
+    industry-standard definition, not a bespoke one."""
+    from nbody6_data_pipeline_spark.operators.asof import merge_asof
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "us", "event_id", "value"
+    )
+    return merge_asof(
+        purchases,
+        errors,
+        on="us",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tolerance=7_200_000_000,
+    ).orderBy("event_id")

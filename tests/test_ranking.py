@@ -59,3 +59,40 @@ def test_no_single_partition_window_in_plan(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_merge_asof_semantics(spark):
+    """Backward-inclusive match, tolerance cut, no-match NULLs, and
+    deterministic equal-timestamp tie reduction."""
+    from nbody6_data_pipeline_spark.operators.asof import merge_asof
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 50), (3, "a", 10), (4, "b", 100)],
+        "lid int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        # two right rows at the same (a, 50): tie -> max (rid, v) kept
+        [("a", 50, 7, 1.0), ("a", 50, 9, 2.0), ("a", 90, 11, 3.0)],
+        "k string, t long, rid int, v double",
+    )
+    out = {
+        r["lid"]: (r["t_match"], r["rid_match"], r["v_match"])
+        for r in merge_asof(
+            left, right, on="t", by=["k"], right_cols=["rid", "v"],
+            tolerance=30,
+        ).collect()
+    }
+    assert out[1] == (90, 11, 3.0)     # latest within tolerance (100-90=10)
+    assert out[2] == (50, 9, 2.0)      # INCLUSIVE equal-ts + max-struct tie
+    assert out[3] == (None, None, None)  # no right row at or before t=10
+    assert out[4] == (None, None, None)  # key 'b' never matches
+    # without tolerance, lid=1 still matches 90; a far-future left row
+    # outside any tolerance window matches too
+    out2 = {
+        r["lid"]: r["t_match"]
+        for r in merge_asof(
+            left, right, on="t", by=["k"], right_cols=["rid", "v"]
+        ).collect()
+    }
+    assert out2[1] == 90 and out2[2] == 50
