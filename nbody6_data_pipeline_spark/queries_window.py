@@ -550,3 +550,49 @@ def q_asof_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id", "value"],
         tolerance=7_200_000_000,
     ).orderBy("event_id")
+
+
+@register(
+    "range_join_incidents",
+    """
+    WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+    iv AS (
+      SELECT us - 60000000 AS lo, us + 60000000 AS hi
+      FROM ev WHERE event_type = 'error'
+    ),
+    hits AS (
+      SELECT p.event_id, count(*) AS n
+      FROM ev p JOIN iv ON p.us BETWEEN iv.lo AND iv.hi
+      GROUP BY p.event_id
+    )
+    SELECT ev.event_id, COALESCE(hits.n, 0) AS n_incidents
+    FROM ev LEFT JOIN hits ON ev.event_id = hits.event_id
+    ORDER BY ev.event_id
+    """,
+)
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-equi-key range join (operators/rangejoin.py): count, for
+    every event, the +/-60 s incident windows (around error events)
+    containing it. DuckDB executes the BETWEEN join natively; a naive
+    Spark translation would be a BroadcastNestedLoopJoin (all-pairs,
+    explain_audit's hard flag), so the operator buckets the time axis
+    at the interval width and equi-joins on the bucket — shuffle-
+    parallel, linear in points + matched pairs."""
+    from nbody6_data_pipeline_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir).select("event_id", "us", "event_type")
+    points = ev.select("event_id", "us")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        (F.col("us") - 60_000_000).alias("lo"),
+        (F.col("us") + 60_000_000).alias("hi"),
+    )
+    pairs = range_join(points, "us", iv, "lo", "hi", bucket_width=120_000_000)
+    hits = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        points.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n", F.lit(0)).alias("n_incidents"),
+        )
+        .orderBy("event_id")
+    )

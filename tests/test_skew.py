@@ -66,3 +66,38 @@ def test_salted_join_duplicate_dim_rows_multiplicity(spark):
     plain = big.join(dim2, "k")
     salted = salted_join(big, dim2, "k")
     assert salted.count() == plain.count()
+
+
+def test_range_join_parity_and_guard(spark):
+    """Bucketed range join equals the naive cross filter; the wide-
+    interval guard raises instead of exploding."""
+    import pytest
+    from nbody6_data_pipeline_spark.operators.rangejoin import range_join
+
+    points = spark.range(200).select(F.col("id").alias("pid"), (F.col("id") * 7 % 500).alias("x"))
+    iv = spark.range(40).select(
+        (F.col("id") * 11 % 450).alias("lo"),
+        ((F.col("id") * 11 % 450) + F.col("id") % 37).alias("hi"),
+        F.col("id").alias("ivid"),
+    )
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in range_join(points, "x", iv, "lo", "hi", bucket_width=32).collect()
+    )
+    want = sorted(
+        (r["pid"], r["ivid"])
+        for r in points.crossJoin(iv)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # left join keeps pointless points exactly once
+    n_left = range_join(points, "x", iv, "lo", "hi", bucket_width=32, how="left").count()
+    n_inner = len(got)
+    matched_pts = len({p for p, _ in got})
+    assert n_left == n_inner + (200 - matched_pts)
+
+    wide = spark.createDataFrame([(0, 10_000_000)], "lo long, hi long")
+    with pytest.raises(Exception):
+        range_join(points, "x", wide, "lo", "hi", bucket_width=2).collect()
