@@ -37,6 +37,7 @@ def merge_asof(
     right_cols: Sequence[str],
     tolerance: int | float | None = None,
     suffix: str = "_match",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``left`` with ``right``.
 
@@ -48,7 +49,53 @@ def merge_asof(
     in the output as ``<col><suffix>``, plus ``<on><suffix>`` (the
     matched right timestamp). All NULL when no match (or none within
     tolerance).
+    ``direction`` (pandas semantics, all inclusive at equal ``on``):
+    ``backward`` = latest right at-or-before; ``forward`` = earliest
+    right at-or-after (one more backward pass over the reversed
+    ordering — still a single shuffle on the by-keys); ``nearest`` =
+    whichever of the two is closer (ties to the earlier right row, as
+    pandas resolves them).
     """
+    if direction == "nearest":
+        b = _asof_one_dir(
+            left, right, on, by, right_cols, tolerance, "_b", "backward"
+        )
+        both = _asof_one_dir(
+            b, right, on, by, right_cols, tolerance, "_f", "forward"
+        )
+        db = F.col(on) - F.col(f"{on}_b")
+        df_ = F.col(f"{on}_f") - F.col(on)
+        pick_b = F.col(f"{on}_f").isNull() | (
+            F.col(f"{on}_b").isNotNull() & (db <= df_)
+        )
+        cols = [on, *right_cols]
+        return both.select(
+            *[c for c in left.columns],
+            *[
+                F.when(pick_b, F.col(f"{c}_b"))
+                .otherwise(F.col(f"{c}_f"))
+                .alias(f"{c}{suffix}")
+                for c in cols
+            ],
+        )
+    return _asof_one_dir(
+        left, right, on, by, right_cols, tolerance, suffix, direction
+    )
+
+
+def _asof_one_dir(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    tolerance,
+    suffix: str,
+    direction: str,
+) -> DataFrame:
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    fwd = direction == "forward"
     by = list(by)
     # one deterministic right row per (by, on): max payload struct
     r = right.groupBy(*by, on).agg(
@@ -73,21 +120,31 @@ def merge_asof(
     rt = rpay.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
     u = lt.unionByName(rt)
 
-    # right rows (side 0) sort before left rows at the same _t, so an
-    # equal-timestamp right row IS visible to the left row (inclusive)
+    # backward: right rows (side 0) sort before left rows at the same
+    # _t, so an equal-timestamp right row IS visible (inclusive), and
+    # the carried value is the LAST right row at or before. forward:
+    # reverse the time order — the same window then carries the
+    # EARLIEST right row at or after.
+    order = (
+        [F.col("_t").desc(), F.col("_side").asc()]
+        if fwd
+        else [F.col("_t").asc(), F.col("_side").asc()]
+    )
     w = (
         W.partitionBy(*by)
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = F.last("_r", ignorenulls=True).over(w)
     out = u.withColumn("_m", matched).filter(F.col("_side") == 1)
     if tolerance is not None:
+        gap = (
+            F.col("_m._ron") - F.col("_t")
+            if fwd
+            else F.col("_t") - F.col("_m._ron")
+        )
         out = out.withColumn(
-            "_m",
-            F.when(
-                F.col("_t") - F.col("_m._ron") <= F.lit(tolerance), F.col("_m")
-            ),
+            "_m", F.when(gap <= F.lit(tolerance), F.col("_m"))
         )
     return out.select(
         F.col("_l.*"),

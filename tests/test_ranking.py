@@ -96,3 +96,43 @@ def test_merge_asof_semantics(spark):
         ).collect()
     }
     assert out2[1] == 90 and out2[2] == 50
+
+
+def test_merge_asof_forward_and_nearest(spark):
+    from nbody6_data_pipeline_spark.operators.asof import merge_asof
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 55), (3, "a", 10), (4, "a", 71)],
+        "lid int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 50, 7), ("a", 90, 11)], "k string, t long, rid int"
+    )
+    fwd = {
+        r["lid"]: (r["t_match"], r["rid_match"])
+        for r in merge_asof(
+            left, right, on="t", by=["k"], right_cols=["rid"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == (None, None)   # nothing at or after 100
+    assert fwd[2] == (90, 11)       # earliest at-or-after 55
+    assert fwd[3] == (50, 7)
+    assert fwd[4] == (90, 11)
+    near = {
+        r["lid"]: (r["t_match"], r["rid_match"])
+        for r in merge_asof(
+            left, right, on="t", by=["k"], right_cols=["rid"],
+            direction="nearest",
+        ).collect()
+    }
+    assert near[1] == (90, 11)      # only backward exists
+    assert near[2] == (50, 7)       # 5 back vs 35 forward
+    assert near[3] == (50, 7)       # only forward exists
+    assert near[4] == (90, 11)      # 21 back vs 19 forward -> forward
+    # equidistant tie goes to the earlier (backward) right row
+    tie = merge_asof(
+        spark.createDataFrame([(9, "a", 70)], "lid int, k string, t long"),
+        right, on="t", by=["k"], right_cols=["rid"], direction="nearest",
+    ).collect()[0]
+    assert (tie["t_match"], tie["rid_match"]) == (50, 7)
