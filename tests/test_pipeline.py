@@ -135,3 +135,29 @@ def test_batched_load_align_constant_driver_actions(spark, sim_base):
     # same plan shape -> same job count regardless of run count
     # (tolerance 2 for AQE's incremental take-jobs in the first())
     assert two <= one + 2
+
+
+def test_batched_pipeline_lax_mode(spark, tmp_path):
+    """End-to-end lax mode: a run whose pairing info references a star
+    missing from the attribute catalog processes to completion with
+    the offending binaries dropped (strict mode raises instead)."""
+    import pytest
+
+    from nbody6_data_pipeline_spark.pipeline import process_all_batched
+
+    base = tmp_path / "laxroot"
+    write_run(str(base / "Rad04" / "zmet0014" / "M6" / "0001"), drop_name=7)
+    out_strict = str(tmp_path / "out_strict")
+    with pytest.raises(Exception):
+        process_all_batched(
+            spark, str(base), out_strict, coordinates=[(50.0, 0.0, 0.0)],
+            is_strict=True,
+        )
+    out = str(tmp_path / "out_lax")
+    process_all_batched(
+        spark, str(base), out, coordinates=[(50.0, 0.0, 0.0)],
+        is_strict=False,
+    )
+    stats = spark.read.parquet(os.path.join(out, "overall_stats"))
+    rows = stats.collect()
+    assert len(rows) == 3 and all(r["n_star"] > 0 for r in rows)
