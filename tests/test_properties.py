@@ -110,3 +110,52 @@ def test_interpolation_matches_pandas_on_random_series(spark, data):
             assert out[t] is None, t
         else:
             assert out[t] == pytest.approx(ref[t], rel=1e-9, abs=1e-9), t
+
+
+@given(
+    lts=st.lists(st.integers(0, 200), min_size=1, max_size=12),
+    rts=st.lists(st.integers(0, 200), min_size=1, max_size=12),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 25]),
+)
+@settings(max_examples=6, deadline=None)
+def test_merge_asof_matches_pandas(spark, lts, rts, direction, tol):
+    """Randomized parity against pandas.merge_asof — the independent
+    reference implementation of the as-of semantics (backward /
+    forward / nearest, inclusive, with tolerance)."""
+    import pandas as pd
+
+    from nbody6_data_pipeline_spark.operators.asof import merge_asof
+
+    # unique right timestamps per key keep pandas' tie behavior out of
+    # scope (our operator tie-reduces; pandas forbids duplicate keys
+    # only in some modes) — dedupe right times, keep max rid like ours
+    rts = sorted(set(rts))
+    left = spark.createDataFrame(
+        [(i, "k", int(t)) for i, t in enumerate(lts)], "lid int, g string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", int(t), i) for i, t in enumerate(rts)], "g string, t long, rid int"
+    )
+    got = {
+        r["lid"]: r["rid_match"]
+        for r in merge_asof(
+            left, right, on="t", by=["g"], right_cols=["rid"],
+            tolerance=tol, direction=direction,
+        ).collect()
+    }
+    pl = pd.DataFrame({"lid": range(len(lts)), "g": "k", "t": lts}).sort_values(
+        "t", kind="stable"
+    )
+    pr = pd.DataFrame({"g": "k", "t": rts, "rid": range(len(rts))}).sort_values(
+        "t", kind="stable"
+    )
+    want_df = pd.merge_asof(
+        pl, pr, on="t", by="g", direction=direction,
+        tolerance=None if tol is None else tol,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
