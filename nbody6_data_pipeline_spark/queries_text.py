@@ -205,3 +205,36 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).alias("n_bpe_tokens"),
         F.size(F.array_distinct(pieces)).alias("n_unique_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_rollup_stats",
+    """
+    SELECT lang, source,
+           GROUPING(lang) AS g_lang, GROUPING(source) AS g_source,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    ORDER BY g_lang, g_source, lang, source
+    """,
+)
+def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP): corpus stats at (lang,
+    source), (lang), and grand-total levels in ONE pass — Spark plans
+    a single Expand + hash-aggregate, the multi-level report shape a
+    corpus dashboard needs without three separate scans. GROUPING()
+    flags disambiguate aggregate-level NULLs from data NULLs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang", "source", "g_lang", "g_source", "n_docs", "total_chars"
+        )
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )

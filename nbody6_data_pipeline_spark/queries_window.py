@@ -596,3 +596,37 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a field from the JSON
+    ``props`` payload (get_json_object — JVM-side JSON path, no UDF)
+    and aggregate it. The parse happens inside the scan stage's
+    codegen; only (event_type, k) reaches the aggregate. Integer sums,
+    so cross-engine exactness is free."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
