@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["fingerprints", "start_ingest_dedup"]
+__all__ = ["fingerprints", "make_batch_processor", "start_ingest_dedup"]
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,20 +46,12 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fingerprint", F.md5(norm))
 
 
-def start_ingest_dedup(
-    spark: SparkSession,
-    stream: DataFrame,
-    out_base: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def make_batch_processor(
+    out_base: str, id_col: str = "doc_id", text_col: str = "text"
 ):
-    """Start the ingest-dedup stream over ``stream`` (a streaming
-    DataFrame of documents). Returns the StreamingQuery.
-
-    Layout under ``out_base``:
-      corpus/   deduped documents (append-only parquet)
-      seen/     fingerprint store: (fingerprint, first_doc_id, batch_id)
-    """
+    """Build the per-micro-batch function (exposed separately so the
+    crash-replay idempotency — foreachBatch may re-run a batch id
+    after recovery — is directly testable)."""
     corpus_dir = os.path.join(out_base, "corpus")
     seen_dir = os.path.join(out_base, "seen")
 
@@ -88,18 +80,55 @@ def start_ingest_dedup(
         except Exception:  # first batch: no store yet
             fresh = batch_unique
         fresh = fresh.localCheckpoint()  # one computation, two writes
-        # (3) append survivors to corpus + store
-        fresh.drop("fingerprint").write.mode("append").parquet(corpus_dir)
-        (
-            fresh.select(
-                "fingerprint",
-                F.col(id_col).alias("first_doc_id"),
-                F.lit(batch_id).alias("batch_id"),
+        # (3) write survivors to corpus + store, PARTITIONED BY batch
+        # id with dynamic overwrite: a replayed batch REPLACES its own
+        # partition instead of appending next to the crashed attempt's
+        # rows — this is what makes foreachBatch recovery exactly-once
+        # on a plain parquet sink (an append here would duplicate)
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                fresh.drop("fingerprint")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(corpus_dir)
             )
-            .write.mode("append")
-            .parquet(seen_dir)
-        )
+            (
+                fresh.select(
+                    "fingerprint",
+                    F.col(id_col).alias("first_doc_id"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(seen_dir)
+            )
+        finally:
+            if prev is None:
+                s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    return process_batch
+
+
+def start_ingest_dedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start the ingest-dedup stream over ``stream`` (a streaming
+    DataFrame of documents). Returns the StreamingQuery.
+
+    Layout under ``out_base``:
+      corpus/   deduped documents (batch_id-partitioned parquet)
+      seen/     fingerprint store: (fingerprint, first_doc_id) per batch
+    """
+    process_batch = make_batch_processor(out_base, id_col, text_col)
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))

@@ -67,3 +67,42 @@ def test_ingest_dedup_across_batches(spark, tmp_path):
         seen.groupBy("fingerprint").count().filter(F.col("count") > 1).count()
     )
     assert fp_counts == 0
+
+
+def test_ingest_replay_idempotent(spark, tmp_path):
+    """foreachBatch may re-run a batch id after crash recovery: the
+    replay must REPLACE the batch's own partition (not append next to
+    the crashed attempt's rows), and later batches must still dedup
+    against earlier ones."""
+    from pyspark.sql import Row
+
+    from nbody6_data_pipeline_spark.streaming.ingest import (
+        make_batch_processor,
+    )
+
+    out = str(tmp_path / "replayed")
+    proc = make_batch_processor(out)
+    b0 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")]
+    )
+    proc(b0, 0)
+    proc(b0, 0)  # crash replay of the SAME batch id
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2]
+    assert spark.read.parquet(f"{out}/seen").count() == 2
+
+    # a later batch with a cross-batch duplicate still dedups
+    b1 = spark.createDataFrame(
+        [Row(doc_id=3, text="ALPHA"), Row(doc_id=4, text="gamma")]
+    )
+    proc(b1, 1)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()
+    )
+    assert kept == [1, 2, 4]
+    # replaying batch 1 changes nothing
+    proc(b1, 1)
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()
+    )
+    assert kept2 == [1, 2, 4]
