@@ -41,6 +41,7 @@ def register(name: str, oracle: str | None):
 
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
+    import nbody6_data_pipeline_spark.queries_cdc  # noqa: F401
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
     import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
@@ -505,3 +506,116 @@ def q_weighted_center_of_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((num.cast("double") / den.cast("double")).alias("weighted_price"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# A2-ext — CUBE grouping sets (complements doc_rollup_stats' ROLLUP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in ONE pass
+    — a single Expand (4 rows per input row) feeding one hash
+    aggregate, instead of four scans + union. GROUPING() flags
+    disambiguate subtotal rows from data-level NULLs. The reference's
+    hand-rolled multi-level summary loop (snapshot.py stats stacking)
+    is this operator run once per level; CUBE is the one-pass form.
+
+    Scale: Expand multiplies rows before the shuffle, but map-side
+    partial aggregation collapses them immediately — the shuffled set
+    is ≤ 4x the distinct group count, not 4x the data.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3-ext — deterministic Pearson correlation from exact decimal moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_corr",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, computed from exact decimal moment
+    sums instead of the engine-native corr() aggregate — corr()'s
+    streaming accumulation is partition-order-dependent in both engines
+    and would never hash-match; five decimal sums + one closed-form
+    double expression is order-independent AND one map-side-combinable
+    hash aggregate (the moments are the classic distributed-corr
+    sufficient statistics — this IS how you compute correlation over
+    100 TB without a second pass).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dmom(col, alias):
+        return F.sum(col.cast("decimal(38,4)")).cast("double").alias(alias)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dmom(x, "sx"),
+        dmom(y, "sy"),
+        dmom(x * x, "sxx"),
+        dmom(y * y, "syy"),
+        dmom(x * y, "sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    ).orderBy("l_returnflag")

@@ -1,0 +1,216 @@
+"""CDC / table-maintenance queries: the mutation-shaped operations a
+production lakehouse pipeline runs continuously — latest-record-wins
+compaction, upsert (MERGE) of a delta batch into a base snapshot, and
+skew-safe joins.
+
+The reference pipeline is append-only (each NBODY6 run directory is
+immutable), but its snapshot-overwrite layer (reference io/writer.py
+partitioned re-export) is exactly an upsert at the partition grain;
+these queries express the row-grain equivalents Spark-first so the
+engine covers the ingestion side of a 100 TB corpus, not just the
+analytics side.
+
+Determinism: base/delta membership is content-addressed (md5 buckets,
+same idiom as doc_deterministic_sample) so both engines carve
+identical delta sets without any notion of "arrival time".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nbody6_data_pipeline_spark.plans.skew import salted_join
+from nbody6_data_pipeline_spark.queries import _t, dsum, event_us, register
+
+# ---------------------------------------------------------------------------
+# Latest-record-wins compaction (CDC "deduplicate to current state")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_latest_per_key",
+    """
+    SELECT user_id, event_type, ts_us, event_id, value
+    FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q_events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: collapse an append-only event log to the latest
+    record per (user_id, event_type), ties broken by event_id — the
+    materialization step every upsert-log consumer (Debezium/Hudi-style)
+    runs before serving "current state".
+
+    Plan: ONE hash shuffle on the (high-cardinality) key pair, then a
+    per-partition sort + row_number — fully parallel, no global sort.
+    At 100 TB the same plan holds; if one user is pathologically hot,
+    AQE skew-split handles the window's input exchange.
+    """
+    e = _t(spark, sf_dir, "events")
+    keyed = e.select(
+        "user_id",
+        "event_type",
+        event_us(e).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert / MERGE of a delta batch into a base snapshot
+# ---------------------------------------------------------------------------
+
+_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "orders_upsert_merge",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, {_BUCKET} AS bucket
+      FROM orders
+    ),
+    base AS (
+      SELECT o_orderkey AS key, o_orderstatus AS b_status, o_totalprice AS b_price
+      FROM o WHERE bucket < 70
+    ),
+    delta AS (
+      SELECT o_orderkey AS key, o_orderstatus AS d_status,
+             o_totalprice * 1.05 AS d_price
+      FROM o WHERE bucket >= 40
+    ),
+    m AS (
+      SELECT COALESCE(d_status, b_status) AS status,
+             COALESCE(d_price, b_price) AS price,
+             (b_status IS NOT NULL AND d_status IS NOT NULL) AS updated,
+             (b_status IS NULL) AS inserted,
+             (d_status IS NULL) AS carried
+      FROM base FULL OUTER JOIN delta USING (key)
+    )
+    SELECT status AS o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE updated) AS n_updated,
+           COUNT(*) FILTER (WHERE inserted) AS n_inserted,
+           COUNT(*) FILTER (WHERE carried) AS n_carried,
+           CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS total_price
+    FROM m
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain MERGE: a delta batch (keys in md5-buckets >= 40, with a
+    5% price revision) is upserted into a base snapshot (buckets < 70).
+    Matched keys take the delta row (update), delta-only keys insert,
+    base-only keys carry through — the SCD-1 semantics of
+    ``MERGE INTO base USING delta ON key WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT``, expressed as one full-outer join +
+    coalesce, which is exactly the physical plan Delta/Iceberg MERGE
+    compiles to.
+
+    Scale: one shuffle per side on the merge key, then a sort-merge
+    join; AQE converts to broadcast when a real delta batch is small
+    (here both sides are table-sized so SMJ is the honest plan).
+    Summary aggregation keeps the driver-facing result tiny.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    src = o.select("o_orderkey", "o_orderstatus", "o_totalprice", bucket.alias("bucket"))
+    base = src.filter(F.col("bucket") < 70).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    delta = src.filter(F.col("bucket") >= 40).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("d_status"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("d_price"),
+    )
+    merged = base.join(delta, "key", "full_outer").select(
+        F.coalesce("d_status", "b_status").alias("status"),
+        F.coalesce("d_price", "b_price").alias("price"),
+        (F.col("b_status").isNotNull() & F.col("d_status").isNotNull()).alias("updated"),
+        F.col("b_status").isNull().alias("inserted"),
+        F.col("d_status").isNull().alias("carried"),
+    )
+    return (
+        merged.groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("updated"), 1)).alias("n_updated"),
+            F.count(F.when(F.col("inserted"), 1)).alias("n_inserted"),
+            F.count(F.when(F.col("carried"), 1)).alias("n_carried"),
+            dsum(F.col("price"), "total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join, value-checked against the plain join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact-to-dim join via plans/skew.salted_join: the big
+    side's rows are spread across n_salts sub-keys and the small side
+    replicated, so one pathological join key cannot pin a single
+    reducer. The oracle is the PLAIN join — the salting must be
+    invisible in the result (row multiplicity included), which is what
+    this row value-checks every round.
+
+    At local scale the plain plan is fine; the registry entry exists so
+    the skew path is under the same cross-engine gate as everything
+    else, not just unit tests (tests/test_skew.py covers multiplicity
+    and spread).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, "revenue"))
+        .orderBy("o_orderpriority")
+    )

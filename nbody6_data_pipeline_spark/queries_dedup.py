@@ -915,3 +915,62 @@ def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions: per-vector norms, aggregated per label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_reduce(
+               list_transform(embedding::DOUBLE[], x -> x * x),
+               (acc, x) -> acc + x)) AS l2_norm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(l2_norm) AS norm_min,
+           MAX(l2_norm) AS norm_max,
+           CAST(SUM(CAST(l2_norm AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS norm_mean
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column hygiene check via higher-order functions: per-row
+    L2 norm as a strict left fold over the array (F.transform +
+    F.aggregate — JVM-side, no UDF, no explode), then a per-label
+    rollup. The fold order is pinned (sequential left) in both engines
+    so the norms are bit-identical and min/max need no rounding. This
+    is the embedding-QA pass (detect unnormalized / degenerate
+    vectors) a similarity pipeline runs before indexing; per-row
+    projection + one tiny hash-agg, embarrassingly parallel at any
+    scale.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    ssq = F.aggregate(
+        F.transform(vec, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("label", F.sqrt(ssq).alias("l2_norm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("l2_norm").alias("norm_min"),
+            F.max("l2_norm").alias("norm_max"),
+            (
+                F.sum(F.col("l2_norm").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("norm_mean"),
+        )
+        .orderBy("label")
+    )

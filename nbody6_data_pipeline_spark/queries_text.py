@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from nbody6_data_pipeline_spark.operators.text import (
     language_scores,
@@ -237,4 +238,99 @@ def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "source", "g_lang", "g_source", "n_docs", "total_chars"
         )
         .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing (PII-redaction shape) and per-group top-k curation
+# ---------------------------------------------------------------------------
+
+# Stand-in for a PII pattern (emails/phones/ids): the synthetic corpus
+# has no digits, so the redaction target is "tokens of >=5 letters" —
+# the plumbing (count + global replace + audit metrics) is the real
+# operator; the pattern is a config constant.
+_SCRUB_RE = "[a-z]{5,}"
+
+
+@register(
+    "doc_pattern_scrub",
+    f"""
+    WITH r AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_SCRUB_RE}')) AS n_hits,
+             length(text) - length(regexp_replace(text, '{_SCRUB_RE}', '#', 'g'))
+               AS chars_removed
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_hits > 0) AS n_docs_hit,
+           SUM(n_hits) AS total_hits,
+           SUM(chars_removed) AS total_chars_removed
+    FROM r
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped scrubbing pass: count pattern hits per document,
+    globally redact them (each hit collapses to '#'), and report the
+    audit metrics a compliance pipeline logs (docs touched, hits,
+    characters removed). Pure per-row JVM regex projections + one hash
+    aggregate — embarrassingly parallel, no shuffle until the tiny
+    per-lang rollup. Spark's regexp_replace is global by default;
+    DuckDB needs the explicit 'g' flag — the oracle carries it.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_hits = F.regexp_count(F.col("text"), F.lit(_SCRUB_RE))
+    removed = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), _SCRUB_RE, "#")
+    )
+    r = d.select("lang", n_hits.alias("n_hits"), removed.alias("chars_removed"))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_hits") > 0, 1)).alias("n_docs_hit"),
+            F.sum("n_hits").alias("total_hits"),
+            F.sum("chars_removed").alias("total_chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_topk_per_source",
+    """
+    SELECT source, rank, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    )
+    WHERE rank <= 3
+    ORDER BY source, rank
+    """,
+)
+def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k curation: the k best documents per source (here by
+    length; in production by quality score) — the per-domain selection
+    step of corpus curation. Unlike the global `top_k_orders`
+    (TakeOrderedAndProject), this is a window partitioned by source:
+    one hash shuffle on source, per-partition sort, early-out at k.
+    At scale, low source cardinality with huge groups is the skew
+    risk; the two-phase fix (per-partition local top-k before the
+    shuffle) is what `operators/ranking.py` provides for the exact
+    global case — here source cardinality is the parallelism and each
+    group sorts locally.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
     )

@@ -580,3 +580,60 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# ---- percentile winsorization (outlier clipping) ----
+
+
+@register(
+    "doc_length_winsorize",
+    """
+    WITH b AS (
+      SELECT ROUND(QUANTILE_CONT(n_chars, 0.05), 6) AS lo,
+             ROUND(QUANTILE_CONT(n_chars, 0.95), 6) AS hi
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_chars < lo OR n_chars > hi) AS n_clipped,
+           CAST(SUM(CAST(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS winsorized_sum
+    FROM documents, b
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_doc_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip a heavy-tailed feature to its global
+    [p5, p95] before aggregation — the robust-statistics step quality
+    pipelines apply so a handful of megadocuments don't dominate
+    corpus-level means. Two-pass plan: (1) ONE distributed exact
+    percentile aggregate produces a 1-row bounds table, (2) broadcast
+    it (a literal cross join with a single row) and clip per-row, then
+    the per-lang rollup. At 100 TB pass 1 switches to
+    percentile_approx (same plan shape, sketch merge instead of exact
+    sort) — the clip/aggregate side is unchanged. Bounds are rounded
+    to 6 dp on both engines so interpolation ulp noise can't flip a
+    clip decision.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("hi"),
+    )
+    nc = F.col("n_chars").cast("double")
+    clipped = F.least(F.greatest(nc, F.col("lo")), F.col("hi"))
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when((nc < F.col("lo")) | (nc > F.col("hi")), 1)
+            ).alias("n_clipped"),
+            F.sum(clipped.cast("decimal(30,6)")).cast("double").alias(
+                "winsorized_sum"
+            ),
+        )
+        .orderBy("lang")
+    )

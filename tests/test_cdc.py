@@ -1,0 +1,89 @@
+"""Semantic invariants for the CDC / maintenance queries, beyond the
+cross-engine parity already enforced by test_queries.py."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def _q(name):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    return registry()[name]["spark"]
+
+
+def test_latest_per_key_is_unique_and_max(spark, sf_dir):
+    out = _q("events_latest_per_key")(spark, sf_dir)
+    rows = out.collect()
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), "one row per (user_id, event_type)"
+
+    from nbody6_data_pipeline_spark.queries import _t, event_us
+
+    e = _t(spark, sf_dir, "events")
+    maxes = {
+        (r.user_id, r.event_type): r.max_ts
+        for r in e.groupBy("user_id", "event_type")
+        .agg(F.max(event_us(e)).alias("max_ts"))
+        .collect()
+    }
+    assert len(rows) == len(maxes)
+    for r in rows:
+        assert r.ts_us == maxes[(r.user_id, r.event_type)]
+
+
+def test_upsert_merge_partitions_rows(spark, sf_dir):
+    out = _q("orders_upsert_merge")(spark, sf_dir).collect()
+    from nbody6_data_pipeline_spark.queries import _t
+
+    n_orders = _t(spark, sf_dir, "orders").count()
+    # every source row lands in exactly one of the three merge classes,
+    # and no key is dropped or duplicated by the full-outer merge
+    assert sum(r.n_rows for r in out) == n_orders
+    for r in out:
+        assert r.n_rows == r.n_updated + r.n_inserted + r.n_carried
+
+
+def test_cube_grouping_sets_consistent(spark, sf_dir):
+    rows = _q("cube_order_stats")(spark, sf_dir).collect()
+    from nbody6_data_pipeline_spark.queries import _t
+
+    n_orders = _t(spark, sf_dir, "orders").count()
+    grand = [r for r in rows if r.g_status == 1 and r.g_priority == 1]
+    assert len(grand) == 1 and grand[0].n_orders == n_orders
+    # each grouping set independently partitions the table
+    for gs, gp in ((0, 0), (0, 1), (1, 0)):
+        level = [r for r in rows if r.g_status == gs and r.g_priority == gp]
+        assert sum(r.n_orders for r in level) == n_orders
+
+
+def test_topk_per_source_shape(spark, sf_dir):
+    rows = _q("doc_topk_per_source")(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, grp in by_source.items():
+        ranks = sorted(r.rank for r in grp)
+        assert ranks == list(range(1, len(grp) + 1)) and len(grp) <= 3
+        lengths = [r.n_chars for r in sorted(grp, key=lambda r: r.rank)]
+        assert lengths == sorted(lengths, reverse=True)
+
+
+def test_winsorize_clips_about_ten_percent(spark, sf_dir):
+    rows = _q("doc_length_winsorize")(spark, sf_dir).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    n_clipped = sum(r.n_clipped for r in rows)
+    # p5/p95 bounds clip ~10% overall (exact fraction depends on ties)
+    assert 0.02 <= n_clipped / n_docs <= 0.25
+    for r in rows:
+        assert r.winsorized_sum > 0
+
+
+def test_norm_stats_bounds(spark, sf_dir):
+    rows = _q("embedding_norm_stats")(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r.norm_min <= r.norm_mean <= r.norm_max
