@@ -1,0 +1,86 @@
+"""Data-layout writers: hive partitioning and range-sorted clustering.
+
+Bucketing (plans/bucketing.py) optimizes JOINS by pre-shuffling on a
+key at write time. This module optimizes SCANS — the other half of the
+100 TB story — by controlling which files and row groups a filtered
+read has to touch:
+
+- ``write_partitioned``: hive-style ``partitionBy`` on a low-cardinality
+  column. A predicate on the partition column prunes whole directories
+  at PLANNING time (the scan never lists them).
+
+- ``write_range_sorted``: ``repartitionByRange`` + ``sortWithinPartitions``
+  on a high-cardinality column. Every output file then covers a
+  disjoint, narrow key range, so parquet footer min/max statistics let
+  a range predicate skip almost every file/row-group at READ time —
+  the poor man's Z-order, and the right clustering for one dominant
+  filter column. On unsorted data the same predicate matches a few
+  rows in EVERY file and nothing can be skipped.
+
+The reference re-exports its snapshot caches unpartitioned and
+unsorted (reference io/writer.py), then filters them by time-range on
+every analysis pass — exactly the scan pattern range-sorted layout
+exists for.
+
+Verification: tests/test_layout.py writes both layouts and asserts the
+filtered scans touch strictly fewer files (via distinct
+``input_file_name()`` over the matching rows) than the same predicate
+on an unclustered copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hive-partitioned parquet write; optionally clustered within each
+    partition so secondary range predicates also skip row groups.
+
+    Dynamic partition overwrite (set in sources/sinks.py for the layer
+    writers) applies here too: rewriting one partition's data does not
+    drop its siblings.
+    """
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+) -> None:
+    """Range-clustered parquet: one range-shuffle so file i holds keys
+    strictly below file i+1, then an in-file sort so row groups inside
+    each file are clustered too. Parquet min/max footer stats then make
+    any range predicate on ``sort_cols[0]`` touch O(selectivity) files
+    instead of all of them.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(spark: SparkSession, path: str, predicate: str) -> int:
+    """Number of distinct files that contribute rows to a filtered scan
+    — the observable effect of partition pruning + row-group skipping
+    (skipped files yield zero rows and never appear)."""
+    return (
+        spark.read.parquet(path)
+        .filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )

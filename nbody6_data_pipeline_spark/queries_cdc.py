@@ -214,3 +214,75 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, "revenue"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (algebraic partial-agg merge)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_EBUCKET = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "events_incremental_rollup",
+    f"""
+    SELECT epoch_us(ts) // {_DAY_US} AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily per-type
+    rollup is kept as ALGEBRAIC PARTIALS (count + exact decimal sum);
+    when a delta batch arrives, only the delta is aggregated and the
+    two partial sets are merged by summing — the base events are never
+    re-read. At 100 TB this is the difference between touching one
+    day's arrivals and rescanning the corpus on every refresh.
+
+    The oracle is the FULL recompute over all events: the value check
+    proves the merge is lossless (count and decimal-sum are algebraic,
+    so partial-then-merge ≡ recompute, bit-for-bit — which is exactly
+    why the engine's determinism rules demand decimal sums: a double
+    partial sum would NOT merge losslessly).
+
+    Batch membership is content-addressed (md5 of event_id) so both
+    engines see the same base/delta split without an arrival-time
+    column.
+    """
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rows = e.select(
+        (event_us(e) / F.lit(_DAY_US)).cast("long").alias("day"),
+        "event_type",
+        "value",
+        bucket.alias("bucket"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("p_sum"),
+        )
+
+    base = partials(rows.filter(F.col("bucket") < 80))    # materialized view
+    delta = partials(rows.filter(F.col("bucket") >= 80))  # new arrivals only
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("p_n").alias("n_events"),
+            F.sum("p_sum").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

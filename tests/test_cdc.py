@@ -87,3 +87,34 @@ def test_norm_stats_bounds(spark, sf_dir):
     rows = _q("embedding_norm_stats")(spark, sf_dir).collect()
     for r in rows:
         assert 0 < r.norm_min <= r.norm_mean <= r.norm_max
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
+    """The registry query already proves merge==recompute vs DuckDB;
+    here assert the same within Spark (partial-merge vs direct agg)."""
+    from pyspark.sql import functions as F
+
+    from nbody6_data_pipeline_spark.queries import _t, event_us
+
+    out = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in _q("events_incremental_rollup")(spark, sf_dir).collect()
+    }
+    e = _t(spark, sf_dir, "events")
+    direct = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in e.select(
+            (event_us(e) / F.lit(86_400_000_000)).cast("long").alias("day"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert out == direct
