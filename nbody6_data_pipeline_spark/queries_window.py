@@ -630,3 +630,123 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: sequenced funnel and retention cohorts
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 7 * 86_400_000_000  # each step within 7 days of the prior
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_funnel",
+    f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'click' AND us > t1 AND us <= t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click,
+           (SELECT COUNT(*) FROM s3) AS n_purchase
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel: users who viewed, then clicked
+    within 7 days of the first view, then purchased within 7 days of
+    the first qualifying click — strict event-time ordering, the
+    product-analytics query shape (and, for a training pipeline, the
+    "document passed filter A, then B, then C" audit shape).
+
+    Plan: three chained min-aggregations, every one keyed on user_id —
+    after the first shuffle all joins and aggs are co-partitioned on
+    the same key, so Catalyst reuses the partitioning instead of
+    re-shuffling (one Exchange per step input, none between steps).
+    Integer epoch-us arithmetic keeps it bit-deterministic.
+    """
+    e = _events(spark, sf_dir).select("user_id", "event_type", "us")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t2") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT cohort_day,
+           day - cohort_day AS day_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    WHERE day - cohort_day <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    on each subsequent active day (offset 0-7). The same
+    first-touch-attribution shape a training pipeline uses to track
+    "documents first ingested in snapshot S still present in S+k".
+
+    Plan: per-user min (hash agg), per-(user, day) distinct (hash agg),
+    then an equi-join on user_id — all three keyed on user_id, so the
+    shuffle is paid once and reused; the final rollup groups a tiny
+    (cohort, offset) set. No windows, no sorts.
+    """
+    e = _events(spark, sf_dir).select(
+        "user_id", (F.col("us") / F.lit(_DAY_US)).cast("long").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = e.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

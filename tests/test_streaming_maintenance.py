@@ -1,0 +1,124 @@
+"""Streaming incremental MV maintenance: per-batch partials, replay
+idempotency, compaction — the view must always equal a full recompute
+over every event streamed so far."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.streaming.maintenance import (
+    compact,
+    make_mv_processor,
+    read_view,
+    start_rollup_mv,
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _event_rows(day_type_values):
+    # ts as epoch-NANOS longs (the LONG branch of queries.event_us);
+    # midday so integer day extraction is unambiguous
+    return [
+        Row(
+            event_id=i,
+            ts=(d * _DAY_US + 12 * 3_600_000_000) * 1000,
+            event_type=t,
+            value=float(v),
+        )
+        for i, (d, t, v) in enumerate(day_type_values)
+    ]
+
+
+def _write_batch(spark, tmp_path, stream_dir, name, mtime, rows):
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"stage_{name}")
+    )
+    src = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+    dst = stream_dir / f"{name}.parquet"
+    shutil.copy(src, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def _expected(spark, all_rows):
+    return {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in spark.createDataFrame(all_rows)
+        .select(
+            (F.expr("ts div 1000") / F.lit(_DAY_US)).cast("long").alias("day"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+
+
+def _view_dict(spark, out):
+    return {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in read_view(spark, str(out)).collect()
+    }
+
+
+def test_mv_maintenance_matches_recompute(spark, tmp_path):
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    out = tmp_path / "mv"
+
+    a = _event_rows([(0, "click", 1.5), (0, "view", 2.0), (1, "click", 0.25)])
+    b = _event_rows([(0, "click", 4.5), (1, "view", 1.0)])
+    _write_batch(spark, tmp_path, stream_dir, "a", 1_000_000, a)
+    _write_batch(spark, tmp_path, stream_dir, "b", 1_000_100, b)
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = start_rollup_mv(spark, stream, str(out))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _view_dict(spark, out) == _expected(spark, a + b)
+    # one partition per micro-batch in the partial log
+    log = spark.read.parquet(str(out / "partials"))
+    assert log.select("batch_id").distinct().count() == 2
+
+    # compaction folds the log without changing the view
+    compact(spark, str(out))
+    assert _view_dict(spark, out) == _expected(spark, a + b)
+    log = spark.read.parquet(str(out / "partials"))
+    assert log.select("batch_id").distinct().count() == 1
+
+    # a post-compaction batch lands next to the compacted partition
+    c = _event_rows([(2, "purchase", 9.0), (0, "click", 1.0)])
+    proc = make_mv_processor(str(out))
+    proc(spark.createDataFrame(c), batch_id=7)
+    assert _view_dict(spark, out) == _expected(spark, a + b + c)
+
+
+def test_mv_replay_idempotent(spark, tmp_path):
+    out = tmp_path / "mv"
+    proc = make_mv_processor(str(out))
+    a = _event_rows([(0, "click", 1.0), (1, "view", 2.0)])
+    b = _event_rows([(1, "view", 5.0)])
+    proc(spark.createDataFrame(a), batch_id=0)
+    proc(spark.createDataFrame(b), batch_id=1)
+    # crash recovery: batch 1 re-runs — must replace, not double-count
+    proc(spark.createDataFrame(b), batch_id=1)
+    assert _view_dict(spark, out) == _expected(spark, a + b)
