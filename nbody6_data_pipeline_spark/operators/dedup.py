@@ -458,3 +458,61 @@ def simhash(df: DataFrame, text: Column, id_col: str, nbits: int = 16) -> DataFr
         for j in range(1, nbits + 1)
     ]
     return agg.select("doc", F.concat(*bits).alias("simhash"))
+
+
+def prefix_block_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: str,
+    prefix_len: int = 16,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Candidate pairs for edit-distance fuzzy matching via prefix
+    blocking: documents sharing their first ``prefix_len`` normalized
+    characters are candidates (near-identical texts almost always share
+    a long prefix; a fuller recall story unions several blocking keys —
+    prefix, suffix, sorted-token prefix — each through this same path).
+
+    Same scale discipline as the LSH pair generators: ONE hash shuffle
+    on the block key, a streamed window count drops degenerate blocks
+    (> ``block_cap`` members) before anything is materialized, and the
+    within-block pair explosion happens on <= cap-sized arrays. The
+    expensive edit-distance verify then runs on candidates only —
+    never all pairs.
+
+    Returns (id_a, id_b, text_a, text_b) with id_a < id_b.
+    """
+    from pyspark.sql import Window as W
+
+    base = _normed_docs(df, text, id_col).select(
+        F.col("doc").alias("_id"),
+        F.col("norm").alias("_norm"),
+        F.substring("norm", 1, prefix_len).alias("_block"),
+    )
+    sized = base.withColumn(
+        "_bsize", F.count(F.lit(1)).over(W.partitionBy("_block"))
+    ).filter(F.col("_bsize") <= block_cap)
+    grouped = (
+        sized.groupBy("_block")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_norm")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode("members").alias("a"), F.col("members")
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("a._norm").alias("text_a"),
+        F.explode(
+            F.filter("members", lambda m: m["_id"] > F.col("a._id"))
+        ).alias("b"),
+    )
+    return pairs.select(
+        "id_a",
+        F.col("b._id").alias("id_b"),
+        "text_a",
+        F.col("b._norm").alias("text_b"),
+    ).distinct()

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.dedup import (
+    prefix_block_pairs,
     BANDS,
     MINHASH_A,
     MINHASH_B,
@@ -973,4 +974,58 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_mean"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching: prefix blocking + levenshtein verify
+# ---------------------------------------------------------------------------
+
+_FUZZY_PREFIX = 16
+_FUZZY_CAP = 64
+_FUZZY_DIST = 8
+
+
+@register(
+    "doc_fuzzy_match",
+    f"""
+    WITH d AS (SELECT doc_id, {_DD_NORM} AS norm FROM documents),
+    b AS (SELECT doc_id, norm, substring(norm, 1, {_FUZZY_PREFIX}) AS block FROM d),
+    sized AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bsize FROM b),
+    kept AS (SELECT * FROM sized WHERE bsize <= {_FUZZY_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.norm AS na, c.norm AS nb
+      FROM kept a JOIN kept c ON a.block = c.block AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, levenshtein(na, nb) AS edit_dist
+    FROM pairs
+    WHERE levenshtein(na, nb) <= {_FUZZY_DIST}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_doc_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy duplicate detection — the dedup family's
+    typo-tolerant member (exact/MinHash/SimHash/Jaccard/embedding are
+    all token- or vector-level; this one catches small character-level
+    edits). Prefix blocking (operators/dedup.prefix_block_pairs) bounds
+    the candidate set — one shuffle, degenerate blocks capped — and the
+    O(len^2) levenshtein kernel runs ONLY on candidates, JVM-side in
+    both engines with identical unit-cost edit-distance semantics.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cand = prefix_block_pairs(
+        d,
+        F.col("text"),
+        "doc_id",
+        prefix_len=_FUZZY_PREFIX,
+        block_cap=_FUZZY_CAP,
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _FUZZY_DIST)
+        .orderBy("id_a", "id_b")
     )

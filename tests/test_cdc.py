@@ -118,3 +118,32 @@ def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
         .collect()
     }
     assert out == direct
+
+
+def test_prefix_block_pairs_semantics(spark):
+    from pyspark.sql import Row
+
+    from nbody6_data_pipeline_spark.operators.dedup import prefix_block_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="The  quick brown fox jumped"),  # same block
+            Row(doc_id=3, text="the quick brown cat sits"),     # same block
+            Row(doc_id=4, text="completely different text"),    # alone
+        ]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in prefix_block_pairs(
+            docs, F.col("text"), "doc_id", prefix_len=16, block_cap=64
+        ).collect()
+    }
+    # docs 1-3 share the 16-char normalized prefix "the quick brown " -> 3 pairs
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    # cap drops the degenerate block entirely
+    capped = prefix_block_pairs(
+        docs, F.col("text"), "doc_id", prefix_len=16, block_cap=2
+    ).collect()
+    assert capped == []

@@ -1,0 +1,37 @@
+"""Physical-plan gate: no registered batch query may compile to a
+scale-breaking plan shape (cartesian product, row-at-a-time Python
+UDF, global single-partition window over unreduced input).
+
+This is tools/explain_audit.py's hard-flag check promoted to a
+perpetual pytest gate, so a plan regression fails the suite the day
+it is introduced instead of waiting for a manual audit run."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.explain_audit import audit_plan
+
+
+def _batch_queries():
+    from nbody6_data_pipeline_spark.queries import registry
+
+    return sorted(
+        (name, spec)
+        for name, spec in registry().items()
+        if not name.startswith("streaming_")
+    )
+
+
+@pytest.mark.parametrize(
+    "name,spec", _batch_queries(), ids=lambda x: x if isinstance(x, str) else ""
+)
+def test_plan_has_no_hard_flags(spark, sf_dir, name, spec):
+    df = spec["spark"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hard, _soft = audit_plan(plan)
+    assert not hard, f"{name}: {hard}"

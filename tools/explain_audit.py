@@ -80,6 +80,20 @@ SOFT_FLAGS = {
 }
 
 
+def audit_plan(plan: str) -> tuple[list[str], list[str]]:
+    """(hard, soft) flag lists for one executed-plan string. Importable
+    so tests/test_plans.py can enforce hard-flag-free plans as a
+    perpetual gate, not just an ad-hoc CLI run."""
+    hard = [msg for pat, msg in HARD_FLAGS.items() if pat in plan]
+    hard += global_window_flags(plan)
+    soft = [msg for pat, msg in SOFT_FLAGS.items() if pat in plan]
+    n_scans = len(re.findall(r"FileScan parquet", plan))
+    wide_scans = len(re.findall(r"ReadSchema: struct<([^>]{400,})>", plan))
+    if wide_scans:
+        soft.append(f"{wide_scans}/{n_scans} scans read a wide schema")
+    return hard, soft
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
@@ -106,15 +120,7 @@ def main() -> int:
             print(f"ERROR {name}: {e}")
             bad.append(name)
             continue
-        hard = [msg for pat, msg in HARD_FLAGS.items() if pat in plan]
-        hard += global_window_flags(plan)
-        soft = [msg for pat, msg in SOFT_FLAGS.items() if pat in plan]
-        n_scans = len(re.findall(r"FileScan parquet", plan))
-        wide_scans = len(
-            re.findall(r"ReadSchema: struct<([^>]{400,})>", plan)
-        )
-        if wide_scans:
-            soft.append(f"{wide_scans}/{n_scans} scans read a wide schema")
+        hard, soft = audit_plan(plan)
         if hard:
             bad.append(name)
             print(f"FLAG  {name}: {'; '.join(hard + soft)}")
