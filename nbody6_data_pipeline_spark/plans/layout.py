@@ -84,3 +84,43 @@ def files_touched(spark: SparkSession, path: str, predicate: str) -> int:
         .distinct()
         .count()
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Bin-pack a directory of small parquet files into ~target-sized
+    ones — the small-file problem is THE chronic ops issue of a 100 TB
+    lake (every streaming micro-batch and dynamic-overwrite partition
+    write leaves file counts that crush the scan planner and the
+    namenode). Sizing uses the actual on-disk bytes, not a row-count
+    guess; an optional sort re-clusters while rewriting (pairing this
+    with ``write_range_sorted``'s ordering restores min/max skipping
+    that micro-batch appends destroyed).
+
+    The rewrite stages through a localCheckpoint so the read completes
+    before its own input is replaced (same pattern as
+    streaming/maintenance.compact). Returns (files_before, files_after).
+    """
+    import math
+    import os
+
+    total = 0
+    n_before = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n_before += 1
+    n_after = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        cols = [F.col(c) for c in sort_cols]
+        df = df.repartitionByRange(n_after, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.coalesce(n_after)
+    df.localCheckpoint().write.mode("overwrite").parquet(path)
+    return n_before, n_after

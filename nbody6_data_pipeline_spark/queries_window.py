@@ -750,3 +750,178 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coverage (gaps-and-islands union length) and robust statistics
+# ---------------------------------------------------------------------------
+
+_SESSION_LEN_US = 30 * 60_000_000  # each event covers [us, us + 30min)
+
+
+@register(
+    "events_interval_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_SESSION_LEN_US} AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id,
+           COUNT(DISTINCT island) AS n_islands,
+           SUM(island_len) AS covered_us
+    FROM (
+      SELECT user_id, island, MAX(e) - MIN(s) AS island_len
+      FROM islands GROUP BY user_id, island
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user (gaps-and-islands): each event
+    opens a 30-minute presence interval; overlapping intervals merge
+    into islands and the covered time is the summed island lengths —
+    the uptime/presence metric, and the shape behind "total wall-clock
+    a document spent in any processing stage".
+
+    Plan: one shuffle on user_id, then two streamed window passes over
+    the same sort order (running max-end to flag island starts, running
+    sum to number islands) and a two-level hash aggregate. Nothing
+    global, nothing quadratic; integer microsecond arithmetic end to
+    end.
+    """
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        F.col("us").alias("s"),
+        (F.col("us") + F.lit(_SESSION_LEN_US)).alias("e"),
+    )
+    order = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("island_len")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.countDistinct("island").alias("n_islands"),
+            F.sum("island_len").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "lineitem_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(QUANTILE_CONT(ABS(l.l_quantity - m.med_qty), 0.5), 6) AS mad_qty
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_lineitem_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure (stddev is outlier-dominated at corpus scale). Two-pass
+    plan: per-group exact median (one hash-partitioned percentile
+    aggregate), broadcast the tiny per-group medians back, then a
+    second percentile over |x - med|. Both aggregations are keyed on
+    the same column so the scan shuffles once per pass and the join is
+    a broadcast. Medians rounded to 6 dp on both engines before the
+    residual so interpolation ulps can't propagate.
+    """
+    li = _lineitem(spark, sf_dir)
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("med_qty")
+    )
+    resid = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_quantity") - F.col("med_qty")).alias("r"),
+    )
+    return (
+        resid.groupBy("l_returnflag")
+        .agg(F.round(F.expr("percentile(r, 0.5)"), 6).alias("mad_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "orders_priority_mode",
+    """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def q_orders_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with deterministic tie-break (argmax over counts)
+    — the categorical summary the engine's native mode() can't provide
+    cross-engine (tie behavior is engine-defined). Count first (hash
+    aggregate collapses to |groups x categories| rows), THEN the
+    window ranks that tiny set — the ranking never sees table-sized
+    input, the same reduce-before-window discipline as
+    dense_rank_factorize.
+    """
+    from nbody6_data_pipeline_spark.queries import _t
+
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )

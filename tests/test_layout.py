@@ -70,3 +70,46 @@ def test_range_sorted_file_skipping(spark, sf_dir, tmp_path):
         == spark.read.parquet(scattered).filter(pred).count()
         == e.filter(pred).count()
     )
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from nbody6_data_pipeline_spark.plans.layout import compact_small_files
+
+    e = _events(spark, sf_dir)
+    path = str(tmp_path / "fragmented")
+    e.repartition(40).write.mode("overwrite").parquet(path)  # 40 tiny files
+
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n_before, n_target = compact_small_files(
+        spark, path, target_file_bytes=64 * 1024 * 1024, sort_cols=["user_id"]
+    )
+    assert n_before == 40 and n_target < 40
+
+    import glob
+
+    n_files = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_files == n_target
+    # content unchanged by the rewrite
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Later partitions may add columns (schema drift in a long-lived
+    table); mergeSchema reads must surface the union schema with nulls
+    backfilled for old partitions."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    path = str(tmp_path / "evolving")
+    e.select("event_id", "user_id").limit(100).write.mode("append").parquet(path)
+    (
+        e.select("event_id", "user_id", F.lit("v2").alias("schema_tag"))
+        .limit(50)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "user_id", "schema_tag"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("schema_tag").isNull()).count() == 100
