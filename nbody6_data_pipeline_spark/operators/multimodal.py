@@ -95,3 +95,72 @@ def frame_sample_plan(
             )
         ).alias("frame_idx", "offset_ms"),
     )
+
+
+def fake_resize(
+    content: bytes, width: int, height: int, new_width: int, new_height: int
+) -> bytes:
+    """Deterministic stand-in for an image resampler: nearest-neighbor
+    subsampling of the flat byte grid. Replace with a PIL/opencv-backed
+    callable of the same signature in deployment."""
+    if content is None:
+        raise NotImplementedError(
+            "real resize not available in this environment; inject resize_fn"
+        )
+    arr = np.frombuffer(content, dtype=np.uint8)
+    if width and height and arr.size >= width * height:
+        grid = arr[: width * height].reshape(height, width)
+        ys = (np.arange(new_height) * height) // max(new_height, 1)
+        xs = (np.arange(new_width) * width) // max(new_width, 1)
+        return grid[np.ix_(ys, xs)].tobytes()
+    # unknown geometry: proportional byte subsample keeps determinism
+    n_out = max(1, min(arr.size, new_width * new_height))
+    idx = (np.arange(n_out) * arr.size) // n_out
+    return arr[idx].tobytes()
+
+
+def resize_media(
+    media: DataFrame,
+    new_width: int,
+    new_height: int,
+    resize_fn: Callable[[bytes, int, int, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Binary-in / binary-out transform via mapInPandas: re-encode each
+    image payload at a new geometry and update the typed metadata in
+    the same pass. The payload enters and leaves as Arrow binary
+    batches on the executor — it is transformed in place in the plan,
+    never shuffled, never collected; only the schema changes. This is
+    the signature every decode/transcode stage in a multimodal
+    training pipeline has, so the stub proves the plumbing the real
+    codec drops into."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_fn(c, w, h, new_width, new_height)
+                if c is not None
+                else None
+                for c, w, h in zip(pdf["content"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": out,
+                    "width": new_width,
+                    "height": new_height,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=out_schema
+    )

@@ -619,3 +619,55 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling (the df.summary() shape, cross-engine checkable)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@register(
+    "orders_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT({c}) AS n_nulls,
+        COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — null and distinct counts per column, the
+    data-quality fingerprint a pipeline records per snapshot to catch
+    upstream drift (a column suddenly 30% null, a key whose
+    cardinality collapsed). ONE scan: all per-column aggregates run in
+    a single hash-aggregate pass (Catalyst plans the N exact distinct
+    counts via one Expand), then `stack` unpivots the 1-row wide
+    result to long form — versus the oracle's N scans, and versus the
+    N full passes the naive per-column loop would cost at 100 TB.
+    """
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = "stack({n}, {args}) AS (column_name, n_rows, n_nulls, n_distinct)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', {c}__rows, {c}__nulls, {c}__distinct"
+            for c in _PROFILE_COLS
+        ),
+    )
+    return wide.selectExpr(stack_expr).orderBy("column_name")

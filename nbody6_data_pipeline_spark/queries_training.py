@@ -637,3 +637,47 @@ def q_doc_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---- exact N-per-stratum deterministic sampling ----
+
+STRATUM_N = 10
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRATUM_N}
+    ORDER BY lang, doc_id
+    """,
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sampling: rank documents within each
+    stratum by a content-addressed hash and keep the first N — unlike
+    fraction-based sampling (doc_deterministic_sample) this guarantees
+    the per-stratum COUNT, which eval-set construction needs, while
+    staying reproducible across engines, retries, and partitionings.
+    One shuffle on the stratum key; the within-stratum sort is
+    per-partition. For mega-strata at 100 TB the same early-out
+    two-phase trick as grouped top-k applies (local top-N before the
+    shuffle).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_N)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -213,3 +213,28 @@ def test_streaming_dedup_event_time_expiry(spark, tmp_path):
     assert [r[3] for r in key1] == [10, 11]
     # (2,'y'): first emission only; the live duplicate was suppressed
     assert [r[3] for r in key2] == [20]
+
+
+def test_resize_media_plumbing(spark):
+    from nbody6_data_pipeline_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+    )
+
+    img = bytes(range(64))  # 8x8 grid
+    data = [
+        (1, "image", img, 8, 8, None),
+        (2, "audio", b"\xff" * 32, None, None, 2000),  # must be excluded
+        (3, "image", b"\x10" * 100, None, None, None),  # unknown geometry
+    ]
+    media = spark.createDataFrame(data, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_media(media, 4, 4).collect()}
+
+    assert set(out) == {1, 3}  # images only
+    for r in out.values():
+        assert (r["width"], r["height"]) == (4, 4)
+    # deterministic stub matches the local computation, byte for byte
+    assert bytes(out[1]["content"]) == fake_resize(img, 8, 8, 4, 4)
+    assert len(out[1]["content"]) == 16
+    # unknown-geometry branch still produces the proportional subsample
+    assert bytes(out[3]["content"]) == fake_resize(b"\x10" * 100, None, None, 4, 4)
