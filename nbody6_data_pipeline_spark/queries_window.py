@@ -925,3 +925,87 @@ def q_orders_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar bucketing and sequence-transition analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekly_summary",
+    """
+    SELECT CAST(epoch_us(date_trunc('week', ts)) AS BIGINT) AS week_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY week_us
+    ORDER BY week_us
+    """,
+)
+def q_events_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware weekly rollup: ISO weeks (both engines truncate
+    to Monday 00:00) rather than fixed 7-day buckets from an epoch —
+    the semantics reporting pipelines actually need, and a parity trap
+    worth pinning cross-engine (week-start conventions differ across
+    systems). Event time is reconstructed from integer epoch-us, so
+    the truncation is timezone-free on both sides.
+    """
+    e = _events(spark, sf_dir)
+    week = F.unix_micros(
+        F.date_trunc("week", F.timestamp_micros(F.col("us")))
+    )
+    return (
+        e.select(week.alias("week_us"), "user_id", "value")
+        .groupBy("week_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("week_us")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the first-order Markov matrix of
+    user behavior; for a training pipeline, the stage-to-stage document
+    flow matrix). One shuffle on user_id, a streamed lag over the
+    per-user event-time order, then a hash rollup of the tiny
+    |types x types| matrix. Ties within a timestamp are broken by
+    event_id so the sequence — and therefore the matrix — is
+    deterministic cross-engine.
+    """
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

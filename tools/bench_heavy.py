@@ -43,6 +43,8 @@ HEAVY = [
     "doc_tfidf_topterms",
     "doc_benchmark_contamination",
     "doc_pack_sequences",
+    "doc_fuzzy_match",
+    "doc_neardup_keep_best",
 ]
 
 
