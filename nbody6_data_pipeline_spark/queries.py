@@ -652,7 +652,10 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single hash-aggregate pass (Catalyst plans the N exact distinct
     counts via one Expand), then `stack` unpivots the 1-row wide
     result to long form — versus the oracle's N scans, and versus the
-    N full passes the naive per-column loop would cost at 100 TB.
+    N full passes the naive per-column loop would cost at 100 TB. At
+    cluster scale swap count_distinct for approx_count_distinct (HLL,
+    no Expand, no distinct shuffle — bounded in tests/test_approx.py);
+    exact is kept here for oracle parity.
     """
     o = _t(spark, sf_dir, "orders")
     aggs = []
