@@ -510,9 +510,13 @@ def prefix_block_pairs(
             F.filter("members", lambda m: m["_id"] > F.col("a._id"))
         ).alias("b"),
     )
+    # No distinct() needed: a document belongs to exactly ONE block
+    # (the key is a function of its own prefix) and the m > a filter
+    # emits each unordered pair once — a dedup shuffle here would drag
+    # both full normalized texts through an Exchange for nothing.
     return pairs.select(
         "id_a",
         F.col("b._id").alias("id_b"),
         "text_a",
         F.col("b._norm").alias("text_b"),
-    ).distinct()
+    )

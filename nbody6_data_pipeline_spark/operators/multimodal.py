@@ -107,7 +107,14 @@ def fake_resize(
         raise NotImplementedError(
             "real resize not available in this environment; inject resize_fn"
         )
+    # Arrow->pandas turns a nullable int column into float64 (NaN for
+    # null), so width/height arrive as floats whenever ANY row in the
+    # batch has a null dimension — normalize before arithmetic
+    width = int(width) if width is not None and not pd.isna(width) else None
+    height = int(height) if height is not None and not pd.isna(height) else None
     arr = np.frombuffer(content, dtype=np.uint8)
+    if arr.size == 0:
+        return b""
     if width and height and arr.size >= width * height:
         grid = arr[: width * height].reshape(height, width)
         ys = (np.arange(new_height) * height) // max(new_height, 1)

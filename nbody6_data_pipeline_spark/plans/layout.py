@@ -108,6 +108,22 @@ def compact_small_files(
     import math
     import os
 
+    hive_parts = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if hive_parts:
+        # A flat rewrite of a hive-partitioned tree would fold the
+        # partition columns into the data and destroy directory-level
+        # pruning — compact each partition's own directory instead
+        # (which also keeps the rewrite incremental and concurrent
+        # writers to OTHER partitions safe).
+        raise ValueError(
+            f"{path} is hive-partitioned ({hive_parts[0]}, ...): compact "
+            "each partition directory individually, e.g. "
+            f"compact_small_files(spark, '{path}/{hive_parts[0]}')"
+        )
     total = 0
     n_before = 0
     for root, _dirs, files in os.walk(path):

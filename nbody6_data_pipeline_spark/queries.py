@@ -106,6 +106,19 @@ def q6(col):
     return F.floor(col * 1_000_000 + F.lit(0.5)).cast("long")
 
 
+def md5_bucket(col, n: int = 100):
+    """Content-addressed bucket in [0, n): first 8 md5 hex digits as a
+    LONG, mod n — the engine's ONE deterministic-split idiom (sampling,
+    base/delta carving). DuckDB twin:
+    CAST(('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 8)) AS BIGINT) % n.
+    Same construction as operators/dedup.shingle_base_hash; change them
+    together or cross-engine bucket parity silently breaks."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % n
+    )
+
+
 def dsum(col, alias: str, scale: int = 4):
     """Order-independent exact sum of a DOUBLE column: sum as DECIMAL,
     cast back to DOUBLE. Bit-identical across engines and partition

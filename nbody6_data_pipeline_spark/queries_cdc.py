@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from nbody6_data_pipeline_spark.plans.skew import salted_join
-from nbody6_data_pipeline_spark.queries import _t, dsum, event_us, register
+from nbody6_data_pipeline_spark.queries import (
+    _t,
+    dsum,
+    event_us,
+    md5_bucket,
+    register,
+)
 
 # ---------------------------------------------------------------------------
 # Latest-record-wins compaction (CDC "deduplicate to current state")
@@ -37,7 +43,7 @@ from nbody6_data_pipeline_spark.queries import _t, dsum, event_us, register
       SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
              ROW_NUMBER() OVER (
                PARTITION BY user_id, event_type
-               ORDER BY ts DESC, event_id DESC) AS rn
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       FROM events
     )
     WHERE rn = 1
@@ -134,11 +140,7 @@ def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Summary aggregation keeps the driver-facing result tiny.
     """
     o = _t(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket(F.col("o_orderkey"))
     src = o.select("o_orderkey", "o_orderstatus", "o_totalprice", bucket.alias("bucket"))
     base = src.filter(F.col("bucket") < 70).select(
         F.col("o_orderkey").alias("key"),
@@ -257,11 +259,7 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     column.
     """
     e = _t(spark, sf_dir, "events")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket(F.col("event_id"))
     rows = e.select(
         (event_us(e) / F.lit(_DAY_US)).cast("long").alias("day"),
         "event_type",

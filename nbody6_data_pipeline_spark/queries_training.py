@@ -18,7 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.text import token_array
-from nbody6_data_pipeline_spark.queries import _t, event_us, q6, register
+from nbody6_data_pipeline_spark.queries import _t, event_us, md5_bucket, q6, register
 
 # ---- deterministic sampling ----
 
@@ -50,11 +50,7 @@ def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled at the same rate (test_training.py asserts per-lang rates
     concentrate around SAMPLE_PCT)."""
     d = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket(F.col("doc_id"))
     return (
         d.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < SAMPLE_PCT)

@@ -113,13 +113,35 @@ def read_view(spark: SparkSession, out_base: str) -> DataFrame:
 
 
 def compact(spark: SparkSession, out_base: str) -> None:
-    """Fold all log partitions into one consolidated partial set under
-    the reserved batch id. Pure partial-merge — raw events are never
-    touched. The full overwrite is staged through a localCheckpoint so
-    the read completes before its own input is replaced."""
+    """Fold log partitions into one consolidated partial set under the
+    reserved batch id. Pure partial-merge — raw events are never
+    touched.
+
+    Crash-replay safety: foreachBatch may RE-RUN the highest batch id
+    after a recovery (its partition write landed but the checkpoint
+    commit did not), so the newest batch partition is EXCLUDED from
+    the fold — a replay then overwrites that partition in place and
+    nothing is double-counted. The rewrite also deletes exactly the
+    partitions it read (snapshot taken up front), so a batch partition
+    written concurrently is never dropped. The merged read is staged
+    through a localCheckpoint so it completes before its inputs are
+    removed."""
+    import re
+    import shutil
+
     log_dir = os.path.join(out_base, "partials")
+    part_dirs = {
+        int(m.group(1)): os.path.join(log_dir, d)
+        for d in os.listdir(log_dir)
+        for m in [re.match(r"batch_id=(-?\d+)$", d)]
+        if m
+    }
+    newest = max(part_dirs)
+    fold_ids = [b for b in part_dirs if b != newest]
+    if len(fold_ids) < 2:
+        return  # nothing to gain
     merged = (
-        spark.read.parquet(log_dir)
+        spark.read.parquet(*[part_dirs[b] for b in fold_ids])
         .groupBy("day", "event_type")
         .agg(
             F.sum("p_n").alias("p_n"),
@@ -127,12 +149,11 @@ def compact(spark: SparkSession, out_base: str) -> None:
             # width would make future batch partitions schema-incompatible
             F.sum("p_sum").cast("decimal(38,6)").alias("p_sum"),
         )
-        .withColumn("batch_id", F.lit(_COMPACTED_BATCH_ID))
         .localCheckpoint()
     )
-    (
-        merged.write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "static")  # drop ALL old partitions
-        .parquet(log_dir)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(log_dir, f"batch_id={_COMPACTED_BATCH_ID}")
     )
+    for b in fold_ids:
+        if b != _COMPACTED_BATCH_ID:
+            shutil.rmtree(part_dirs[b])

@@ -113,3 +113,28 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"event_id", "user_id", "schema_tag"}
     assert merged.count() == 150
     assert merged.filter(F.col("schema_tag").isNull()).count() == 100
+
+
+def test_compact_refuses_hive_partitioned_root(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from nbody6_data_pipeline_spark.plans.layout import compact_small_files
+
+    e = _events(spark, sf_dir)
+    part = str(tmp_path / "by_type_for_compact")
+    write_partitioned(e, part, ["event_type"])
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_small_files(spark, part)
+    # per-partition compaction works and preserves the tree
+    import glob
+    import os
+
+    sub = sorted(glob.glob(f"{part}/event_type=*"))[0]
+    spark.read.parquet(sub)  # sanity: readable
+    n_before, n_after = compact_small_files(spark, sub, target_file_bytes=64 << 20)
+    assert n_after <= n_before
+    assert os.path.isdir(sub)
+    # partition pruning still works after per-partition compaction
+    assert files_touched(spark, part, "true") >= files_touched(
+        spark, part, f"event_type = '{os.path.basename(sub).split('=')[1]}'"
+    )

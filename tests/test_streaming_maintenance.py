@@ -79,8 +79,10 @@ def test_mv_maintenance_matches_recompute(spark, tmp_path):
 
     a = _event_rows([(0, "click", 1.5), (0, "view", 2.0), (1, "click", 0.25)])
     b = _event_rows([(0, "click", 4.5), (1, "view", 1.0)])
+    c = _event_rows([(2, "purchase", 9.0), (1, "click", 0.5)])
     _write_batch(spark, tmp_path, stream_dir, "a", 1_000_000, a)
     _write_batch(spark, tmp_path, stream_dir, "b", 1_000_100, b)
+    _write_batch(spark, tmp_path, stream_dir, "c", 1_000_200, c)
 
     schema = spark.read.parquet(str(stream_dir)).schema
     stream = (
@@ -94,22 +96,33 @@ def test_mv_maintenance_matches_recompute(spark, tmp_path):
     finally:
         q.stop()
 
-    assert _view_dict(spark, out) == _expected(spark, a + b)
+    assert _view_dict(spark, out) == _expected(spark, a + b + c)
     # one partition per micro-batch in the partial log
     log = spark.read.parquet(str(out / "partials"))
-    assert log.select("batch_id").distinct().count() == 2
+    assert log.select("batch_id").distinct().count() == 3
 
-    # compaction folds the log without changing the view
+    # compaction folds all but the NEWEST batch partition (which a
+    # crash-replay may overwrite) without changing the view
     compact(spark, str(out))
-    assert _view_dict(spark, out) == _expected(spark, a + b)
+    assert _view_dict(spark, out) == _expected(spark, a + b + c)
     log = spark.read.parquet(str(out / "partials"))
-    assert log.select("batch_id").distinct().count() == 1
+    assert {r.batch_id for r in log.select("batch_id").distinct().collect()} == {-1, 2}
+
+    # a replay of the newest batch after compaction must not double-count
+    proc = make_mv_processor(str(out))
+    proc(spark.createDataFrame(c), batch_id=2)
+    assert _view_dict(spark, out) == _expected(spark, a + b + c)
 
     # a post-compaction batch lands next to the compacted partition
-    c = _event_rows([(2, "purchase", 9.0), (0, "click", 1.0)])
-    proc = make_mv_processor(str(out))
-    proc(spark.createDataFrame(c), batch_id=7)
-    assert _view_dict(spark, out) == _expected(spark, a + b + c)
+    d = _event_rows([(3, "view", 4.0), (0, "click", 1.0)])
+    proc(spark.createDataFrame(d), batch_id=7)
+    assert _view_dict(spark, out) == _expected(spark, a + b + c + d)
+
+    # second compaction folds {-1, 2} and keeps 7
+    compact(spark, str(out))
+    assert _view_dict(spark, out) == _expected(spark, a + b + c + d)
+    log = spark.read.parquet(str(out / "partials"))
+    assert {r.batch_id for r in log.select("batch_id").distinct().collect()} == {-1, 7}
 
 
 def test_mv_replay_idempotent(spark, tmp_path):

@@ -238,3 +238,23 @@ def test_resize_media_plumbing(spark):
     assert len(out[1]["content"]) == 16
     # unknown-geometry branch still produces the proportional subsample
     assert bytes(out[3]["content"]) == fake_resize(b"\x10" * 100, None, None, 4, 4)
+
+
+def test_resize_media_mixed_batch_and_empty_payload(spark):
+    """Regression: Arrow->pandas turns a nullable int column into
+    float64 when ANY row in the batch is null, so width arrives as 8.0
+    — and an empty (non-null) payload must pass through, not crash."""
+    from nbody6_data_pipeline_spark.operators.multimodal import resize_media
+
+    img = bytes(range(64))
+    data = [
+        (1, "image", img, 8, 8, None),
+        (2, "image", b"\x10" * 100, None, None, None),  # null dims
+        (3, "image", b"", 4, 4, None),  # empty payload
+    ]
+    # coalesce(1): all rows share a partition -> one mixed Arrow batch
+    media = spark.createDataFrame(data, MEDIA_SCHEMA).coalesce(1)
+    out = {r["media_id"]: r for r in resize_media(media, 4, 4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert len(out[1]["content"]) == 16
+    assert bytes(out[3]["content"]) == b""
