@@ -484,10 +484,50 @@ def prefix_block_pairs(
     """
     from pyspark.sql import Window as W
 
+    return block_pairs(
+        df, text, id_col, lambda norm: F.substring(norm, 1, prefix_len), block_cap
+    )
+
+
+def sorted_token_block_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: str,
+    n_tokens: int = 3,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Second blocking key for fuzzy matching: the first ``n_tokens``
+    of the SORTED token multiset. Catches near-identical texts whose
+    edits fall inside the leading characters (which defeat prefix
+    blocking) but whose vocabulary is unchanged — the standard
+    multi-key blocking recipe from record linkage: run several cheap
+    keys, union the candidate sets, verify once."""
+    return block_pairs(
+        df,
+        text,
+        id_col,
+        lambda norm: F.array_join(
+            F.slice(F.sort_array(F.split(norm, " ")), 1, n_tokens), " "
+        ),
+        block_cap,
+    )
+
+
+def block_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: str,
+    block_key,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Shared candidate-pair core for any blocking key (a callable from
+    the normalized-text column to the key column)."""
+    from pyspark.sql import Window as W
+
     base = _normed_docs(df, text, id_col).select(
         F.col("doc").alias("_id"),
         F.col("norm").alias("_norm"),
-        F.substring("norm", 1, prefix_len).alias("_block"),
+        block_key(F.col("norm")).alias("_block"),
     )
     sized = base.withColumn(
         "_bsize", F.count(F.lit(1)).over(W.partitionBy("_block"))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.dedup import (
     prefix_block_pairs,
+    sorted_token_block_pairs,
     BANDS,
     MINHASH_A,
     MINHASH_B,
@@ -1025,6 +1026,68 @@ def q_doc_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _FUZZY_DIST)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_FUZZY_TOKENS = 3
+
+
+@register(
+    "doc_fuzzy_match_multikey",
+    f"""
+    WITH d AS (SELECT doc_id, {_DD_NORM} AS norm FROM documents),
+    k1 AS (
+      SELECT doc_id, norm, substring(norm, 1, {_FUZZY_PREFIX}) AS block FROM d
+    ),
+    k2 AS (
+      SELECT doc_id, norm,
+             array_to_string(
+               list_sort(string_split(norm, ' '))[1:{_FUZZY_TOKENS}], ' ') AS block
+      FROM d
+    ),
+    s1 AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bsize FROM k1),
+    s2 AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bsize FROM k2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.norm AS na, c.norm AS nb
+      FROM (SELECT * FROM s1 WHERE bsize <= {_FUZZY_CAP}) a
+      JOIN (SELECT * FROM s1 WHERE bsize <= {_FUZZY_CAP}) c
+        ON a.block = c.block AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.norm, c.norm
+      FROM (SELECT * FROM s2 WHERE bsize <= {_FUZZY_CAP}) a
+      JOIN (SELECT * FROM s2 WHERE bsize <= {_FUZZY_CAP}) c
+        ON a.block = c.block AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, levenshtein(na, nb) AS edit_dist
+    FROM pairs
+    WHERE levenshtein(na, nb) <= {_FUZZY_DIST}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_doc_fuzzy_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key blocked fuzzy matching (the record-linkage recipe):
+    candidates from TWO cheap blocking keys — normalized prefix AND
+    first tokens of the sorted token multiset — unioned and verified
+    once with levenshtein. The second key recovers exactly the pairs
+    prefix blocking is blind to (edits inside the leading characters
+    with unchanged vocabulary). Each key is one shuffle with the same
+    degenerate-block cap; the union dedups candidate pairs BEFORE the
+    O(len^2) verify so no pair is scored twice.
+    """
+    d = _t(spark, sf_dir, "documents")
+    p1 = prefix_block_pairs(
+        d, F.col("text"), "doc_id", prefix_len=_FUZZY_PREFIX, block_cap=_FUZZY_CAP
+    )
+    p2 = sorted_token_block_pairs(
+        d, F.col("text"), "doc_id", n_tokens=_FUZZY_TOKENS, block_cap=_FUZZY_CAP
+    )
+    cand = p1.unionByName(p2).distinct()
+    return (
+        cand.select(
+            "id_a", "id_b", F.levenshtein("text_a", "text_b").alias("edit_dist")
         )
         .filter(F.col("edit_dist") <= _FUZZY_DIST)
         .orderBy("id_a", "id_b")

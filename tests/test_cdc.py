@@ -147,3 +147,30 @@ def test_prefix_block_pairs_semantics(spark):
         docs, F.col("text"), "doc_id", prefix_len=16, block_cap=2
     ).collect()
     assert capped == []
+
+
+def test_sorted_token_block_recovers_prefix_edits(spark):
+    """A near-dup whose edit hits the leading characters defeats prefix
+    blocking; the sorted-token key must still pair it."""
+    from pyspark.sql import Row
+
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        prefix_block_pairs,
+        sorted_token_block_pairs,
+    )
+
+    # leading token edited (z->y) but it SORTS LAST, so the sorted
+    # first-3-token key ("brown fox high") is identical for both
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="zebra quick brown fox jumps high"),
+            Row(doc_id=2, text="yebra quick brown fox jumps high"),
+        ]
+    )
+    by_prefix = prefix_block_pairs(docs, F.col("text"), "doc_id").collect()
+    assert by_prefix == []  # prefix key is blind to this pair
+    by_tokens = {
+        (r.id_a, r.id_b)
+        for r in sorted_token_block_pairs(docs, F.col("text"), "doc_id").collect()
+    }
+    assert by_tokens == {(1, 2)}
