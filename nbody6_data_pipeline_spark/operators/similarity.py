@@ -463,7 +463,10 @@ def _with_cents(df: DataFrame, spark, cents: list[tuple[int, list[float]]]) -> D
     on every subsequent iteration — inlining k x dim literals instead
     costs a multi-second Janino recompile per iteration."""
     carr = (
-        spark.createDataFrame(cents, _CENT_SCHEMA)
+        spark.createDataFrame(
+            # one slice: k rows need one task, not defaultParallelism
+            spark.sparkContext.parallelize(cents, 1), _CENT_SCHEMA
+        )
         .agg(F.collect_list(F.struct("c_id", "cv")).alias("cents"))
     )
     return df.crossJoin(F.broadcast(carr))
@@ -496,12 +499,26 @@ def exact_kmeans_cells(
     CAST(sum AS DOUBLE)/cnt. Empty clusters keep their previous
     centroid (standard Lloyd fallback)."""
     spark = df.sparkSession
-    e = df.select(
-        F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        _quantize(F.col(vec_col)).alias("vq"),
-        norm(F.col(vec_col)).alias("nrm"),
+    e = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            _quantize(F.col(vec_col)).alias("vq"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
+    # Persisting `e` caps the corpus I/O at ONE scan for the whole
+    # run: without it every Lloyd iteration plus the final assignment
+    # re-reads + re-projects the parquet source (iters+1 scans — 16x
+    # the I/O at the default 15 iterations). The repartition spreads
+    # the cache across every core BEFORE the loop (one shuffle
+    # amortized over iters+1 cached passes): the assignment argmin is
+    # a higher-order-function fold, which Spark evaluates interpreted
+    # (outside codegen), so its wall-time scales with the parallelism
+    # of the cached partitions, not the input file count. Values are
+    # unchanged (persist/repartition are plan-transparent).
     init = sorted(
         (r["vec_id"], [float(x) for x in r["vq"]])
         for r in e.filter(F.col("vec_id") < k).select("vec_id", "vq").collect()
@@ -513,20 +530,40 @@ def exact_kmeans_cells(
             _with_cents(e, spark, cents)
             .withColumn("cell", assign_expr)
         )
-        sums = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            *[F.sum(F.col("vq")[i]).alias(f"s{i}") for i in range(dim)],
-        ).collect()
+        # Narrow update aggregation: posexplode to (cell, dim_j, x)
+        # and one 3-column hash-agg — k*dim result rows — instead of a
+        # dim-wide SUM list. Identical exact-integer sums, but the
+        # generated aggregate class stays small (fast codegen) and the
+        # shuffle rows are tiny. Map-side combinable either way.
+        # (An unrolled single-plan variant with lazy broadcast
+        # centroid subqueries was benched and is SLOWER locally — the
+        # nested broadcast materializations cost more than the
+        # per-iteration collect round-trip they remove.)
+        sums = (
+            assigned.select("cell", F.posexplode("vq").alias("j", "x"))
+            .groupBy("cell", "j")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [0] * (dim + 1))
+            acc[r["cell"]][r["j"]] = r["s"]
+            acc[r["cell"]][dim] = r["cnt"]
         updated = {
-            r["cell"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)]
-            for r in sums
+            cell: [v[j] / v[dim] for j in range(dim)]
+            for cell, v in acc.items()
         }
         cents = [(c_id, updated.get(c_id, cv)) for c_id, cv in cents]
     cells = (
         _with_cents(e, spark, cents)
         .withColumn("cell", assign_expr)
         .select("vec_id", "v", "vq", "nrm", "cell")
+        .persist()
     )
+    # `cells` is consumed more than once downstream (posting lists +
+    # probe side); persist makes the final assignment compute once.
+    # `e` stays cached until then — it backs the lazy `cells` plan.
     return cents, cells
 
 

@@ -49,7 +49,39 @@ def registry() -> dict[str, QuerySpec]:
     import nbody6_data_pipeline_spark.queries_training  # noqa: F401
     import nbody6_data_pipeline_spark.queries_window  # noqa: F401
 
-    return dict(_REGISTRY)
+    # Registration order is import order, but the driver's correctness
+    # gate may sample a prefix of this dict.  Front-load the entries
+    # with the least accumulated driver-side evidence (green only in
+    # the local gate through round 3) so a sampled run converts them
+    # into hard signal first; everything else follows in registration
+    # order.
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
+
+
+# Queries green in CORRECTNESS_local_r03.json but absent from every
+# driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
+_DRIVER_PRIORITY = [
+    "asof_join_tables",
+    "doc_benchmark_contamination",
+    "doc_length_winsorize",
+    "doc_mixture_sample",
+    "doc_pattern_scrub",
+    "doc_rollup_stats",
+    "doc_stratified_sample",
+    "doc_topk_per_source",
+    "events_funnel",
+    "events_interval_coverage",
+    "events_json_extract",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_weekly_summary",
+    "lineitem_mad",
+    "orders_priority_mode",
+    "range_join_incidents",
+    "streaming_interval_join",
+]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

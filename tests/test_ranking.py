@@ -36,9 +36,12 @@ def test_global_row_number_matches_window(spark):
     df = spark.range(257).select(
         (F.col("id") % 13).cast("double").alias("v"), F.col("id").alias("k")
     )
-    ranked, total = with_global_row_number(df, ["v", "k"], n_buckets=8)
-    assert total == 257
-    got = {r["k"]: r["rn"] for r in ranked.collect()}
+    ranked = with_global_row_number(
+        df, ["v", "k"], n_buckets=8, total_col="tot"
+    )
+    rows = ranked.collect()
+    assert all(r["tot"] == 257 for r in rows)
+    got = {r["k"]: r["rn"] for r in rows}
     want = {
         r["k"]: r["rn"]
         for r in df.select(
@@ -49,6 +52,14 @@ def test_global_row_number_matches_window(spark):
 
 
 def test_no_single_partition_window_in_plan(spark):
+    """The canonical plan gate: any single-partition shape in the
+    exact-ntile plan must sit above an aggregation (≤ n_buckets rows),
+    never over the raw table; the per-row window must be partitioned."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.explain_audit import audit_plan
+
     df = spark.range(1000).select(
         F.col("id").cast("double").alias("v"), F.col("id").alias("k")
     )
@@ -58,7 +69,8 @@ def test_no_single_partition_window_in_plan(spark):
         .executedPlan()
         .toString()
     )
-    assert "SinglePartition" not in plan
+    hard, _soft = audit_plan(plan)
+    assert not hard, hard
 
 
 def test_merge_asof_semantics(spark):
