@@ -482,8 +482,6 @@ def prefix_block_pairs(
 
     Returns (id_a, id_b, text_a, text_b) with id_a < id_b.
     """
-    from pyspark.sql import Window as W
-
     return block_pairs(
         df, text, id_col, lambda norm: F.substring(norm, 1, prefix_len), block_cap
     )

@@ -2,13 +2,19 @@
 
 Images/audio/video ride through the engine as opaque BINARY columns
 with typed metadata; decode / feature-extraction / resize / frame
-sampling run as Arrow-batched Pandas UDFs over ``mapInPandas``. The
-Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested; the actual codec calls are STUBBED
-(image/audio libraries are not in this container): ``decode_fn``
-defaults to a deterministic fake that derives pseudo-features from
-the bytes, and a real deployment injects e.g. a PIL/ffmpeg-backed
-callable with the same signature.
+sampling run as Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+Codecs: binary PNM images (PPM ``P6`` / PGM ``P5`` — the formats that
+need no external libraries) get a REAL decode → nearest-neighbor
+resample → re-encode path implemented here in pure numpy
+(``pnm_decode`` / ``pnm_encode`` / ``pnm_resize``). Other formats
+(JPEG/PNG/audio/video) would need PIL/opencv/ffmpeg, which are not in
+this container: for those ``decode_fn``/``resize_fn`` fall back to a
+deterministic byte-level stand-in (``fake_decode``/``fake_resize``),
+and a real deployment injects a library-backed callable with the same
+signature. The Spark-side plumbing — schema, partitioning, UDF
+signatures, batch shapes, payload never shuffling — is identical on
+both paths and is what the tests pin down.
 """
 
 from __future__ import annotations
@@ -97,6 +103,126 @@ def frame_sample_plan(
     )
 
 
+# ---- Real PNM (PPM/PGM binary) codec — pure numpy, no external deps ----
+
+
+def _pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a binary-PNM header: returns (magic, width, height,
+    maxval, payload_offset). Handles arbitrary whitespace and
+    ``#`` comments, per the netpbm spec."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM payload (magic {data[:2]!r})")
+    magic = data[:2]
+    fields: list[int] = []
+    i = 2
+    n = len(data)
+    while len(fields) < 3:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    width, height, maxval = fields
+    return magic, width, height, maxval, i
+
+
+def pnm_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """Binary PPM/PGM -> (array, maxval); array shape (H, W) for PGM,
+    (H, W, 3) for PPM, dtype uint8 (maxval < 256) or uint16
+    (big-endian 2-byte samples, per spec)."""
+    magic, width, height, maxval, off = _pnm_header(content)
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    count = width * height * channels
+    arr = np.frombuffer(content, dtype=dtype, count=count, offset=off)
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    return arr.reshape(shape).astype(dtype.newbyteorder("=")), maxval
+
+
+def pnm_encode(arr: np.ndarray, maxval: int = 255) -> bytes:
+    """(H, W[, 3]) array -> binary PPM (3 channels) or PGM bytes."""
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    header = b"%s\n%d %d\n%d\n" % (magic, arr.shape[1], arr.shape[0], maxval)
+    return header + arr.astype(dtype).tobytes()
+
+
+def pnm_resize(
+    content: bytes, width: int, height: int, new_width: int, new_height: int
+) -> bytes:
+    """Real image resample for binary PNM payloads: decode, nearest-
+    neighbor index remap (pure integer arithmetic — deterministic on
+    every platform), re-encode. Geometry comes from the PAYLOAD
+    header; the metadata width/height arguments are accepted for
+    signature compatibility but not trusted."""
+    arr, maxval = pnm_decode(content)
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(new_height) * h) // max(new_height, 1)
+    xs = (np.arange(new_width) * w) // max(new_width, 1)
+    return pnm_encode(arr[ys][:, xs], maxval)
+
+
+def pnm_features(content: bytes, media_type: str) -> np.ndarray:
+    """Real feature extraction for binary PNM payloads: per-channel
+    mean/std/min/max plus a coarse 2x2 luminance grid, normalized to
+    [0, 1] — FEATURE_DIM floats, zero-padded."""
+    arr, maxval = pnm_decode(content)
+    px = arr.reshape(arr.shape[0], arr.shape[1], -1).astype(np.float64)
+    scale = float(maxval)
+    feats: list[float] = []
+    for c in range(px.shape[2]):
+        ch = px[:, :, c]
+        feats += [ch.mean(), ch.std(), ch.min(), ch.max()]
+    lum = px.mean(axis=2)
+    h2, w2 = max(1, lum.shape[0] // 2), max(1, lum.shape[1] // 2)
+    for qy in range(2):
+        for qx in range(2):
+            feats.append(
+                lum[qy * h2 : (qy + 1) * h2 or None, qx * w2 : (qx + 1) * w2 or None].mean()
+            )
+    out = np.zeros(FEATURE_DIM)
+    vals = np.array(feats[:FEATURE_DIM]) / scale
+    out[: vals.size] = vals
+    return out
+
+
+def is_pnm(content: bytes | None) -> bool:
+    return content is not None and bytes(content[:2]) in (b"P5", b"P6")
+
+
+def decode_auto(content: bytes, media_type: str) -> np.ndarray:
+    """Feature decode dispatch: REAL codec for binary PNM payloads,
+    deterministic byte-level stand-in otherwise (JPEG/PNG/audio need
+    libraries this container doesn't ship — inject a decode_fn)."""
+    if is_pnm(content):
+        return pnm_features(content, media_type)
+    return fake_decode(content, media_type)
+
+
+def resize_auto(
+    content: bytes, width: int, height: int, new_width: int, new_height: int
+) -> bytes:
+    """Resize dispatch: REAL decode/resample/re-encode for binary PNM
+    payloads, deterministic byte-level stand-in otherwise."""
+    if is_pnm(content):
+        return pnm_resize(content, width, height, new_width, new_height)
+    return fake_resize(content, width, height, new_width, new_height)
+
+
 def fake_resize(
     content: bytes, width: int, height: int, new_width: int, new_height: int
 ) -> bytes:
@@ -130,7 +256,7 @@ def resize_media(
     media: DataFrame,
     new_width: int,
     new_height: int,
-    resize_fn: Callable[[bytes, int, int, int, int], bytes] = fake_resize,
+    resize_fn: Callable[[bytes, int, int, int, int], bytes] = resize_auto,
 ) -> DataFrame:
     """Binary-in / binary-out transform via mapInPandas: re-encode each
     image payload at a new geometry and update the typed metadata in
@@ -138,8 +264,15 @@ def resize_media(
     batches on the executor — it is transformed in place in the plan,
     never shuffled, never collected; only the schema changes. This is
     the signature every decode/transcode stage in a multimodal
-    training pipeline has, so the stub proves the plumbing the real
-    codec drops into."""
+    training pipeline has; binary-PNM payloads go through the real
+    codec (``pnm_resize``), other formats through the injected or
+    stand-in ``resize_fn``.
+
+    Composition-safe in a mixed-modality pipeline: non-image rows and
+    image rows with a NULL payload pass through UNTOUCHED (original
+    content and width/height kept) — the metadata never claims a
+    geometry the payload doesn't have, and downstream stages see the
+    full row set."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -147,27 +280,34 @@ def resize_media(
             T.StructField("content", T.BinaryType(), True),
             T.StructField("width", T.IntegerType(), True),
             T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
-                resize_fn(c, w, h, new_width, new_height)
-                if c is not None
-                else None
-                for c, w, h in zip(pdf["content"], pdf["width"], pdf["height"])
-            ]
+            contents, widths, heights = [], [], []
+            for c, w, h, mt in zip(
+                pdf["content"], pdf["width"], pdf["height"], pdf["media_type"]
+            ):
+                if mt != "image" or c is None:
+                    # pass-through: keep payload AND metadata as-is
+                    contents.append(c)
+                    widths.append(None if pd.isna(w) else int(w))
+                    heights.append(None if pd.isna(h) else int(h))
+                else:
+                    contents.append(resize_fn(c, w, h, new_width, new_height))
+                    widths.append(new_width)
+                    heights.append(new_height)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "content": out,
-                    "width": new_width,
-                    "height": new_height,
+                    "content": contents,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pdf["duration_ms"],
                 }
             )
 
-    return media.filter(F.col("media_type") == "image").mapInPandas(
-        run, schema=out_schema
-    )
+    return media.mapInPandas(run, schema=out_schema)

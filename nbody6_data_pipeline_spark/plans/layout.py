@@ -101,12 +101,28 @@ def compact_small_files(
     with ``write_range_sorted``'s ordering restores min/max skipping
     that micro-batch appends destroyed).
 
-    The rewrite stages through a localCheckpoint so the read completes
-    before its own input is replaced (same pattern as
-    streaming/maintenance.compact). Returns (files_before, files_after).
+    The rewrite streams to a sibling staging directory and swaps via
+    directory renames (source deleted LAST): the source is never the
+    only copy while being replaced — a crash leaves either the
+    untouched source (plus a stale staging dir, garbage-collected on
+    the next call) or the complete old table at ``<path>._compact_old``
+    (auto-restored on the next call). No full materialization through
+    executor storage either, so the table can exceed cluster memory.
+    Returns (files_before, files_after).
     """
     import math
     import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # self-heal a previous interrupted swap before touching anything
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)  # crash after swap, before cleanup
+        else:
+            os.rename(old, path)  # crash between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
 
     hive_parts = [
         d
@@ -138,5 +154,8 @@ def compact_small_files(
         df = df.repartitionByRange(n_after, *cols).sortWithinPartitions(*cols)
     else:
         df = df.coalesce(n_after)
-    df.localCheckpoint().write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_before, n_after

@@ -223,9 +223,6 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DAY_US = 86_400_000_000
-_EBUCKET = (
-    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-)
 
 
 @register(

@@ -14,9 +14,18 @@ same recovery contract as streaming/ingest.py.
 
 Compaction: the partial log grows by one partition per micro-batch;
 `compact()` folds all partitions into a single consolidated partial
-set under a reserved batch id. Because count and decimal-sum are
-algebraic, compaction is itself just the merge — no access to raw
-events — and the view's value is unchanged (test-asserted).
+set under a GENERATION-numbered reserved batch id (-1, -2, ... — each
+compaction commits a new, more-negative generation). Because count and
+decimal-sum are algebraic, compaction is itself just the merge — no
+access to raw events — and the view's value is unchanged
+(test-asserted). The fold is written to a staging directory together
+with a manifest of the partition ids it folded, committed with ONE
+atomic directory rename, and only then are the folded inputs deleted:
+a crash at any point leaves either the inputs intact (pre-commit — the
+stale staging dir is garbage-collected later) or a committed
+generation whose manifest lets `read_view` exclude, and the next
+`compact` delete, any folded input the crash left behind. No state is
+ever the only copy while being replaced.
 
 At 100 TB the partial log is partitioned by (batch_id) and tiny
 relative to the corpus (one row per (day, type) per batch); the view
@@ -97,11 +106,66 @@ def start_rollup_mv(spark: SparkSession, stream: DataFrame, out_base: str):
     )
 
 
+_STAGING_PREFIX = "_tmp_compact"  # leading _ => invisible to parquet readers
+_MANIFEST = "_folded.json"
+
+
+def _scan_log(log_dir: str) -> dict[int, str]:
+    """{batch_id: dir} for every batch_id=* partition directory;
+    empty dict when the log directory does not exist yet (stream never
+    produced a batch)."""
+    import re
+
+    if not os.path.isdir(log_dir):
+        return {}
+    return {
+        int(m.group(1)): os.path.join(log_dir, d)
+        for d in os.listdir(log_dir)
+        for m in [re.match(r"batch_id=(-?\d+)$", d)]
+        if m
+    }
+
+
+def _folded_ids(gen_dir: str) -> set[int]:
+    """Partition ids a committed generation folded (its manifest)."""
+    import json
+
+    mp = os.path.join(gen_dir, _MANIFEST)
+    if not os.path.exists(mp):
+        return set()
+    with open(mp) as fh:
+        return set(json.load(fh))
+
+
+def _live_dirs(log_dir: str) -> list[str]:
+    """The authoritative partition set: the newest committed
+    generation (most negative id) plus every partition its manifest
+    does NOT cover. Inputs a crashed compaction failed to delete are
+    listed in the manifest and therefore excluded — never
+    double-counted."""
+    parts = _scan_log(log_dir)
+    gens = [b for b in parts if b < 0]
+    if not gens:
+        return [parts[b] for b in sorted(parts)]
+    newest_gen = min(gens)
+    folded = _folded_ids(parts[newest_gen])
+    return [
+        parts[b]
+        for b in sorted(parts)
+        if b == newest_gen or (b >= 0 and b not in folded)
+    ]
+
+
 def read_view(spark: SparkSession, out_base: str) -> DataFrame:
-    """Merge-on-read: fold the partial log into the current view. The
-    decimal partial sums re-merge exactly, so this equals a full
-    recompute over every event ever streamed (test-asserted)."""
-    log = spark.read.parquet(os.path.join(out_base, "partials"))
+    """Merge-on-read: fold the live partial-log partitions into the
+    current view. The decimal partial sums re-merge exactly, so this
+    equals a full recompute over every event ever streamed
+    (test-asserted), including across a compaction interrupted at any
+    point (stale folded inputs are excluded via the generation
+    manifest)."""
+    log_dir = os.path.join(out_base, "partials")
+    live = _live_dirs(log_dir)
+    log = spark.read.parquet(*live) if live else spark.read.parquet(log_dir)
     return (
         log.groupBy("day", "event_type")
         .agg(
@@ -112,36 +176,64 @@ def read_view(spark: SparkSession, out_base: str) -> DataFrame:
     )
 
 
+def _gc_log(log_dir: str) -> None:
+    """Finish any interrupted compaction: drop pre-commit staging
+    directories, and delete inputs already folded into the committed
+    newest generation (the post-commit crash window)."""
+    import shutil
+
+    if not os.path.isdir(log_dir):
+        return
+    for d in os.listdir(log_dir):
+        if d.startswith(_STAGING_PREFIX):
+            shutil.rmtree(os.path.join(log_dir, d), ignore_errors=True)
+    parts = _scan_log(log_dir)
+    gens = [b for b in parts if b < 0]
+    if not gens:
+        return
+    newest_gen = min(gens)
+    folded = _folded_ids(parts[newest_gen])
+    for b, p in parts.items():
+        if b != newest_gen and b in folded:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def compact(spark: SparkSession, out_base: str) -> None:
-    """Fold log partitions into one consolidated partial set under the
-    reserved batch id. Pure partial-merge — raw events are never
+    """Fold log partitions into one consolidated partial set under a
+    new generation id. Pure partial-merge — raw events are never
     touched.
 
     Crash-replay safety: foreachBatch may RE-RUN the highest batch id
     after a recovery (its partition write landed but the checkpoint
     commit did not), so the newest batch partition is EXCLUDED from
     the fold — a replay then overwrites that partition in place and
-    nothing is double-counted. The rewrite also deletes exactly the
-    partitions it read (snapshot taken up front), so a batch partition
-    written concurrently is never dropped. The merged read is staged
-    through a localCheckpoint so it completes before its inputs are
-    removed."""
-    import re
+    nothing is double-counted.
+
+    Crash-atomicity: the merged fold (read from a snapshot of input
+    dirs that stay untouched during the write) lands in a staging
+    directory with a manifest of the folded ids; one atomic rename
+    commits it as ``batch_id=<new generation>``; the folded inputs are
+    deleted only after the commit. Pre-commit crash: inputs intact,
+    staging GC'd on the next run. Post-commit crash: leftover inputs
+    are excluded by ``read_view`` (manifest) and deleted here on the
+    next run."""
+    import json
     import shutil
 
     log_dir = os.path.join(out_base, "partials")
-    part_dirs = {
-        int(m.group(1)): os.path.join(log_dir, d)
-        for d in os.listdir(log_dir)
-        for m in [re.match(r"batch_id=(-?\d+)$", d)]
-        if m
-    }
-    newest = max(part_dirs)
-    fold_ids = [b for b in part_dirs if b != newest]
-    if len(fold_ids) < 2:
+    _gc_log(log_dir)
+    parts = _scan_log(log_dir)
+    if not parts:
+        return  # no log yet, or nothing but staging leftovers
+    newest = max(parts)
+    fold = {b: p for b, p in parts.items() if b != newest}
+    if len(fold) < 2:
         return  # nothing to gain
-    merged = (
-        spark.read.parquet(*[part_dirs[b] for b in fold_ids])
+    gens = [b for b in parts if b < 0]
+    new_gen = (min(gens) - 1) if gens else _COMPACTED_BATCH_ID
+    staging = os.path.join(log_dir, f"{_STAGING_PREFIX}{-new_gen}")
+    (
+        spark.read.parquet(*fold.values())
         .groupBy("day", "event_type")
         .agg(
             F.sum("p_n").alias("p_n"),
@@ -149,11 +241,11 @@ def compact(spark: SparkSession, out_base: str) -> None:
             # width would make future batch partitions schema-incompatible
             F.sum("p_sum").cast("decimal(38,6)").alias("p_sum"),
         )
-        .localCheckpoint()
+        .write.mode("overwrite")
+        .parquet(staging)
     )
-    merged.write.mode("overwrite").parquet(
-        os.path.join(log_dir, f"batch_id={_COMPACTED_BATCH_ID}")
-    )
-    for b in fold_ids:
-        if b != _COMPACTED_BATCH_ID:
-            shutil.rmtree(part_dirs[b])
+    with open(os.path.join(staging, _MANIFEST), "w") as fh:
+        json.dump(sorted(fold), fh)
+    os.rename(staging, os.path.join(log_dir, f"batch_id={new_gen}"))
+    for p in fold.values():
+        shutil.rmtree(p, ignore_errors=True)

@@ -118,11 +118,65 @@ def test_mv_maintenance_matches_recompute(spark, tmp_path):
     proc(spark.createDataFrame(d), batch_id=7)
     assert _view_dict(spark, out) == _expected(spark, a + b + c + d)
 
-    # second compaction folds {-1, 2} and keeps 7
+    # second compaction folds {-1, 2} into generation -2 and keeps 7
     compact(spark, str(out))
     assert _view_dict(spark, out) == _expected(spark, a + b + c + d)
     log = spark.read.parquet(str(out / "partials"))
-    assert {r.batch_id for r in log.select("batch_id").distinct().collect()} == {-1, 7}
+    assert {r.batch_id for r in log.select("batch_id").distinct().collect()} == {-2, 7}
+
+
+def test_mv_compaction_crash_windows(spark, tmp_path):
+    """A compaction interrupted in either crash window must never
+    change the view: pre-commit leaves a staging dir (inputs
+    authoritative), post-commit leaves folded inputs on disk (the
+    committed generation's manifest excludes them)."""
+    out = tmp_path / "mv"
+    proc = make_mv_processor(str(out))
+    a = _event_rows([(0, "click", 1.0), (1, "view", 2.0)])
+    b = _event_rows([(0, "click", 3.0)])
+    c = _event_rows([(2, "purchase", 7.0)])
+    for i, rows in enumerate([a, b, c]):
+        proc(spark.createDataFrame(rows), batch_id=i)
+    want = _expected(spark, a + b + c)
+
+    # pre-commit crash: a stale staging dir must be invisible to
+    # read_view and garbage-collected by the next compact
+    log_dir = out / "partials"
+    stale = log_dir / "_tmp_compact99"
+    stale.mkdir()
+    (stale / "junk.txt").write_text("leftover")
+    assert _view_dict(spark, out) == want
+
+    compact(spark, str(out))  # folds {0, 1}, keeps 2; GCs the staging dir
+    assert not stale.exists()
+    assert _view_dict(spark, out) == want
+    log = spark.read.parquet(str(log_dir))
+    assert {r.batch_id for r in log.select("batch_id").distinct().collect()} == {-1, 2}
+
+    # post-commit crash: recreate a folded input (partition 0 exists
+    # again while generation -1's manifest lists it). read_view must
+    # exclude it; the next compact must delete it without folding it.
+    proc(spark.createDataFrame(a), batch_id=0)
+    assert _view_dict(spark, out) == want
+    proc(spark.createDataFrame(c), batch_id=3)  # growth so compact has work
+    compact(spark, str(out))  # GC deletes stale 0; folds {-1, 2}; keeps 3
+    assert not (log_dir / "batch_id=0").exists()
+    assert _view_dict(spark, out) == _expected(spark, a + b + c + c)
+
+
+def test_mv_compact_guards(spark, tmp_path):
+    """compact() is a no-op (no exception) on a missing log dir, an
+    empty log dir, and a single-partition log."""
+    out = tmp_path / "mv"
+    compact(spark, str(out))  # log dir never created
+    (out / "partials").mkdir(parents=True)
+    compact(spark, str(out))  # exists but empty
+    proc = make_mv_processor(str(out))
+    proc(spark.createDataFrame(_event_rows([(0, "click", 1.0)])), batch_id=0)
+    compact(spark, str(out))  # one partition: nothing to fold
+    assert _view_dict(spark, out) == _expected(
+        spark, _event_rows([(0, "click", 1.0)])
+    )
 
 
 def test_mv_replay_idempotent(spark, tmp_path):

@@ -224,20 +224,103 @@ def test_resize_media_plumbing(spark):
     img = bytes(range(64))  # 8x8 grid
     data = [
         (1, "image", img, 8, 8, None),
-        (2, "audio", b"\xff" * 32, None, None, 2000),  # must be excluded
+        (2, "audio", b"\xff" * 32, None, None, 2000),  # must pass through
         (3, "image", b"\x10" * 100, None, None, None),  # unknown geometry
+        (4, "image", None, 8, 8, None),  # NULL payload: metadata kept
     ]
     media = spark.createDataFrame(data, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in resize_media(media, 4, 4).collect()}
 
-    assert set(out) == {1, 3}  # images only
-    for r in out.values():
-        assert (r["width"], r["height"]) == (4, 4)
+    assert set(out) == {1, 2, 3, 4}  # nothing dropped
+    # images with payloads get the new geometry
+    for i in (1, 3):
+        assert (out[i]["width"], out[i]["height"]) == (4, 4)
+    # non-image rows pass through untouched — payload AND metadata
+    assert bytes(out[2]["content"]) == b"\xff" * 32
+    assert (out[2]["width"], out[2]["height"]) == (None, None)
+    assert out[2]["duration_ms"] == 2000
+    # NULL-payload image keeps its original claimed geometry
+    assert out[4]["content"] is None
+    assert (out[4]["width"], out[4]["height"]) == (8, 8)
     # deterministic stub matches the local computation, byte for byte
     assert bytes(out[1]["content"]) == fake_resize(img, 8, 8, 4, 4)
     assert len(out[1]["content"]) == 16
     # unknown-geometry branch still produces the proportional subsample
     assert bytes(out[3]["content"]) == fake_resize(b"\x10" * 100, None, None, 4, 4)
+
+
+def test_pnm_codec_roundtrip_and_resize(spark):
+    """The REAL codec path: binary PPM/PGM payloads decode, resample
+    by nearest-neighbor, and re-encode — verified against an
+    independent numpy computation, through the Spark plumbing."""
+    import numpy as np
+
+    from nbody6_data_pipeline_spark.operators.multimodal import (
+        pnm_decode,
+        pnm_encode,
+        pnm_resize,
+        resize_media,
+    )
+
+    rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    ppm = pnm_encode(rgb, 255)
+    assert ppm.startswith(b"P6")
+    back, maxval = pnm_decode(ppm)
+    assert maxval == 255 and np.array_equal(back, rgb)
+
+    # header parser handles comments and arbitrary whitespace
+    commented = b"P6 # comment\n# another\n 8\t8\n255\n" + rgb.tobytes()
+    back2, _ = pnm_decode(commented)
+    assert np.array_equal(back2, rgb)
+
+    # 16-bit PGM roundtrip (big-endian samples per spec)
+    gray16 = (np.arange(16, dtype=np.uint16) * 4000).reshape(4, 4)
+    pgm16 = pnm_encode(gray16, 65535)
+    back3, mv3 = pnm_decode(pgm16)
+    assert mv3 == 65535 and np.array_equal(back3, gray16)
+
+    # nearest-neighbor resize == independent numpy index remap
+    want = rgb[(np.arange(4) * 8) // 4][:, (np.arange(4) * 8) // 4]
+    got, _ = pnm_decode(pnm_resize(ppm, 8, 8, 4, 4))
+    assert np.array_equal(got, want)
+
+    # ...and the same bytes come out of the Spark mapInPandas stage
+    media = spark.createDataFrame(
+        [(1, "image", ppm, 8, 8, None)], MEDIA_SCHEMA
+    )
+    row = resize_media(media, 4, 4).collect()[0]
+    assert bytes(row["content"]) == pnm_resize(ppm, 8, 8, 4, 4)
+    arr, _ = pnm_decode(bytes(row["content"]))
+    assert arr.shape == (4, 4, 3)
+
+
+def test_pnm_feature_extraction(spark):
+    """decode_auto routes PNM payloads through the real feature
+    kernel; non-PNM payloads keep the deterministic stand-in."""
+    import numpy as np
+
+    from nbody6_data_pipeline_spark.operators.multimodal import (
+        decode_auto,
+        extract_features,
+        pnm_encode,
+        pnm_features,
+    )
+
+    rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    ppm = pnm_encode(rgb, 255)
+    media = spark.createDataFrame(
+        [(1, "image", ppm, 8, 8, None), (2, "audio", b"\x00\x01" * 16, None, None, 100)],
+        MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, decode_fn=decode_auto).collect()
+    }
+    assert feats[1] == pytest.approx(pnm_features(ppm, "image").tolist(), rel=1e-12)
+    assert feats[2] == pytest.approx(
+        fake_decode(b"\x00\x01" * 16, "audio").tolist(), rel=1e-12
+    )
+    assert all(len(v) == FEATURE_DIM for v in feats.values())
 
 
 def test_resize_media_mixed_batch_and_empty_payload(spark):
