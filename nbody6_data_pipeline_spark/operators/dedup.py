@@ -289,6 +289,7 @@ def connected_components(
     max_iter: int = 50,
     jumps: int = 3,
     small_graph_edges: int = 250_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: the step
     that turns near-duplicate PAIRS into duplicate CLUSTERS (component
@@ -334,6 +335,10 @@ def connected_components(
     labelings (parity-tested).
 
     Returns (node, comp) for every node that appears in ``pairs``.
+    If ``stats`` is a dict, it is filled with run telemetry:
+    ``n_edges`` (directed, post-dedup), ``path`` ("union-find" |
+    "propagation"), and ``rounds`` (propagation rounds executed,
+    including the final no-change round; 0 for union-find).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -352,13 +357,20 @@ def connected_components(
     # single-digit-task at oracle scale and still spreads a trillion-
     # edge graph across a cluster.
     n_edges = edges.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["rounds"] = 0
     if n_edges <= small_graph_edges:
+        if stats is not None:
+            stats["path"] = "union-find"
         id_type = edges.schema["src"].dataType
         return _union_find_local(
             [(r["src"], r["dst"]) for r in edges.collect()],
             pairs.sparkSession,
             id_type,
         )
+    if stats is not None:
+        stats["path"] = "propagation"
     parts = max(1, n_edges // 500_000)
     edges = edges.repartition(parts, "dst").localCheckpoint().persist()
     edges.count()
@@ -421,6 +433,8 @@ def connected_components(
         # persist's materialization, so the NEXT round plans against
         # real cached sizes
         changed = updated.filter("_chg").count()
+        if stats is not None:
+            stats["rounds"] += 1
         to_unpersist.append(labels)
         labels = updated.drop("_chg")
         if changed == 0:

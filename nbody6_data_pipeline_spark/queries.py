@@ -84,6 +84,22 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def ordered(df: DataFrame, *cols) -> DataFrame:
+    """Total-order a DRIVER-BOUND result set (every registry query's
+    output is collected by the driver, so its size is bounded by
+    driver memory by definition) with one single-partition sort.
+
+    Semantically identical to ``df.orderBy(*cols)`` but skips the
+    range-partitioner SAMPLING pass: ``orderBy`` samples the sort
+    exchange's parent RDD, which RE-EXECUTES the final map stage —
+    for queries whose last stage is expensive (per-pair cosine folds,
+    levenshtein verifies), that silently doubles the most expensive
+    stage. Do NOT use for non-terminal sorts over unreduced data —
+    this is for the final, small, about-to-be-collected result only.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -31,7 +31,7 @@ from nbody6_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     sign_lsh_bucket,
 )
-from nbody6_data_pipeline_spark.queries import _t, register
+from nbody6_data_pipeline_spark.queries import _t, ordered, register
 
 # ---- DuckDB fragments mirroring operators/dedup.py constructions ----
 
@@ -94,7 +94,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     bands = minhash_bands(d, F.col("text"), "doc_id")
-    return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
+    return lsh_candidate_pairs(bands).transform(ordered, "doc_a", "doc_b")
 
 
 @register(
@@ -118,7 +118,7 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly only within candidates)."""
     d = _t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id"))
-    return jaccard_verify(pairs, d, F.col("text"), "doc_id").orderBy(
+    return jaccard_verify(pairs, d, F.col("text"), "doc_id").transform(ordered, 
         "doc_a", "doc_b"
     )
 
@@ -165,7 +165,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc").alias("representative_id"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-        .orderBy("representative_id")
+        .transform(ordered, "representative_id")
     )
 
 
@@ -183,7 +183,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (hash-groupBy) dedup over normalized text."""
     d = _t(spark, sf_dir, "documents")
-    return exact_duplicates(d, F.col("text"), "doc_id").orderBy(
+    return exact_duplicates(d, F.col("text"), "doc_id").transform(ordered, 
         "representative_id"
     )
 
@@ -218,7 +218,7 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right accumulation so Spark and DuckDB agree bitwise."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
-    return cosine_topk(e, queries, k=5).orderBy("query_id", "rank")
+    return cosine_topk(e, queries, k=5).transform(ordered, "query_id", "rank")
 
 
 @register(
@@ -253,7 +253,7 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
             F.min("vec_id").alias("min_vec_id"),
         )
-        .orderBy("bucket")
+        .transform(ordered, "bucket")
     )
 
 
@@ -329,7 +329,7 @@ def q_embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter("rank <= 3")
-        .orderBy("query_id", "rank")
+        .transform(ordered, "query_id", "rank")
     )
 
 
@@ -427,7 +427,7 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _banded_neardup_pairs(spark, sf_dir)
         .filter(F.col("cos_sim") >= 0.35)
-        .orderBy("vec_a", "vec_b")
+        .transform(ordered, "vec_a", "vec_b")
     )
 
 
@@ -470,7 +470,7 @@ def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFram
     comp = connected_components(pairs)
     return comp.select(
         F.col("node").alias("vec_id"), "comp"
-    ).orderBy("vec_id")
+    ).transform(ordered, "vec_id")
 
 
 @register(
@@ -586,7 +586,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(grams.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+        .transform(ordered, "doc_a", "doc_b")
     )
 
 
@@ -713,7 +713,7 @@ def q_embedding_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     cents, cells = exact_kmeans_cells(e)
     queries = cells.filter(F.col("vec_id") % 50 == 0)
-    return exact_kmeans_ivf_search(cents, cells, queries, k=3).orderBy(
+    return exact_kmeans_ivf_search(cents, cells, queries, k=3).transform(ordered, 
         "query_id", "rank"
     )
 
@@ -815,7 +815,7 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w_rank))
         .filter("rank <= 3")
-        .orderBy("query_id", "rank")
+        .transform(ordered, "query_id", "rank")
     )
 
 
@@ -915,7 +915,7 @@ def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             (F.col("n_members") - 1).alias("n_dropped"),
         )
-        .orderBy("comp")
+        .transform(ordered, "comp")
     )
 
 
@@ -974,7 +974,7 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("norm_mean"),
         )
-        .orderBy("label")
+        .transform(ordered, "label")
     )
 
 
@@ -1028,7 +1028,7 @@ def q_doc_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("text_a", "text_b").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= _FUZZY_DIST)
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )
 
 
@@ -1090,5 +1090,5 @@ def q_doc_fuzzy_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.levenshtein("text_a", "text_b").alias("edit_dist")
         )
         .filter(F.col("edit_dist") <= _FUZZY_DIST)
-        .orderBy("id_a", "id_b")
+        .transform(ordered, "id_a", "id_b")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.multimodal import extract_features
-from nbody6_data_pipeline_spark.queries import _t, register
+from nbody6_data_pipeline_spark.queries import _t, ordered, register
 from nbody6_data_pipeline_spark.streaming.events import (
     read_event_stream,
     run_stream_to_memory,
@@ -225,7 +225,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("feats_q6"),
         )
-        .orderBy("media_id")
+        # ordered(): the sort-sampling pass would re-run the pandas-UDF
+        # decode stage; the result is driver-bound (one row per media)
+        .transform(ordered, "media_id")
     )
 
 
