@@ -100,6 +100,22 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan's natural parallelism is below
+    the session's core count — the single-small-file / few-row-group
+    case, where an expression-heavy aggregation (decimal moment sums)
+    otherwise runs on 2-3 tasks while the rest of the machine idles.
+    At cluster scale against a real multi-file table the condition is
+    false and the plan is untouched, preserving map-side combine with
+    no extra shuffle. Round-robin repartition is value-neutral here:
+    every aggregate downstream is order-independent by the engine's
+    determinism rules (decimal sums, counts, min/max)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -658,7 +674,7 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics — this IS how you compute correlation over
     100 TB without a second pass).
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_scan(_t(spark, sf_dir, "lineitem"))
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
 
     def dmom(col, alias):

@@ -27,6 +27,7 @@ from nbody6_data_pipeline_spark.queries import (
     dsum,
     event_us,
     md5_bucket,
+    ordered,
     register,
 )
 
@@ -76,7 +77,7 @@ def q_events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("user_id", "event_type")
+        .transform(ordered, "user_id", "event_type")
     )
 
 
@@ -168,7 +169,7 @@ def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("carried"), 1)).alias("n_carried"),
             dsum(F.col("price"), "total_price"),
         )
-        .orderBy("o_orderstatus")
+        .transform(ordered, "o_orderstatus")
     )
 
 
@@ -214,7 +215,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, "revenue"))
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -279,5 +280,5 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_n").alias("n_events"),
             F.sum("p_sum").cast("double").alias("total_value"),
         )
-        .orderBy("day", "event_type")
+        .transform(ordered, "day", "event_type")
     )

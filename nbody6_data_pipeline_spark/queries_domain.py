@@ -17,7 +17,7 @@ from nbody6_data_pipeline_spark.functions.binary import (
 from nbody6_data_pipeline_spark.functions.constants import AU_M, DAY_S, KEPLER_K
 from nbody6_data_pipeline_spark.functions.hierarchy import hierarchy_pair_label
 from nbody6_data_pipeline_spark.functions.misc import null_safe_ratio, run_id_label
-from nbody6_data_pipeline_spark.queries import _t, q6, register
+from nbody6_data_pipeline_spark.queries import _t, ordered, q6, register
 
 
 @register(
@@ -47,7 +47,7 @@ def q_kepler_semi_major_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_quantity"), F.col("l_tax"), F.col("l_discount") * 2
             )
         ).alias("semi_au_e6"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -74,7 +74,7 @@ def q_log_sum_exp_luminosity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_discount") * 10, F.col("l_tax") * 10
             )
         ).alias("total_log_lum_e6"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -118,7 +118,7 @@ def q_orbital_inclination(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(calc_orbital_plane_inclination_rad(rel_pos, rel_vel)).alias(
             "incl_rad_e6"
         ),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -148,7 +148,7 @@ def q_hierarchy_pair_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         hierarchy_pair_label(
             F.array("l_partkey", "l_suppkey"), F.array("l_orderkey")
         ).alias("pair"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -180,7 +180,7 @@ def q_group_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("parts_csv"),
             F.count(F.lit(1)).alias("n_parts"),
         )
-        .orderBy("l_orderkey")
+        .transform(ordered, "l_orderkey")
     )
 
 
@@ -262,7 +262,7 @@ def q_histogram_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin_mid"),
             F.count(F.when(F.col("o_totalprice") >= 150000, 1)).alias("bin_high"),
         )
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -297,7 +297,7 @@ def q_nearest_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select("user_id", "event_id", "us")
-        .orderBy("user_id")
+        .transform(ordered, "user_id")
     )
 
 
@@ -323,7 +323,7 @@ def q_format_run_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey") % 9,
             F.col("n_nationkey") * 41,
         ).alias("run_id"),
-    ).orderBy("n_nationkey")
+    ).transform(ordered, "n_nationkey")
 
 
 @register(
@@ -351,4 +351,4 @@ def q_null_safe_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log10(F.greatest(F.col("p_retailprice"), F.lit(1e-300)))
         ).alias("log_price_e6"),
         F.sqrt("p_retailprice").alias("sqrt_price"),
-    ).orderBy("p_partkey")
+    ).transform(ordered, "p_partkey")

@@ -18,7 +18,7 @@ from nbody6_data_pipeline_spark.operators.text import (
     quality_metrics,
     token_array,
 )
-from nbody6_data_pipeline_spark.queries import _t, dsum, register
+from nbody6_data_pipeline_spark.queries import _t, dsum, ordered, register
 
 
 @register(
@@ -50,7 +50,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / F.nullif(n_tokens, F.lit(0))
         ).alias("mean_token_len"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -96,7 +96,7 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > 0.01
             )
         ).alias("passes_quality"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -153,7 +153,7 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "lang_pred")
+        .transform(ordered, "lang", "lang_pred")
     )
 
 
@@ -178,7 +178,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.md5(normalized).alias("fingerprint"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -205,7 +205,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(pieces).alias("n_bpe_tokens"),
         F.size(F.array_distinct(pieces)).alias("n_unique_tokens"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -237,7 +237,7 @@ def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang", "source", "g_lang", "g_source", "n_docs", "total_chars"
         )
-        .orderBy("g_lang", "g_source", "lang", "source")
+        .transform(ordered, "g_lang", "g_source", "lang", "source")
     )
 
 
@@ -295,7 +295,7 @@ def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_hits").alias("total_hits"),
             F.sum("chars_removed").alias("total_chars_removed"),
         )
-        .orderBy("lang")
+        .transform(ordered, "lang")
     )
 
 
@@ -332,5 +332,5 @@ def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("source", "rank", "doc_id", "n_chars")
-        .orderBy("source", "rank")
+        .transform(ordered, "source", "rank")
     )

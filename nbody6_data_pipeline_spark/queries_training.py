@@ -18,7 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.text import token_array
-from nbody6_data_pipeline_spark.queries import _t, event_us, md5_bucket, q6, register
+from nbody6_data_pipeline_spark.queries import _t, event_us, md5_bucket, ordered, q6, register
 
 # ---- deterministic sampling ----
 
@@ -54,7 +54,7 @@ def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < SAMPLE_PCT)
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -112,7 +112,7 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .transform(ordered, "doc_id", "chunk_idx")
     )
 
 
@@ -184,7 +184,7 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOPK)
         .select("doc_id", "term", "tfidf_q6", "rank")
-        .orderBy("doc_id", "rank")
+        .transform(ordered, "doc_id", "rank")
     )
     return out
 
@@ -260,7 +260,7 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.alias("repetition_ratio"),
             (ratio <= REPETITION_MAX).alias("passes_repetition"),
         )
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -310,7 +310,7 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("sum_value_1h"),
-    ).orderBy("user_id", "us", "event_id")
+    ).transform(ordered, "user_id", "us", "event_id")
 
 
 # ---- token-level sequence packing ----
@@ -398,7 +398,7 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tokens_in_pack"),
         )
-        .orderBy("source", "doc_id", "pack_id")
+        .transform(ordered, "source", "doc_id", "pack_id")
     )
 
 
@@ -490,7 +490,7 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_grams"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -574,7 +574,7 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(tgt), "source")
         .filter(F.col("rk") <= F.col("n_target"))
         .select("source", "doc_id")
-        .orderBy("source", "doc_id")
+        .transform(ordered, "source", "doc_id")
     )
 
 
@@ -631,7 +631,7 @@ def q_doc_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "winsorized_sum"
             ),
         )
-        .orderBy("lang")
+        .transform(ordered, "lang")
     )
 
 
@@ -675,5 +675,5 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= STRATUM_N)
         .select("lang", "doc_id")
-        .orderBy("lang", "doc_id")
+        .transform(ordered, "lang", "doc_id")
     )

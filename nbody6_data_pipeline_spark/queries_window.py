@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.ranking import with_exact_ntile
-from nbody6_data_pipeline_spark.queries import ensure_confs, event_us, register
+from nbody6_data_pipeline_spark.queries import ensure_confs, event_us, ordered, register
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +77,10 @@ def q_half_mass_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_linenumber").alias("half_line"),
             F.max("total_qty").cast("double").alias("total_qty"),
         )
-        .orderBy("l_orderkey")
+        # ordered(): the sort-sampling pass would re-run the fused
+        # window+filter+agg stage (same-key agg piggybacks the window
+        # shuffle); the per-order result is driver-bound
+        .transform(ordered, "l_orderkey")
     )
 
 
@@ -115,7 +118,7 @@ def q_timestamp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.max("us") - F.min("us")).cast("double") / (n - 1),
             ).alias("mean_step_us"),
         )
-        .orderBy("user_id")
+        .transform(ordered, "user_id")
     )
 
 
@@ -155,7 +158,7 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_acctbal").alias("bal_min"),
             F.max("c_acctbal").alias("bal_max"),
         )
-        .orderBy("bin")
+        .transform(ordered, "bin")
     )
 
 
@@ -188,7 +191,7 @@ def q_dense_rank_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             (F.col("pos") + 1).cast("int").alias("group_id"),
         )
-        .orderBy("group_id")
+        .transform(ordered, "group_id")
     )
 
 
@@ -245,7 +248,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("session_id").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        .transform(ordered, "user_id")
     )
 
 
@@ -298,7 +301,7 @@ def q_asof_join_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_view_us",
             (F.col("us") - F.col("prior_view_us")).alias("us_since_view"),
         )
-        .orderBy("event_id")
+        .transform(ordered, "event_id")
     )
 
 
@@ -411,7 +414,7 @@ def q_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day",
         F.floor(interp * 1_000_000 + 0.5).cast("long").alias("value_interp_e6"),
-    ).orderBy("user_id", "day")
+    ).transform(ordered, "user_id", "day")
 
 
 @register(
@@ -453,7 +456,7 @@ def q_bulk_velocity_subtraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             (F.col("value") - F.col("bulk")).alias("value_centered"),
         )
-        .orderBy("event_id")
+        .transform(ordered, "event_id")
     )
 
 
@@ -494,7 +497,7 @@ def q_dissolution_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cut_us").isNull() | (F.col("us") < F.col("cut_us")))
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("o_custkey")
+        .transform(ordered, "o_custkey")
     )
 
 
@@ -549,7 +552,7 @@ def q_asof_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["user_id"],
         right_cols=["event_id", "value"],
         tolerance=7_200_000_000,
-    ).orderBy("event_id")
+    ).transform(ordered, "event_id")
 
 
 @register(
@@ -594,7 +597,7 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.coalesce("n", F.lit(0)).alias("n_incidents"),
         )
-        .orderBy("event_id")
+        .transform(ordered, "event_id")
     )
 
 
@@ -628,7 +631,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
         )
-        .orderBy("event_type")
+        .transform(ordered, "event_type")
     )
 
 
@@ -748,7 +751,7 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
-        .orderBy("cohort_day", "day_offset")
+        .transform(ordered, "cohort_day", "day_offset")
     )
 
 
@@ -837,7 +840,7 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("island").alias("n_islands"),
             F.sum("island_len").alias("covered_us"),
         )
-        .orderBy("user_id")
+        .transform(ordered, "user_id")
     )
 
 
@@ -877,7 +880,7 @@ def q_lineitem_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         resid.groupBy("l_returnflag")
         .agg(F.round(F.expr("percentile(r, 0.5)"), 6).alias("mad_qty"))
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )
 
 
@@ -923,7 +926,7 @@ def q_orders_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("mode_priority"),
             "n",
         )
-        .orderBy("o_orderstatus")
+        .transform(ordered, "o_orderstatus")
     )
 
 
@@ -966,7 +969,7 @@ def q_events_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        .orderBy("week_us")
+        .transform(ordered, "week_us")
     )
 
 
@@ -1007,5 +1010,5 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("prev_type", "next_type")
+        .transform(ordered, "prev_type", "next_type")
     )
