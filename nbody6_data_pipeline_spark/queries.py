@@ -103,22 +103,80 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
 def spread_scan(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan's natural parallelism is below
     the session's core count — the single-small-file / few-row-group
-    case, where an expression-heavy aggregation (decimal moment sums)
-    otherwise runs on 2-3 tasks while the rest of the machine idles.
-    At cluster scale against a real multi-file table the condition is
-    false and the plan is untouched, preserving map-side combine with
-    no extra shuffle. Round-robin repartition is value-neutral here:
-    every aggregate downstream is order-independent by the engine's
-    determinism rules (decimal sums, counts, min/max)."""
+    case, where an expression-heavy transform (decimal moment sums,
+    per-gram md5 hashing) otherwise runs on 2-3 tasks while the rest
+    of the machine idles. At cluster scale against a real multi-file
+    table the condition is false and the plan is untouched, preserving
+    map-side combine with no extra shuffle. Round-robin repartition is
+    value-neutral: every downstream aggregate is order-independent by
+    the engine's determinism rules (decimal sums, counts, min/max).
+
+    Prefer ``_t(..., spread=True)`` for raw table scans — it decides
+    from cached FILE SIZE with zero Spark work; this DataFrame variant
+    pays a ~0.2 s plan→RDD probe and exists for already-derived
+    inputs."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (path, target parallelism) -> does the scan need spreading? The
+# answer depends only on on-disk layout + session conf, so one probe
+# per table per process is enough.
+_SPREAD_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def _needs_spread(spark: SparkSession, path: str, want: int) -> bool:
+    key = (path, want)
+    hit = _SPREAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import glob
+        import os
+
+        if os.path.isdir(path):
+            sz = sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True)
+            )
+        else:
+            sz = os.path.getsize(path)
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        ).lower().rstrip("b")
+        max_pb = int(raw)
+        # byte-based estimate of scan tasks (Spark splits files into
+        # maxPartitionBytes ranges; row-group granularity only lowers
+        # the real number, never raises it)
+        small = sz // max_pb + 1 < want
+    except (OSError, ValueError):
+        # non-local / object-store path: fall back to the RDD probe
+        small = (
+            spark.read.parquet(path).rdd.getNumPartitions() < want
+        )
+    _SPREAD_CACHE[key] = small
+    return small
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one synthetic table; with ``spread=True``, repartition to
+    the session's core count IFF the file's size says the scan would
+    otherwise run on fewer tasks than cores (see spread_scan — same
+    rationale, but the decision costs one cached os.stat, not a
+    plan→RDD conversion)."""
     ensure_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread:
+        want = spark.sparkContext.defaultParallelism
+        if _needs_spread(spark, path, want):
+            df = df.repartition(want)
+    return df
 
 
 def ensure_confs(spark: SparkSession) -> None:
@@ -674,7 +732,7 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics — this IS how you compute correlation over
     100 TB without a second pass).
     """
-    li = spread_scan(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
 
     def dmom(col, alias):
