@@ -92,7 +92,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     universal-hash mins -> 4 bands x 3 rows -> bucket-local pair
     expansion. Scales as two small shuffles; no all-pairs comparison.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     bands = minhash_bands(d, F.col("text"), "doc_id")
     return lsh_candidate_pairs(bands).transform(ordered, "doc_a", "doc_b")
 
@@ -116,7 +116,7 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidates + exact shingle-Jaccard verification (the
     full near-dup pipeline: generate candidates cheaply, verify
     exactly only within candidates)."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id"))
     return jaccard_verify(pairs, d, F.col("text"), "doc_id").transform(ordered, 
         "doc_a", "doc_b"
@@ -157,7 +157,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup clustering: 16-bit token-majority simhash as
     the grouping key (explode + one hash-aggregate, then one shuffle
     on a 16-char key)."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     return (
         simhash(d, F.col("text"), "doc_id")
         .groupBy("simhash")
@@ -182,7 +182,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (hash-groupBy) dedup over normalized text."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     return exact_duplicates(d, F.col("text"), "doc_id").transform(ordered, 
         "representative_id"
     )
@@ -519,7 +519,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent grams would create quadratic pair explosions. Recall is
     unaffected for near-dups at threshold 0.5: such pairs share many
     grams, including their distinctive (rare) ones."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     # Two-step projection: materialize the token array as a column so
     # the regex+split runs once per row — referenced directly inside
     # the transform() lambda it would re-evaluate per array element.
@@ -881,7 +881,7 @@ def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     pairs = (
         jaccard_verify(
             lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id")),
@@ -1013,7 +1013,7 @@ def q_doc_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len^2) levenshtein kernel runs ONLY on candidates, JVM-side in
     both engines with identical unit-cost edit-distance semantics.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     cand = prefix_block_pairs(
         d,
         F.col("text"),
@@ -1077,7 +1077,7 @@ def q_doc_fuzzy_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate-block cap; the union dedups candidate pairs BEFORE the
     O(len^2) verify so no pair is scored twice.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     p1 = prefix_block_pairs(
         d, F.col("text"), "doc_id", prefix_len=_FUZZY_PREFIX, block_cap=_FUZZY_CAP
     )

@@ -39,7 +39,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure column expressions: split + filter + size; no UDF, fully
     codegen'd, scales linearly with no shuffle.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     toks = token_array(F.col("text"))
     n_tokens = F.size(toks)
     return d.select(
@@ -80,7 +80,7 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios with a pass/fail gate (Gopher-style heuristics, done as
     native expressions).
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     m = quality_metrics(d, F.col("text"))
     return m.select(
         "doc_id",
@@ -131,7 +131,7 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax tie-breaking (en > fr > de > es), reported as a confusion
     table against the labeled lang column.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     scored = language_scores(d, F.col("text"))
     pred = scored.select(
         "doc_id",
@@ -173,7 +173,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercased text; the grouping key for exact near-dup clustering.
     md5 hex output is engine-portable (unlike engine-native hash()).
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
         d.groupBy(F.md5(normalized).alias("fingerprint"))
@@ -197,7 +197,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish tokenization: word/number/punctuation pieces via a
     portable regex (the GPT-2-style pre-tokenizer shape) — the token
     accounting a training-data pipeline runs at corpus scale."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     pieces = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
     )
@@ -225,7 +225,7 @@ def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single Expand + hash-aggregate, the multi-level report shape a
     corpus dashboard needs without three separate scans. GROUPING()
     flags disambiguate aggregate-level NULLs from data NULLs."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     return (
         d.rollup("lang", "source")
         .agg(
@@ -281,7 +281,7 @@ def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang rollup. Spark's regexp_replace is global by default;
     DuckDB needs the explicit 'g' flag — the oracle carries it.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     n_hits = F.regexp_count(F.col("text"), F.lit(_SCRUB_RE))
     removed = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), _SCRUB_RE, "#")
@@ -325,7 +325,7 @@ def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     global case — here source cardinality is the parallelism and each
     group sorts locally.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     return (
         d.select("source", "doc_id", "n_chars")

@@ -49,7 +49,7 @@ def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     free: the hash is independent of lang/source, so each stratum is
     sampled at the same rate (test_training.py asserts per-lang rates
     concentrate around SAMPLE_PCT)."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     bucket = md5_bucket(F.col("doc_id"))
     return (
         d.select("doc_id", "lang", bucket.alias("bucket"))
@@ -94,7 +94,7 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at stride CHUNK_STRIDE (final partial window kept). Expressed as
     sequence + explode + slice — per-row array ops, no shuffle, and
     the chunk fan-out stays inside the scan stage at scale."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     toks = token_array(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     n = F.size("toks")
@@ -155,7 +155,7 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension) -> broadcast df back. Ranking happens on the
     q6-quantized score so the cross-engine ln() ulp difference cannot
     flip an ordering the oracle sees."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(token_array(F.lower(F.col("text")))).alias("term"),
@@ -233,7 +233,7 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is an exact integer division (deterministic cross-engine).
     One explode + one map-side-combinable count + one max — linear,
     keyed by doc_id throughout, so at scale it partitions cleanly."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     toks = token_array(F.lower(F.col("text")))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
     n = F.size("toks")
@@ -360,7 +360,7 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer window arithmetic: a per-shard prefix sum + a range
     explode. Partitioning by source is the scale design — each shard
     packs independently, so the window never needs a global sort."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     n = F.size(token_array(F.col("text")))
     w = (
         W.partitionBy("source")
@@ -456,7 +456,7 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     the hint is never faster, and 17x slower when the benchmark side
     grows). Distinct-per-doc grams bound the join fan-out: the
     benchmark side is distinct, so join output <= corpus gram count."""
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     toks = token_array(F.lower(F.col("text")))
     base = d.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
@@ -539,7 +539,7 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     across sources, and bounded by the largest single source — the
     natural partitioning for per-source quotas at any scale.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     total = d.groupBy().agg(F.count(F.lit(1)).alias("total"))
     cnt = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_avail"),
@@ -612,7 +612,7 @@ def q_doc_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 dp on both engines so interpolation ulp noise can't flip a
     clip decision.
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     bounds = d.agg(
         F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("lo"),
         F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("hi"),
@@ -666,7 +666,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase trick as grouped top-k applies (local top-N before the
     shuffle).
     """
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
