@@ -819,6 +819,31 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_pq_ann", None)  # rows-only: ADC uses numpy float
+def q_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py build_pq_index /
+    pq_search): per-subspace codebooks trained on a bounded driver
+    sample, corpus encoded to m uint8 codes in one vectorized Arrow
+    pass (32x compression at m=8 over float32), asymmetric-distance
+    top-k where each Arrow batch emits only its per-query top-k
+    partials. No SQL oracle: the codebooks come from numpy k-means
+    whose SIMD summation order no independent engine reproduces —
+    the driver records the rows-only check; value-level guarantees
+    are pinned by tests/test_similarity.py (exact-duplicate recall,
+    deterministic rebuild, ranking invariants)."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        pq_search,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = build_pq_index(e, m=8, k=16)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return pq_search(idx, queries, k=3).transform(
+        ordered, "query_id", "rank"
+    )
+
+
 @register(
     "doc_neardup_keep_best",
     f"""

@@ -265,3 +265,81 @@ def test_connected_components_paths_agree(spark):
         for r in connected_components(df, small_graph_edges=0).collect()
     )
     assert local == dist
+
+
+def test_pq_index_recall_and_determinism(spark):
+    """Product quantization: exact-duplicate clusters must be
+    retrieved by ADC top-k (their codes coincide, so their approximate
+    distance is the minimum possible), two builds are bit-identical,
+    and the encoded form is the documented m-small-ints shape."""
+    import math
+
+    import numpy as np
+
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        pq_search,
+    )
+
+    # 40 well-separated centers x 10 EXACT copies each
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(40, 64)) * 3.0
+    vecs = [
+        [float(x) for x in centers[c]] for c in range(40) for _ in range(10)
+    ]
+    df = _vec_df(spark, vecs)
+
+    idx = build_pq_index(df, m=8, k=16, seed=5)
+    assert idx.codebooks.shape == (8, 16, 8)
+    codes = {r["vec_id"]: list(r["codes"]) for r in idx.codes.collect()}
+    assert all(len(c) == 8 for c in codes.values())
+    assert all(0 <= v < 16 for c in codes.values() for v in c)
+    # exact duplicates encode identically
+    for c in range(40):
+        grp = [codes[c * 10 + i] for i in range(10)]
+        assert all(g == grp[0] for g in grp)
+
+    # ADC top-k retrieves same-cluster members (codes coincide -> the
+    # approximate distance to a duplicate is the global minimum)
+    queries = df.filter(F.col("vec_id") % 10 == 0).limit(10)
+    got = pq_search(idx, queries, k=5).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    hits = total = 0
+    for q, cands in by_q.items():
+        want = {q // 10 * 10 + i for i in range(10)} - {q}
+        hits += len(set(cands) & want)
+        total += len(cands)
+    assert total == 10 * 5
+    assert hits / total >= 0.9
+
+    # deterministic rebuild
+    idx2 = build_pq_index(df, m=8, k=16, seed=5)
+    assert np.array_equal(idx.codebooks, idx2.codebooks)
+    codes2 = {r["vec_id"]: list(r["codes"]) for r in idx2.codes.collect()}
+    assert codes == codes2
+
+
+def test_pq_adc_matches_exact_on_centroid_vectors(spark, emb):
+    """On the real embeddings table the PQ pipeline runs end-to-end
+    and ADC distances are sane: for every query the top-1 candidate's
+    approximate distance is <= the approximate distance to any other
+    returned candidate (ranking invariant), and rank is dense 1..k."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        pq_search,
+    )
+
+    idx = build_pq_index(emb, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = pq_search(idx, queries, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["approx_d2"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == [1, 2, 3]
+        d = [x for _, x in rs]
+        assert d == sorted(d)
