@@ -677,3 +677,95 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .transform(ordered, "lang", "doc_id")
     )
+
+
+@register(
+    "doc_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hx,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS shard
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(hx) AS first_hash,
+           MAX(hx) AS last_hash
+    FROM h
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final step of
+    every training-data pipeline: order by a content hash (so the
+    'shuffle' is reproducible across engines, retries and reruns, the
+    property rand() permutations lack) and carve 16 shards by the
+    md5-bucket idiom. The manifest row per shard (count, bytes, hash
+    range) is what a downstream loader validates before consuming.
+    One hash-agg; the shard id is a pure row function, so at 100 TB
+    this is a single map + combine-able aggregation — the actual
+    shard WRITE is partitionBy('shard') on the same expression."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select(
+            md5_bucket(F.col("doc_id"), 16).alias("shard"),
+            F.col("n_chars"),
+            hx.alias("hx"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("hx").alias("first_hash"),
+            F.max("hx").alias("last_hash"),
+        )
+        .transform(ordered, "shard")
+    )
+
+
+@register(
+    "doc_filter_funnel",
+    """
+    WITH g AS (
+      SELECT n_chars >= 120 AS pass_len,
+             lang IN ('en', 'de') AS pass_lang,
+             length(text) - length(replace(text, ' ', '')) + 1 >= 25
+               AS pass_tok
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE pass_len) AS n_after_len,
+           COUNT(*) FILTER (WHERE pass_len AND pass_lang) AS n_after_lang,
+           COUNT(*) FILTER (WHERE pass_len AND pass_lang AND pass_tok)
+             AS n_after_tok
+    FROM g
+    """,
+)
+def q_doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel report — the observability artifact every
+    corpus pipeline publishes: cumulative survivor counts through the
+    gate sequence (length -> language -> token count), so a sudden
+    upstream drift shows up as a step change at the gate that caught
+    it. ONE pass, conditional aggregates only: adding a gate adds a
+    column, not a scan — at 100 TB this is the difference between a
+    funnel report and four full-table jobs."""
+    d = _t(spark, sf_dir, "documents")
+    pass_len = F.col("n_chars") >= 120
+    pass_lang = F.col("lang").isin("en", "de")
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    pass_tok = n_tok >= 25
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(pass_len, 1)).alias("n_after_len"),
+        F.count(F.when(pass_len & pass_lang, 1)).alias("n_after_lang"),
+        F.count(F.when(pass_len & pass_lang & pass_tok, 1)).alias(
+            "n_after_tok"
+        ),
+    )
