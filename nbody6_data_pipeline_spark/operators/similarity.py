@@ -575,6 +575,220 @@ def pq_search(
     )
 
 
+class IVFPQIndex:
+    """IVF coarse cells + PQ-encoded RESIDUALS inside each cell — the
+    FAISS IVFPQ layout. ``centroids`` is the coarse [k_cells, dim]
+    matrix, ``codebooks`` the residual [m, pq_k, dsub] tensor (both
+    driver-side numpy, shipped in UDF closures); ``codes`` is the
+    distributed (vec_id, cell, codes) table, repartitioned by cell —
+    at cluster scale written partitioned by cell so a probe reads
+    nprobe partitions of m-byte codes and nothing else."""
+
+    def __init__(self, centroids, codebooks, codes: DataFrame):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.codes = codes
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int | None = None,
+    m: int = 8,
+    pq_k: int = 16,
+    sample_cap: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> IVFPQIndex:
+    """Compose the two index families: a coarse IVF quantizer bounds
+    how many vectors a probe SCANS, and per-cell residual PQ bounds
+    what each scanned vector COSTS (m small ints). Residuals
+    (v - centroid[cell]) concentrate near zero, so the same codebook
+    budget quantizes them much more accurately than raw vectors — the
+    standard IVFPQ observation. Training is one bounded driver sample;
+    encoding is ONE vectorized Arrow pass computing cell + residual
+    codes together."""
+    import numpy as np
+
+    ivf = build_ivf_index(
+        df, id_col=id_col, vec_col=vec_col, k=k_cells,
+        sample_cap=sample_cap, iters=iters, seed=seed,
+    )
+    cents = ivf.centroids  # [k_cells, dim]
+    dim = cents.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    n = df.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = np.asarray(
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    if len(sample) < pq_k:
+        sample = np.asarray(
+            [r[0] for r in df.select(vec_col).collect()], dtype="float64"
+        )
+    # residuals of the training sample against their nearest centroid
+    d = -2.0 * (sample @ cents.T) + (cents**2).sum(axis=1)[None, :]
+    res = sample - cents[d.argmin(axis=1)]
+    kk = min(pq_k, len(res))
+    codebooks = np.stack(
+        [
+            _kmeans_fit(res[:, j * dsub : (j + 1) * dsub], k=kk, iters=iters,
+                        seed=seed + 1000 + j)
+            for j in range(m)
+        ]
+    )
+
+    cb, cc = codebooks, cents
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            dcell = -2.0 * (mat @ cc.T) + (cc**2).sum(axis=1)[None, :]
+            cell = dcell.argmin(axis=1)
+            r = mat - cc[cell]
+            codes = np.empty((mat.shape[0], cb.shape[0]), dtype="int32")
+            for j in range(cb.shape[0]):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                dj = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = dj.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    codes_df = (
+        df.select(id_col, vec_col)
+        .mapInPandas(encode, schema=out_schema)
+        .repartition("cell")
+    )
+    return IVFPQIndex(cents, codebooks, codes_df)
+
+
+def ivfpq_search(
+    index: IVFPQIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe each query's ``nprobe`` nearest coarse cells and run ADC
+    over the residual codes inside them. The lookup table is per
+    (query, probed cell): ||q - c - cb_jc'||^2 decomposes as the
+    residual (q - c)'s subspace distance to each subcentroid, so each
+    probe costs one [m, pq_k] exact table and every candidate costs m
+    lookups + a sum. The scan side filters to probed cells FIRST
+    (partition pruning at cluster scale) and each Arrow batch emits
+    only per-query top-k partials."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    qx = np.asarray([list(r[1]) for r in q_rows], dtype="float64")
+    cc, cb = index.centroids, index.codebooks
+    m, _pqk, dsub = cb.shape
+    dcell = -2.0 * (qx @ cc.T) + (cc**2).sum(axis=1)[None, :]
+    nprobe = min(int(nprobe), cc.shape[0])
+    probe = np.argsort(dcell, axis=1)[:, :nprobe]  # [nq, nprobe]
+    # LUT per (query, probe slot): residual subspace distances
+    # lut[q, p, j, c] = ||(q - cent[probe[q,p]])_j - cb[j, c]||^2
+    res = qx[:, None, :] - cc[probe]  # [nq, nprobe, dim]
+    lut = np.stack(
+        [
+            (
+                (res[:, :, j * dsub : (j + 1) * dsub][:, :, None, :]
+                 - cb[j][None, None, :, :]) ** 2
+            ).sum(axis=3)
+            for j in range(m)
+        ],
+        axis=2,
+    )  # [nq, nprobe, m, pq_k]
+    # map cell id -> (query, probe slot) pairs for fast batch scoring
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    topk = int(k)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("approx_d2", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            cells = pdf["cell"].to_numpy().astype("int64")
+            cand = pdf["vec_id"].to_numpy().astype("int64")
+            frames = []
+            for qi in range(len(q_ids)):
+                for p in range(nprobe):
+                    mask = cells == probe[qi, p]
+                    if not mask.any():
+                        continue
+                    sub = codes[mask]
+                    d2 = np.zeros(sub.shape[0])
+                    for j in range(m):
+                        d2 += lut[qi, p, j, sub[:, j]]
+                    ids = cand[mask]
+                    self_m = ids == q_ids[qi]
+                    d2[self_m] = np.inf
+                    keep = min(topk, len(d2))
+                    part = np.argpartition(d2, keep - 1)[:keep]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": q_ids[qi],
+                                "cand_id": ids[part],
+                                "approx_d2": d2[part],
+                            }
+                        )
+                    )
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+                yield out[np.isfinite(out["approx_d2"])]
+
+    scan = index.codes.filter(F.col("cell").isin(probed_cells))
+    partials = scan.mapInPandas(score, schema=out_schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "approx_d2", "rank")
+    )
+
+
 # ---- Exact-parity k-means IVF (cross-engine deterministic) ----
 #
 # The production IVF path (build_ivf_index / ivf_search) k-means a

@@ -844,6 +844,29 @@ def q_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ivfpq_ann", None)  # rows-only: numpy-float ADC
+def q_embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py build_ivfpq_index /
+    ivfpq_search) — the FAISS-style production layout: coarse cells
+    bound how many vectors a probe scans, per-cell residual PQ codes
+    bound what each scanned vector costs (m small ints), and the scan
+    filters to probed cells before touching any data (partition
+    pruning when codes are written partitioned by cell). Rows-only
+    check for the same reason as embedding_pq_ann; recall/determinism
+    pinned by tests/test_similarity.py."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = build_ivfpq_index(e, m=8, pq_k=16)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_search(idx, queries, k=3, nprobe=4).transform(
+        ordered, "query_id", "rank"
+    )
+
+
 @register(
     "doc_neardup_keep_best",
     f"""

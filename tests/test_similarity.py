@@ -343,3 +343,70 @@ def test_pq_adc_matches_exact_on_centroid_vectors(spark, emb):
         assert [r for r, _ in rs] == [1, 2, 3]
         d = [x for _, x in rs]
         assert d == sorted(d)
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """IVFPQ: exact-duplicate clusters are retrieved through the
+    coarse-probe + residual-ADC path; the scan is restricted to probed
+    cells; determinism across rebuilds."""
+    import numpy as np
+
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(30, 64)) * 3.0
+    vecs = [
+        [float(x) for x in centers[c]] for c in range(30) for _ in range(10)
+    ]
+    df = _vec_df(spark, vecs)
+
+    idx = build_ivfpq_index(df, k_cells=8, m=8, pq_k=16, seed=3)
+    assert idx.centroids.shape == (8, 64)
+    assert idx.codebooks.shape == (8, 16, 8)
+    code_rows = idx.codes.collect()
+    assert len(code_rows) == 300
+    # duplicates land in the same cell with identical residual codes
+    by_id = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in code_rows}
+    for c in range(30):
+        grp = [by_id[c * 10 + i] for i in range(10)]
+        assert all(g == grp[0] for g in grp)
+
+    queries = df.filter(F.col("vec_id") % 10 == 0).limit(8)
+    got = ivfpq_search(idx, queries, k=5, nprobe=2).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    hits = total = 0
+    for q, cands in by_q.items():
+        want = {q // 10 * 10 + i for i in range(10)} - {q}
+        hits += len(set(cands) & want)
+        total += len(cands)
+    assert total == 8 * 5
+    assert hits / total >= 0.9
+
+    idx2 = build_ivfpq_index(df, k_cells=8, m=8, pq_k=16, seed=3)
+    assert np.array_equal(idx.centroids, idx2.centroids)
+    assert np.array_equal(idx.codebooks, idx2.codebooks)
+
+
+def test_ivfpq_runs_on_real_embeddings(spark, emb):
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    idx = build_ivfpq_index(emb, m=8, pq_k=16)
+    rows = ivfpq_search(
+        idx, emb.filter(F.col("vec_id") < 4), k=3, nprobe=3
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["approx_d2"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    for rs in by_q.values():
+        rs.sort()
+        assert [r for r, _ in rs] == [1, 2, 3]
+        assert [d for _, d in rs] == sorted(d for _, d in rs)
