@@ -1,0 +1,214 @@
+"""Mergeable sketch operators for cardinality and frequency at scale.
+
+Two classic 100 TB primitives, both expressed so the *output is
+bit-exact across engines and partitionings* even though the data
+structures are "approximate":
+
+- HyperLogLog register construction (`hll_registers` /
+  `hll_register_stats`): the registers themselves are deterministic
+  (max over a content-addressed hash per bucket is order-independent),
+  so the sufficient statistics — register sum and empty-register count
+  — are integer-exact and oracle-checkable. Only the final cardinality
+  ESTIMATE (a harmonic mean of floats) is engine-local; it is derived
+  driver-side from the exact stats (`hll_estimate`) and validated by a
+  relative-error test, not a hash compare.
+
+- Misra-Gries heavy hitters (`heavy_hitter_candidates` /
+  `heavy_hitters`): a per-partition bounded-memory frequent-items
+  sketch generates a CANDIDATE superset (MG guarantee: capacity C
+  covers every item with global frequency > N/(C+1) — pigeonhole over
+  partitions), then one exact recount pass keeps items above the real
+  threshold. The sketch bounds memory and shuffle; the recount makes
+  the OUTPUT independent of partitioning, batch size, and sketch
+  internals. This is the standard two-pass shape for "terms appearing
+  in > x% of a 100 TB corpus" where a full token groupBy would shuffle
+  the entire long tail.
+
+No reference analogue (the reference is single-node pandas and counts
+exactly); these are north-star scale extensions like the dedup/ANN
+family.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+HLL_P = 9  # 2^9 = 512 registers; std error ~ 1.04/sqrt(512) = 4.6%
+HLL_M = 1 << HLL_P
+_HASH_BITS = 60  # 15 md5 hex digits -> fits signed 64-bit exactly
+_W_BITS = _HASH_BITS - HLL_P  # 51
+
+
+def hll_hash(col: Column) -> Column:
+    """60-bit content-addressed hash: first 15 md5 hex digits as LONG.
+    Same md5 idiom as queries.md5_bucket so the DuckDB twin is
+    CAST(('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
+    """Deterministic HLL register table: one row per (group, bucket)
+    with the register value (max leading-zero rank of the suffix).
+
+    bucket = low HLL_P bits, w = high _W_BITS bits, and
+    rank = index of the first set bit of w in a fixed-width binary
+    rendering (w == 0 -> _W_BITS + 1). max() per bucket is
+    order-independent, so the register table is identical however the
+    input is partitioned — the property that makes HLL sketches
+    MERGEABLE across shards/streams (register-wise max).
+
+    Pure column expressions (conv/bin/lpad/instr) — whole-stage
+    codegen, map-side partial max, one shuffle on (group, bucket)
+    whose size is bounded by |groups| * 512 regardless of input rows.
+    """
+    h = hll_hash(key)
+    bucket = (h % HLL_M).alias("bucket")
+    w = F.shiftright(h, HLL_P)
+    bits = F.lpad(F.bin(w), _W_BITS, "0")
+    rank = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(F.instr(bits, "1"))
+    return (
+        df.select(*group_cols, bucket, rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_register_stats(
+    df: DataFrame, key: Column, group_cols: list[str]
+) -> DataFrame:
+    """Integer sufficient statistics of the HLL sketch per group:
+    used/zero register counts and the register sum. These are exact
+    BIGINTs (hash-comparable cross-engine); feed them to
+    `hll_estimate` for the float estimate."""
+    regs = hll_registers(df, key, group_cols)
+    return regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("used_registers"),
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zero_registers"),
+        F.sum("reg").cast("long").alias("sum_rank"),
+    )
+
+
+def hll_estimate_from_registers(regs: list[int]) -> float:
+    """Textbook HLL estimate (harmonic mean + linear-counting small
+    range) from the register list for one group. Driver-side float
+    math on <= 512 values — the registers themselves (the distributed
+    part) are exact integers."""
+    import math
+
+    m = HLL_M
+    padded = list(regs) + [0] * (m - len(regs))
+    z = sum(2.0 ** -r for r in padded)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / z
+    zeros = sum(1 for r in padded if r == 0)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_partition(capacity: int):
+    """Per-partition Misra-Gries sketch over a `token` column.
+
+    Maintains at most `capacity` counters across ALL Arrow batches of
+    the partition (mapInPandas hands us the batch iterator, so state
+    spans the partition). On overflow, subtracts the post-insert
+    MINIMUM from every counter and drops the zeros — each round
+    charges the decrement to capacity+1 distinct counters, so total
+    decremented mass <= N_p/(capacity+1): every token with partition
+    frequency > N_p/(capacity+1) survives (the MG superset guarantee).
+    Batch counts are pre-aggregated with value_counts so the dict loop
+    runs per distinct-token, not per row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for tok, c in vc.items():
+                if tok in counts:
+                    counts[tok] += int(c)
+                elif len(counts) < capacity:
+                    counts[tok] = int(c)
+                else:
+                    counts[tok] = int(c)
+                    delta = min(counts.values())
+                    counts = {
+                        t: n - delta for t, n in counts.items() if n > delta
+                    }
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+    return run
+
+
+def heavy_hitter_candidates(
+    tokens: DataFrame, capacity: int
+) -> DataFrame:
+    """Candidate superset via per-partition MG sketches. Output is at
+    most `capacity` tokens per partition — bounded driver/shuffle
+    footprint no matter the corpus size."""
+    return tokens.mapInPandas(
+        _mg_partition(capacity), schema="token string"
+    ).distinct()
+
+
+def heavy_hitters(
+    tokens: DataFrame, inv_threshold: int, capacity: int | None = None
+) -> DataFrame:
+    """Tokens with exact global frequency > N / inv_threshold.
+
+    Two passes over the token stream:
+      1. MG candidate generation (bounded memory, no token shuffle —
+         only <= capacity survivors per partition move).
+      2. ONE combined recount: every token is counted, but keyed to
+         NULL unless it is a (broadcast) candidate — the long tail
+         collapses into a single group per partition via map-side
+         combine, so the shuffle carries |candidates|+1 groups. The
+         same aggregation yields N (sum over all groups), so no third
+         scan.
+
+    capacity defaults to 2 * inv_threshold ( > inv_threshold - 1, the
+    MG requirement for superset coverage of freq > N/inv_threshold).
+    The exact recount makes the result independent of sketch internals
+    — bit-identical to the oracle's full groupBy, at a fraction of the
+    shuffle.
+    """
+    if capacity is None:
+        capacity = 2 * inv_threshold
+    if capacity < inv_threshold:
+        raise ValueError(
+            "MG capacity must be >= inv_threshold for superset coverage"
+        )
+    cands = heavy_hitter_candidates(tokens, capacity)
+    keyed = tokens.join(
+        F.broadcast(cands.withColumn("is_cand", F.lit(True))),
+        "token",
+        "left",
+    ).select(
+        F.when(F.col("is_cand"), F.col("token")).alias("ctoken")
+    )
+    # counts has |candidates|+1 rows — persist is O(capacity * partitions),
+    # tiny at any scale; the one driver action reads N off it, then the
+    # returned plan re-reads the cached table (no token re-scan).
+    counts = keyed.groupBy("ctoken").agg(F.count("*").alias("cnt")).persist()
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    return (
+        counts.filter(F.col("ctoken").isNotNull())
+        .filter(F.col("cnt") * inv_threshold > F.lit(int(total)))
+        .select(F.col("ctoken").alias("token"), F.col("cnt"))
+    )

@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
     import nbody6_data_pipeline_spark.queries_cdc  # noqa: F401
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_sketch  # noqa: F401
     import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
     import nbody6_data_pipeline_spark.queries_training  # noqa: F401
@@ -63,6 +64,14 @@ def registry() -> dict[str, QuerySpec]:
 # Queries green in CORRECTNESS_local_r03.json but absent from every
 # driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
 _DRIVER_PRIORITY = [
+    "events_hll_distinct",
+    "doc_heavy_hitters",
+    "graph_pagerank",
+    "doc_tokenset_dedup",
+    "doc_filter_funnel",
+    "doc_shuffle_shards",
+    "embedding_pq_ann",
+    "embedding_ivfpq_ann",
     "asof_join_tables",
     "doc_benchmark_contamination",
     "doc_length_winsorize",

@@ -1,0 +1,270 @@
+"""Sketch / graph / normalization queries: mergeable-summary and
+iterative-graph primitives a 100 TB pipeline leans on, each with a
+bit-exact DuckDB oracle.
+
+- events_hll_distinct: HyperLogLog register statistics (the exact
+  integer sufficient stats of the sketch) per event_type. The oracle
+  replays the identical register construction; the float cardinality
+  estimate is validated separately in tests (it is derived driver-side
+  from these stats).
+- doc_heavy_hitters: corpus-wide frequent tokens via per-partition
+  Misra-Gries candidate generation + ONE exact recount — output equals
+  the oracle's full-groupBy answer while shuffling only candidates.
+- graph_pagerank: 3 PageRank iterations over the symmetrized
+  customer<->supplier fulfilment graph in scaled-integer arithmetic;
+  the oracle unrolls the same three iterations as CTEs.
+- doc_normalized_dedup: duplicate clusters AFTER text normalization
+  (lowercase, punctuation strip, whitespace collapse) — catches
+  trivially-mutated duplicates exact dedup misses, at exact-dedup
+  cost (hash groupBy; no pairwise anything).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.graph import RANK_SCALE, pagerank_fixed
+from nbody6_data_pipeline_spark.operators.sketch import (
+    HLL_M,
+    heavy_hitters,
+    hll_register_stats,
+)
+from nbody6_data_pipeline_spark.operators.text import token_array
+from nbody6_data_pipeline_spark.queries import _t, ordered, register
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, hv % {HLL_M} AS bucket, hv // {HLL_M} AS w FROM h
+    ),
+    r AS (
+      SELECT event_type, bucket,
+        MAX(CASE WHEN w = 0 THEN 52
+                 ELSE strpos(lpad(bin(w), 51, '0'), '1') END) AS reg
+      FROM b GROUP BY event_type, bucket
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS used_registers,
+      CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers,
+      CAST(SUM(reg) AS BIGINT) AS sum_rank
+    FROM r GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type as a mergeable HLL sketch: the
+    shuffle carries at most 512 registers per group however many
+    billions of events stream through — THE approximate-distinct shape
+    for 100 TB (register-wise max merges across shards, days, or
+    streaming micro-batches). Output is the sketch's integer
+    sufficient statistics, which are deterministic and hash-checked
+    against DuckDB replaying the same construction; the cardinality
+    estimate (float) is derived from them driver-side
+    (operators/sketch.hll_estimate_from_registers) and accuracy-tested
+    against exact COUNT(DISTINCT) in test_sketch.py."""
+    e = _t(spark, sf_dir, "events")
+    return hll_register_stats(e, F.col("user_id"), ["event_type"]).transform(
+        ordered, "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+HH_INV_THRESHOLD = 200  # keep tokens with freq > N/200 (0.5% of corpus)
+
+
+@register(
+    "doc_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(text, '\\s+'), x -> x != '')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt FROM c
+    WHERE cnt * {HH_INV_THRESHOLD} > (SELECT CAST(SUM(cnt) AS BIGINT) FROM c)
+    ORDER BY cnt DESC, token
+    """,
+)
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency > 0.5% of all
+    tokens) via Misra-Gries candidates + one exact recount. The oracle
+    does the full token groupBy; the engine shuffles only MG survivors
+    (<= capacity per partition) plus one collapsed long-tail group —
+    the difference between shuffling ~every distinct token of a 100 TB
+    corpus and shuffling a few hundred rows. Exact recount makes the
+    answers identical (operators/sketch.heavy_hitters)."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    tokens = d.select(F.explode(token_array(F.col("text"))).alias("token"))
+    return heavy_hitters(tokens, HH_INV_THRESHOLD).transform(
+        ordered, F.col("cnt").desc(), "token"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the customer<->supplier fulfilment graph
+# ---------------------------------------------------------------------------
+
+PR_ITER = 3
+
+
+def _pr_edges_sql() -> str:
+    return """
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH fwd AS ({_pr_edges_sql()}),
+    edges AS (
+      SELECT src, dst FROM fwd
+      UNION
+      SELECT dst AS src, src AS dst FROM fwd
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS cs
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node,
+        (15 * CAST({RANK_SCALE} AS BIGINT) + 85 * COALESCE(c1.cs, 0)) // 100
+          AS rank
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS cs
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node,
+        (15 * CAST({RANK_SCALE} AS BIGINT) + 85 * COALESCE(c2.cs, 0)) // 100
+          AS rank
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS cs
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.node,
+        (15 * CAST({RANK_SCALE} AS BIGINT) + 85 * COALESCE(c3.cs, 0)) // 100
+          AS rank
+      FROM nodes n LEFT JOIN c3 ON n.node = c3.node
+    )
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+    ORDER BY rank DESC, node
+    LIMIT 50
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PageRank nodes of the symmetrized customer<->supplier
+    graph (an edge where a supplier's lineitem fulfilled a customer's
+    order). Three fixed iterations in scaled-integer arithmetic
+    (operators/graph.pagerank_fixed) — bit-exact against the oracle's
+    unrolled recursive CTEs because every step is integer sum/div.
+    Each iteration is one join+groupBy shuffle keyed on node id; the
+    static edge+degree table is persisted once. High-degree suppliers
+    surface at the top — the graph-centrality complement to the
+    engine's flat aggregation views."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank_fixed(edges, iterations=PR_ITER)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+        .transform(ordered, F.col("rank").desc(), "node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalized-text dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_tokenset_dedup",
+    """
+    WITH n AS (
+      SELECT doc_id, source,
+        md5(array_to_string(list_sort(list_distinct(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))),
+          ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+      CAST(COUNT(*) AS BIGINT) AS n_dups,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM n GROUP BY fp HAVING COUNT(*) > 1
+    ORDER BY n_dups DESC, fp
+    """,
+)
+def q_doc_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-fingerprint duplicate clusters: fingerprint = md5 of
+    the SORTED DISTINCT token set of the lowercased text. Documents
+    built from the same vocabulary (word-order shuffles, token
+    repetitions, template re-fills) collide even when byte-exact and
+    whitespace-normalized dedup both miss them — a one-pass,
+    hash-groupBy-cost middle ground between exact dedup and
+    MinHash-LSH (which handles *partial* overlap but needs candidate
+    generation + verify). One map-side-combined shuffle on the
+    16-byte fingerprint; embarrassingly parallel at any corpus size.
+    keep_doc = MIN(doc_id), the engine's canonical-winner rule."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(token_array(F.lower(F.col("text"))))),
+        )
+    )
+    return (
+        d.select("doc_id", "source", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count("*").alias("n_dups"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .transform(ordered, F.col("n_dups").desc(), "fp")
+    )
