@@ -15,16 +15,29 @@ perturb the result — the same determinism idiom as the engine's
 decimal-sum aggregates, applied to an iterative fixpoint. This is the
 declarative complement to the engine's other iterative operators
 (`exact_kmeans_cells`'s Lloyd loop, `connected_components`'s label
-propagation): the loop is unrolled into a chain of join+groupBy stages
-that Catalyst plans as ordinary shuffles.
+propagation).
 
-Scale shape: each iteration is one shuffle join of edges against the
-current rank table on src plus one groupBy on dst — the textbook
-distributed PageRank step. The edge table is persisted once and reused
-by every iteration; co-partitioning edges and ranks on the join key
-means AQE can avoid re-shuffling the static side. Dangling nodes are
-avoided structurally (the caller passes a symmetrized edge list, so
-out_degree >= 1 for every node).
+Scale shape (deliberately NOT the naive unrolled-join plan):
+
+- The static side — each edge with its source's out-degree — is built
+  with ONE pass (window count over the partition-by-src shuffle) and
+  materialized once via localCheckpoint, truncating lineage so the
+  three iteration plans stay flat (same idiom as
+  `operators/dedup.connected_components`).
+- The per-node rank state is |V| rows, orders of magnitude smaller
+  than |E|, so each iteration BROADCASTS the rank table against the
+  cached edge list: the edge list never re-shuffles; the only
+  per-iteration shuffle is the map-side-combined contribution
+  aggregation, bounded by |V|. For graphs whose node state outgrows
+  executor memory, drop the broadcast hint and the same plan degrades
+  gracefully to a shuffle join co-partitioned on the node key.
+- Iteration 1 needs no join at all: ranks are uniform, so each edge's
+  contribution is the constant RANK_SCALE div out_deg.
+- On symmetric graphs (`symmetric=True` — e.g. a symmetrized
+  bipartite list) every node has an in-edge, so the generic
+  all-nodes-left-join step collapses into the contribution aggregate
+  itself, halving the per-iteration stage count. Dangling nodes are
+  avoided structurally for the same reason.
 
 No reference analogue — north-star extension (graph analytics over the
 relational tables, e.g. the customer<->supplier fulfilment graph).
@@ -33,48 +46,93 @@ relational tables, e.g. the customer<->supplier fulfilment graph).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 RANK_SCALE = 1_000_000_000_000  # integer mass units per node
 
 
-def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def _damp(contrib_col: str) -> str:
+    return (
+        f"(15 * cast({RANK_SCALE} as bigint)"
+        f" + 85 * coalesce({contrib_col}, cast(0 as bigint))) div 100"
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    assume_distinct: bool = False,
+    symmetric: bool = False,
+) -> DataFrame:
     """Integer-exact PageRank over a directed edge list.
 
-    edges: DataFrame[src: string, dst: string]; every node must appear
+    edges: DataFrame[src, dst] (any key type); every node must appear
     as a src at least once (symmetrize beforehand if needed) so there
     are no dangling nodes. Returns DataFrame[node, rank] with rank in
     RANK_SCALE-scaled units.
-    """
-    edges = edges.select("src", "dst").distinct().persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # out_deg joins against edges every iteration — fold it in once.
-    contrib_edges = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
 
-    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
-    for _ in range(iterations):
-        contribs = (
-            contrib_edges.join(
-                ranks, contrib_edges["src"] == ranks["node"]
+    ``assume_distinct=True`` skips the dedup shuffle when the caller
+    already guarantees unique edges (e.g. a symmetrized union of a
+    deduped bipartite list whose halves are disjoint by key parity).
+
+    ``symmetric=True`` asserts every node also has at least one
+    IN-edge (true for symmetrized graphs): the update then reads the
+    node set off the contribution aggregate itself instead of
+    left-joining a separate all-nodes table. A node without in-edges
+    would silently vanish under this flag — only set it when the
+    graph's construction guarantees symmetry.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    # One pass folds out-degree onto each edge (window count over the
+    # src hash-partitioning); localCheckpoint materializes it and cuts
+    # the lineage feeding the iteration chain.
+    ce = edges.withColumn(
+        "out_deg", F.count("*").over(W.partitionBy("src"))
+    ).localCheckpoint()
+
+    # Iteration 1 against uniform ranks is a pure aggregation.
+    contribs = ce.groupBy("dst").agg(
+        F.sum(F.expr(f"cast({RANK_SCALE} as bigint) div out_deg")).alias(
+            "contrib_sum"
+        )
+    )
+    if symmetric:
+        ranks = contribs.select(
+            F.col("dst").alias("node"), F.expr(_damp("contrib_sum")).alias("rank")
+        )
+        for _ in range(iterations - 1):
+            contribs = (
+                ce.join(F.broadcast(ranks), ce["src"] == ranks["node"])
+                .select(
+                    F.col("dst"),
+                    F.expr("rank div out_deg").alias("contrib"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("contrib_sum"))
             )
-            .select(
+            ranks = contribs.select(
                 F.col("dst").alias("node"),
-                F.expr("rank div out_deg").alias("contrib"),
+                F.expr(_damp("contrib_sum")).alias("rank"),
             )
-            .groupBy("node")
+        return ranks
+
+    nodes = ce.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ranks = nodes.join(
+        F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+    ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
+    for _ in range(iterations - 1):
+        contribs = (
+            ce.join(F.broadcast(ranks), ce["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div out_deg").alias("contrib"))
+            .groupBy("dst")
             .agg(F.sum("contrib").alias("contrib_sum"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            F.expr(
-                f"(15 * cast({RANK_SCALE} as bigint)"
-                " + 85 * coalesce(contrib_sum, cast(0 as bigint))) div 100"
-            ).alias("rank"),
-        )
-    out = ranks
-    # edges/contrib_edges stay persisted until the returned plan is
-    # executed; they are small relative to the rank shuffles and are
-    # freed with the session. (A long-lived service would unpersist
-    # after materializing.)
-    return out
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+        ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
+    return ranks

@@ -125,9 +125,11 @@ PR_ITER = 3
 
 
 def _pr_edges_sql() -> str:
+    # numeric node ids: customers even (2k), suppliers odd (2k+1) —
+    # long-keyed joins/aggs instead of string concat per edge
     return """
-      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      SELECT DISTINCT o.o_custkey * 2 AS src,
+                      l.l_suppkey * 2 + 1 AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     """
 
@@ -137,8 +139,10 @@ def _pr_edges_sql() -> str:
     f"""
     WITH fwd AS ({_pr_edges_sql()}),
     edges AS (
+      -- the halves are disjoint by construction ('c' vs 's' prefixes),
+      -- so UNION ALL of the deduped forward list is already distinct
       SELECT src, dst FROM fwd
-      UNION
+      UNION ALL
       SELECT dst AS src, src AS dst FROM fwd
     ),
     deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
@@ -177,7 +181,10 @@ def _pr_edges_sql() -> str:
           AS rank
       FROM nodes n LEFT JOIN c3 ON n.node = c3.node
     )
-    SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           CAST(rank AS BIGINT) AS rank
+    FROM r3
     ORDER BY rank DESC, node
     LIMIT 50
     """,
@@ -192,26 +199,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     static edge+degree table is persisted once. High-degree suppliers
     surface at the top — the graph-centrality complement to the
     engine's flat aggregation views."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    fwd = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # orders (2 pruned columns) is broadcast-sized at any realistic
+    # order/lineitem ratio -> the fact table never shuffles for the
+    # join. Symmetrization happens BEFORE the dedup by exploding each
+    # fulfilment into both directed edges, so the whole edge build is
+    # scan -> broadcast join -> explode -> ONE distinct shuffle.
+    c, s = (F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1)
+    edges = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            F.explode(
+                F.array(
+                    F.struct(c.alias("src"), s.alias("dst")),
+                    F.struct(s.alias("src"), c.alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    ranks = pagerank_fixed(edges, iterations=PR_ITER)
+    ranks = pagerank_fixed(
+        edges, iterations=PR_ITER, assume_distinct=True, symmetric=True
+    )
+    labeled = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string"))
+        )
+        .alias("node"),
+        F.col("rank").cast("long").alias("rank"),
+    )
     return (
-        ranks.orderBy(F.col("rank").desc(), "node")
+        labeled.orderBy(F.col("rank").desc(), "node")
         .limit(50)
         .transform(ordered, F.col("rank").desc(), "node")
     )

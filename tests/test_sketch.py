@@ -175,6 +175,13 @@ def test_pagerank_matches_reference_impl(spark):
     got = {r["node"]: r["rank"] for r in pagerank_fixed(df, 3).collect()}
     want = _pure_python_pagerank(sym, 3)
     assert got == want
+    # the symmetric fast path must agree with the generic path on a
+    # symmetrized graph
+    got_sym = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(df, 3, symmetric=True).collect()
+    }
+    assert got_sym == want
 
 
 def test_pagerank_star_center_dominates(spark):
