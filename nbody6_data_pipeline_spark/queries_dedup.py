@@ -519,7 +519,9 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent grams would create quadratic pair explosions. Recall is
     unaffected for near-dups at threshold 0.5: such pairs share many
     grams, including their distinctive (rare) ones."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: the gram build is ~300 md5s per row — compute-bound, so
+    # the scan must not run at single-row-group parallelism
+    d = _t(spark, sf_dir, "documents", spread=True)
     # Two-step projection: materialize the token array as a column so
     # the regex+split runs once per row — referenced directly inside
     # the transform() lambda it would re-evaluate per array element.
@@ -556,16 +558,19 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # processing recomputes per branch.
     grams = tdf.select("doc_id", grams_col.alias("g")).persist()
     inv = grams.select("doc_id", F.explode("g").alias("gram"))
-    # DF-capped index: one hash-agg over grams, joined back. df=1
-    # grams can never produce a pair, so only df in [2, 20] is indexed
-    # — typically a tiny fraction of the vocabulary.
+    # DF-capped index: one hash-agg over grams, joined back (AQE
+    # broadcasts the filtered gram list). df=1 grams can never produce
+    # a pair, so only df in [2, 20] is indexed — typically a tiny
+    # fraction of the vocabulary.
+    # persist: both sides of the pair self-join read the rare postings
+    # — without it the df-agg + filter join re-executes per side
     rare = inv.join(
         inv.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= 20))
         .select("gram"),
         "gram",
-    )
+    ).persist()
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(
@@ -578,9 +583,13 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    jac = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("ga.g"), F.col("gb.g")))
+    # Exact Jaccard for candidates only; |A u B| = |A| + |B| - |A n B|
+    # (gram sets are distinct), so only the intersection is computed —
+    # no per-pair union array allocation.
+    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ga.g")) + F.size(F.col("gb.g")) - inter
+    )
     return (
         cand.join(grams.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
         .join(grams.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
