@@ -57,6 +57,19 @@ def hll_hash(col: Column) -> Column:
     )
 
 
+def hll_bucket_rank(key: Column) -> tuple[Column, Column]:
+    """(bucket, rank) columns of the HLL construction for one key
+    expression — shared by the batch register build and the streaming
+    windowed variant (the register table is the same deterministic
+    object either way; only the grouping keys differ)."""
+    h = hll_hash(key)
+    bucket = h % HLL_M
+    w = F.shiftright(h, HLL_P)
+    bits = F.lpad(F.bin(w), _W_BITS, "0")
+    rank = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(F.instr(bits, "1"))
+    return bucket, rank
+
+
 def hll_registers(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
     """Deterministic HLL register table: one row per (group, bucket)
     with the register value (max leading-zero rank of the suffix).
@@ -72,13 +85,9 @@ def hll_registers(df: DataFrame, key: Column, group_cols: list[str]) -> DataFram
     codegen, map-side partial max, one shuffle on (group, bucket)
     whose size is bounded by |groups| * 512 regardless of input rows.
     """
-    h = hll_hash(key)
-    bucket = (h % HLL_M).alias("bucket")
-    w = F.shiftright(h, HLL_P)
-    bits = F.lpad(F.bin(w), _W_BITS, "0")
-    rank = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(F.instr(bits, "1"))
+    bucket, rank = hll_bucket_rank(key)
     return (
-        df.select(*group_cols, bucket, rank.alias("rank"))
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("reg"))
     )

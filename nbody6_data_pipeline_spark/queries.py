@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
 # driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
 _DRIVER_PRIORITY = [
     "events_hll_distinct",
+    "streaming_hll_distinct",
     "doc_heavy_hitters",
     "graph_pagerank",
     "doc_tokenset_dedup",

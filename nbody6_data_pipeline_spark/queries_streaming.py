@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.multimodal import extract_features
+from nbody6_data_pipeline_spark.operators.sketch import HLL_M, hll_bucket_rank
 from nbody6_data_pipeline_spark.queries import _t, ordered, register
 from nbody6_data_pipeline_spark.streaming.events import (
     read_event_stream,
@@ -342,3 +343,72 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("purchase_us") - F.col("click_us")).alias("lag_us"),
     ).orderBy("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct-user sketch (mergeable state)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+        event_type,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT window_start_us, event_type, hv % {HLL_M} AS bucket,
+        MAX(CASE WHEN hv // {HLL_M} = 0 THEN 52
+                 ELSE strpos(lpad(bin(hv // {HLL_M}), 51, '0'), '1') END)
+          AS reg
+      FROM h GROUP BY window_start_us, event_type, bucket
+    )
+    SELECT window_start_us, event_type,
+      CAST(COUNT(*) AS BIGINT) AS used_registers,
+      CAST(SUM(reg) AS BIGINT) AS sum_rank
+    FROM r GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+    """,
+)
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user HLL registers maintained AS A STREAM:
+    the stateful operator is an ordinary watermarked MAX aggregation
+    keyed on (window, event_type, bucket), because HLL registers merge
+    by register-wise max — the state per group is ONE small integer,
+    bounded at 512 registers per (window, type) no matter how many
+    events stream through. This is the streaming complement of the
+    batch `events_hll_distinct` sketch: identical register values,
+    checked against the batch SQL replay; the cardinality estimate
+    derives driver-side from the exact stats. At scale the same query
+    runs on Kafka with incremental state and late-data eviction via
+    the watermark."""
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    bucket, rank = hll_bucket_rank(F.col("user_id"))
+    regs = (
+        stream.withWatermark("event_time", "365 days")
+        .select(
+            F.window("event_time", "6 hours").alias("w"),
+            F.col("event_type"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    out = run_stream_to_memory(spark, regs, name=_unique_sink())
+    return (
+        out.select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "reg",
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("used_registers"),
+            F.sum("reg").cast("long").alias("sum_rank"),
+        )
+        .transform(ordered, "window_start_us", "event_type")
+    )
