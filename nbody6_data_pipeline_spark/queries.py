@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
     import nbody6_data_pipeline_spark.queries_cdc  # noqa: F401
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_mining  # noqa: F401
     import nbody6_data_pipeline_spark.queries_sketch  # noqa: F401
     import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
@@ -69,6 +70,11 @@ _DRIVER_PRIORITY = [
     "doc_heavy_hitters",
     "graph_pagerank",
     "doc_tokenset_dedup",
+    "part_affinity_lift",
+    "doc_boilerplate_shingles",
+    "events_hourly_anomaly",
+    "events_decayed_value",
+    "embedding_label_centroids",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",
