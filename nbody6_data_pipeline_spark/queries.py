@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "events_hourly_anomaly",
     "events_decayed_value",
     "embedding_label_centroids",
+    "table_expectations",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",
