@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "events_decayed_value",
     "embedding_label_centroids",
     "table_expectations",
+    "local_supplier_volume",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",
