@@ -66,28 +66,40 @@ MIN_COOC = 2  # minimum co-occurring orders for a pair to be scored
 )
 def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 part pairs by co-occurrence lift (P(ab)/(P(a)P(b)) over
-    orders) — the market-basket/association primitive. The pair space
-    is generated by an order-key self-join, so fan-out is bounded by
-    (items per order)^2 per order regardless of catalog size — the
-    same bounded-blocking idea as the dedup family; per-part counts
-    are item-catalog-sized and join back by broadcast-friendly keys.
-    One distinct + one pair shuffle; lift is one IEEE division, q6
-    fixed-point."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = li.select("l_orderkey", "l_partkey").distinct().persist()
-    n_orders = p.select("l_orderkey").distinct().count()
-    pc = p.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    a, b = p.alias("a"), p.alias("b")
+    orders) — the market-basket/association primitive. Baskets form
+    with ONE groupBy (collect_set dedups parts map-side — no separate
+    distinct shuffle), and ordered pairs unfold from each sorted
+    basket with array HOFs, so fan-out is bounded by (items per
+    order)^2 per order regardless of catalog size — the same
+    bounded-blocking idea as the dedup family. Per-part counts explode
+    off the cached baskets and join back by broadcast. Lift is one
+    IEEE division, q6 fixed-point."""
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .persist()
+    )
+    n_orders = baskets.count()
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_part"))
+    )
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.filter(F.size(ps) >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= MIN_COOC)
     )
