@@ -77,6 +77,8 @@ _DRIVER_PRIORITY = [
     "embedding_label_centroids",
     "table_expectations",
     "local_supplier_volume",
+    "part_triangle_count",
+    "session_top_paths",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",

@@ -530,3 +530,92 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, F.col("revenue").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top event-type sequences)
+# ---------------------------------------------------------------------------
+
+PATH_GAP_US = 30 * 60 * 1_000_000  # same 30-min gap as sessionization
+PATH_STEPS = 3
+PATH_TOP = 20
+
+
+@register(
+    "session_top_paths",
+    f"""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        LAG(epoch_us(ts)) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > {PATH_GAP_US}
+                         THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+      FROM x
+    ),
+    p AS (
+      SELECT user_id, sid,
+        string_agg(event_type, '->' ORDER BY us, event_id) AS path
+      FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+        FROM s
+      ) WHERE rn <= {PATH_STEPS}
+      GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP}
+    """,
+)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOP} session-opening event sequences (first
+    {PATH_STEPS} steps after a {PATH_GAP_US // 60_000_000}-minute
+    inactivity gap) — the path-mining view of user behavior that
+    complements the transition matrix (one-step) and funnel
+    (prescribed-order) queries with DISCOVERED sequences. One user_id
+    shuffle carries all three window passes (lag -> session id ->
+    step rank); path assembly is an in-group sort of <= {PATH_STEPS}
+    structs. Ties on identical timestamps break on event_id, so the
+    paths are deterministic."""
+    e = _t(spark, sf_dir, "events")
+    us = event_us(e)
+    from pyspark.sql import Window as W
+
+    w_user = W.partitionBy("user_id").orderBy("us", "event_id")
+    x = e.select(
+        "user_id", us.alias("us"), "event_id", "event_type"
+    ).withColumn("prev", F.lag("us").over(w_user))
+    new_sess = F.when(
+        F.col("prev").isNull() | (F.col("us") - F.col("prev") > PATH_GAP_US),
+        1,
+    ).otherwise(0)
+    s = x.withColumn("sid", F.sum(new_sess).over(w_user))
+    w_sess = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    steps = (
+        s.withColumn("rn", F.row_number().over(w_sess))
+        .filter(F.col("rn") <= PATH_STEPS)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda st: st["event_type"],
+                ),
+                "->",
+            ).alias("path")
+        )
+    )
+    return (
+        steps.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP)
+        .transform(ordered, F.col("n_sessions").desc(), "path")
+    )

@@ -13,10 +13,11 @@ bit-exact DuckDB oracle.
 - graph_pagerank: 3 PageRank iterations over the symmetrized
   customer<->supplier fulfilment graph in scaled-integer arithmetic;
   the oracle unrolls the same three iterations as CTEs.
-- doc_normalized_dedup: duplicate clusters AFTER text normalization
-  (lowercase, punctuation strip, whitespace collapse) — catches
-  trivially-mutated duplicates exact dedup misses, at exact-dedup
-  cost (hash groupBy; no pairwise anything).
+- doc_tokenset_dedup: duplicate clusters by sorted-distinct-vocabulary
+  fingerprint — catches word-order/repetition mutants exact dedup
+  misses, at exact-dedup cost (hash groupBy; no pairwise anything).
+- part_triangle_count: triangle census of the co-occurrence graph via
+  the canonical a<b<c vertex-ordering wedge join.
 """
 
 from __future__ import annotations
@@ -292,3 +293,78 @@ def q_doc_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .transform(ordered, F.col("n_dups").desc(), "fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+TRI_MIN_COOC = 2  # same co-occurrence floor as part_affinity_lift
+
+
+@register(
+    "part_triangle_count",
+    f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_COOC}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      CAST((SELECT COUNT(*)
+            FROM e ab JOIN e bc ON ab.pb = bc.pa
+                      JOIN e ac ON ac.pa = ab.pa AND ac.pb = bc.pb)
+           AS BIGINT) AS n_triangles
+    """,
+)
+def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-occurrence graph (edges = part
+    pairs sharing >= {TRI_MIN_COOC} orders): the standard clustering
+    / community-structure signal, computed with the canonical
+    vertex-ordering trick — edges are stored a<b only, and each
+    triangle a<b<c is found exactly once by joining wedge (a,b)+(b,c)
+    against closing edge (a,c). Two shuffle joins on vertex keys over
+    the co-occurrence-thresholded edge list, whose size the
+    MIN_COOC floor bounds independently of the raw order volume (the
+    same df-cap idea as the n-gram index). The edge list is persisted
+    once and read by all three join legs."""
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    # basket build + HOF pair unfold, same shape as part_affinity_lift:
+    # one groupBy forms per-order part sets (collect_set dedups
+    # map-side), ordered pairs unfold in-row
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    e = (
+        baskets.filter(F.size(ps) >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= TRI_MIN_COOC)
+        .select("pa", "pb")
+        .persist()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.pb") == F.col("bc.pa"))
+        .join(
+            ac,
+            (F.col("ac.pa") == F.col("ab.pa"))
+            & (F.col("ac.pb") == F.col("bc.pb")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")
