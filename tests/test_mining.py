@@ -118,3 +118,31 @@ def test_label_centroids_match_numpy(spark, sf_dir):
             n, c = got[(label, d + 1)]
             assert n == len(vecs)
             assert abs(c - arr[:, d].mean()) < 1e-6
+
+
+def test_session_paths_gap_and_order(spark, tmp_path):
+    """Two sessions for one user (gap > 30 min splits), paths keep
+    event-time order with event_id tie-breaks."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # session 1: view -> click -> purchase -> extra (4th step cut)
+        (1, base, 10, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 10, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 10, "purchase", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=3), 10, "error", 1.0, "{}"),
+        # session 2 after 2h gap: single signup
+        (5, base + dt.timedelta(hours=3), 10, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["path"]: r["n_sessions"]
+        for r in registry()["session_top_paths"]["spark"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"view->click->purchase": 1, "signup": 1}

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.graph import RANK_SCALE, pagerank_fixed
+from nbody6_data_pipeline_spark.queries import registry
 from nbody6_data_pipeline_spark.operators.sketch import (
     HLL_M,
     heavy_hitter_candidates,
@@ -195,3 +196,23 @@ def test_pagerank_star_center_dominates(spark):
     assert max(ranks, key=ranks.get) == "hub"
     # leaves are symmetric -> identical ranks
     assert len({ranks[leaf] for leaf in leaves}) == 1
+
+
+def test_triangle_wedge_join_logic(spark, tmp_path):
+    """Hand-built baskets: parts {1,2,3} co-occur in >=2 orders (one
+    triangle), part 4 attaches to only one edge pair."""
+    rows = []
+    for order in (1, 2, 3):  # three orders with the full triple
+        for part in (1, 2, 3):
+            rows.append((order, part))
+    for order in (10, 11):  # 1-4 edge, no closing edges
+        rows.append((order, 1))
+        rows.append((order, 4))
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = registry()["part_triangle_count"]["spark"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    # edges: (1,2),(1,3),(2,3) each in 3 orders; (1,4) in 2 orders
+    assert out["n_edges"] == 4
+    assert out["n_triangles"] == 1
