@@ -136,3 +136,78 @@ def pagerank_fixed(
             F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
         ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 3,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass lands ONLY on the
+    source set, so ranks measure proximity to the sources instead of
+    global centrality (the "related items for THIS seed set" query).
+
+    sources: DataFrame[node] — must be a subset of the graph's nodes.
+    Same integer-exact arithmetic as `pagerank_fixed`
+    (rank' = (15 * SCALE * is_source + 85 * contrib) div 100); the
+    source flag joins onto the node table once by broadcast (seed sets
+    are small by definition). Nodes unreachable from the sources decay
+    to rank 0 — they are retained in the output, making the result a
+    complete proximity vector.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    ce = edges.withColumn(
+        "out_deg", F.count("*").over(W.partitionBy("src"))
+    ).localCheckpoint()
+    nodes = (
+        ce.select(F.col("src").alias("node"))
+        .distinct()
+        .join(
+            F.broadcast(
+                sources.select(F.col("node"), F.lit(1).alias("is_src"))
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("is_src", F.lit(0)).alias("is_src"))
+        .localCheckpoint()
+    )
+    base = f"15 * cast({RANK_SCALE} as bigint) * is_src"
+    update = (
+        f"({base} + 85 * coalesce(contrib_sum, cast(0 as bigint))) div 100"
+    )
+    # iteration 1: ranks start as SCALE * is_src, so only source
+    # out-edges contribute
+    contribs = (
+        ce.join(
+            F.broadcast(nodes.filter(F.col("is_src") == 1)),
+            ce["src"] == F.col("node"),
+        )
+        .select(
+            F.col("dst"),
+            F.expr(f"cast({RANK_SCALE} as bigint) div out_deg").alias(
+                "contrib"
+            ),
+        )
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("contrib_sum"))
+    )
+    ranks = nodes.join(
+        F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+    ).select("node", "is_src", F.expr(update).alias("rank"))
+    for _ in range(iterations - 1):
+        contribs = (
+            ce.join(F.broadcast(ranks), ce["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib_sum"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+        ).select("node", "is_src", F.expr(update).alias("rank"))
+    return ranks.select("node", "rank")

@@ -216,3 +216,47 @@ def test_triangle_wedge_join_logic(spark, tmp_path):
     # edges: (1,2),(1,3),(2,3) each in 3 orders; (1,4) in 2 orders
     assert out["n_edges"] == 4
     assert out["n_triangles"] == 1
+
+
+def test_personalized_pagerank_proximity(spark):
+    """PPR from a seed concentrates rank near the seed: on a path
+    graph a-b-c-d-e (symmetrized), seeding at 'a' ranks b above d;
+    global pagerank would rank the middle highest. An independent
+    pure-python integer implementation must agree bit-for-bit."""
+    from collections import defaultdict
+
+    from nbody6_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    chain = ["a", "b", "c", "d", "e"]
+    edges = []
+    for u, v in zip(chain, chain[1:]):
+        edges += [(u, v), (v, u)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, 3).collect()
+    }
+
+    # independent reference
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = {v: RANK_SCALE * (1 if v == "a" else 0) for v in chain}
+    for _ in range(3):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {
+            v: (
+                15 * RANK_SCALE * (1 if v == "a" else 0)
+                + 85 * contrib.get(v, 0)
+            )
+            // 100
+            for v in chain
+        }
+    assert got == rank
+    assert got["b"] > got["d"]
+    assert got["a"] > got["e"]

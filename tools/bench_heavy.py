@@ -45,6 +45,9 @@ HEAVY = [
     "doc_pack_sequences",
     "doc_fuzzy_match",
     "doc_neardup_keep_best",
+    "doc_heavy_hitters",
+    "doc_boilerplate_shingles",
+    "doc_tokenset_dedup",
 ]
 
 
