@@ -211,3 +211,41 @@ def personalized_pagerank(
             F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
         ).select("node", "is_src", F.expr(update).alias("rank"))
     return ranks.select("node", "rank")
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Fixed-round k-core peeling on a SYMMETRIC edge list
+    (DataFrame[s, d] containing both directions of every edge).
+
+    Each round removes nodes of degree < k and the edges touching
+    them — the standard iterative graph-sparsification primitive
+    (community cores, spam/outlier trimming before expensive graph
+    algorithms). A fixed round count keeps the unrolled plan
+    deterministic and oracle-replayable; convergence shows up as
+    round-over-round deltas going to zero (the returned per-round
+    stats expose exactly that). Each round is one degree aggregation
+    (node-sized output, broadcast back onto the edges twice) over the
+    localCheckpointed survivor list — lineage stays flat, the edge
+    list shrinks monotonically.
+
+    Returns [(edges_r, degrees_r)] for rounds r = 0..rounds, where
+    edges_0 is the (checkpointed) input.
+    """
+    out = []
+    e = edges.select("s", "d").localCheckpoint()
+    for _ in range(rounds + 1):
+        deg = e.groupBy("s").agg(F.count("*").alias("c"))
+        out.append((e, deg))
+        good = deg.filter(F.col("c") >= k).select("s")
+        e = (
+            e.join(F.broadcast(good), "s")
+            .join(
+                F.broadcast(good.select(F.col("s").alias("d"))),
+                "d",
+            )
+            .select("s", "d")
+            .localCheckpoint()
+        )
+    return out

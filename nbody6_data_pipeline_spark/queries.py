@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "local_supplier_volume",
     "part_triangle_count",
     "session_top_paths",
+    "graph_kcore_peel",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",

@@ -368,3 +368,94 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count("*").cast("long").alias("n_edges"))
     return edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling rounds on the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 2
+
+
+def _cooc_edges_sql() -> str:
+    return f"""
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= {TRI_MIN_COOC}
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    f"""
+    WITH fw AS ({_cooc_edges_sql()}),
+    e0 AS (SELECT pa AS s, pb AS d FROM fw
+           UNION ALL SELECT pb AS s, pa AS d FROM fw),
+    d0 AS (SELECT s, COUNT(*) AS c FROM e0 GROUP BY s),
+    g0 AS (SELECT s FROM d0 WHERE c >= {KCORE_K}),
+    e1 AS (SELECT e.s, e.d FROM e0 e
+           JOIN g0 a ON e.s = a.s JOIN g0 b ON e.d = b.s),
+    d1 AS (SELECT s, COUNT(*) AS c FROM e1 GROUP BY s),
+    g1 AS (SELECT s FROM d1 WHERE c >= {KCORE_K}),
+    e2 AS (SELECT e.s, e.d FROM e1 e
+           JOIN g1 a ON e.s = a.s JOIN g1 b ON e.d = b.s)
+    SELECT 0 AS round,
+      CAST((SELECT COUNT(DISTINCT s) FROM e0) AS BIGINT) AS n_nodes,
+      CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_directed_edges
+    UNION ALL
+    SELECT 1,
+      CAST((SELECT COUNT(DISTINCT s) FROM e1) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM e1) AS BIGINT)
+    UNION ALL
+    SELECT 2,
+      CAST((SELECT COUNT(DISTINCT s) FROM e2) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+    ORDER BY round
+    """,
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS}-round {KCORE_K}-core peel of the part
+    co-occurrence graph: per-round surviving node/edge counts — the
+    convergence telemetry of iterative graph sparsification
+    (operators/graph.kcore_peel). Degree aggregates are node-sized
+    and broadcast back onto the (localCheckpointed, monotonically
+    shrinking) edge list, so no round re-shuffles the edges."""
+    from nbody6_data_pipeline_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    fw = (
+        baskets.filter(F.size(ps) >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= TRI_MIN_COOC)
+        .persist()  # both symmetrize branches read it
+    )
+    sym = fw.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionByName(
+        fw.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    stats = None
+    for rnd, (e, _deg) in enumerate(kcore_peel(sym, KCORE_K, KCORE_ROUNDS)):
+        row = e.agg(
+            F.lit(rnd).alias("round"),
+            F.count_distinct(F.col("s")).cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        )
+        stats = row if stats is None else stats.unionByName(row)
+    return stats.transform(ordered, "round")
