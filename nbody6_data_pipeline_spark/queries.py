@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "part_triangle_count",
     "session_top_paths",
     "graph_kcore_peel",
+    "embedding_hard_negatives",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",

@@ -1149,3 +1149,57 @@ def q_doc_fuzzy_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= _FUZZY_DIST)
         .transform(ordered, "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (cross-label similar pairs)
+# ---------------------------------------------------------------------------
+
+HN_MIN_COS = 0.3
+HN_TOP = 50
+
+
+@register(
+    "embedding_hard_negatives",
+    f"""
+    WITH {_BANDED_PAIRS_CTES},
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT vec_a, vec_b,
+      la.label AS label_a, lb.label AS label_b, cos_sim
+    FROM scored_pairs
+    JOIN lab la ON vec_a = la.vec_id
+    JOIN lab lb ON vec_b = lb.vec_id
+    WHERE la.label != lb.label AND cos_sim >= {HN_MIN_COS}
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT {HN_TOP}
+    """,
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the most similar
+    DIFFERENT-label pairs (cosine >= {HN_MIN_COS}, top {HN_TOP}).
+    Reuses the banded sign-LSH candidate pipeline — near neighbors
+    collide in some band regardless of label, so cross-label hard
+    negatives fall out of the SAME index that near-dup detection uses,
+    at the same linear-in-N cost; labels join on by broadcast and the
+    cross-label filter runs before the top-k. On real embeddings the
+    threshold would sit near the in-class similarity floor."""
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = lab.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
+    )
+    lb = lab.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")
+    )
+    return (
+        _banded_neardup_pairs(spark, sf_dir)
+        .join(F.broadcast(la), "vec_a")
+        .join(F.broadcast(lb), "vec_b")
+        .filter(
+            (F.col("label_a") != F.col("label_b"))
+            & (F.col("cos_sim") >= HN_MIN_COS)
+        )
+        .select("vec_a", "vec_b", "label_a", "label_b", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(HN_TOP)
+        .transform(ordered, F.col("cos_sim").desc(), "vec_a", "vec_b")
+    )
