@@ -138,3 +138,43 @@ def test_compact_refuses_hive_partitioned_root(spark, sf_dir, tmp_path):
     assert files_touched(spark, part, "true") >= files_touched(
         spark, part, f"event_type = '{os.path.basename(sub).split('=')[1]}'"
     )
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout prunes box predicates on EITHER dimension;
+    a lexicographic single-column sort cannot prune the second."""
+    from nbody6_data_pipeline_spark.plans.layout import (
+        files_touched,
+        write_range_sorted,
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(40_000)
+        .select(
+            ((F.col("id") * 48271) % 9973).alias("x"),
+            ((F.col("id") * 16807) % 7919).alias("y"),
+        )
+    )
+    sorted_path = str(tmp_path / "sorted")
+    z_path = str(tmp_path / "zorder")
+    write_range_sorted(df, sorted_path, ["x"], n_files=32)
+    write_zordered(df, z_path, ["x", "y"], n_files=32)
+
+    # predicate on the secondary column only: x-sorted layout reads
+    # every file; z-order reads a strict subset
+    pred_y = "y >= 100 AND y < 400"
+    assert files_touched(spark, sorted_path, pred_y) == 32
+    z_files_y = files_touched(spark, z_path, pred_y)
+    assert z_files_y < 32
+
+    # 2-D box: z-order at least matches the x-sorted layout
+    pred_box = "x >= 1000 AND x < 1500 AND y >= 1000 AND y < 1500"
+    assert files_touched(spark, z_path, pred_box) <= files_touched(
+        spark, sorted_path, pred_box
+    ) + 2  # small tolerance: file-boundary alignment noise
+    # values identical across layouts
+    a = sorted(map(tuple, spark.read.parquet(sorted_path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(z_path).collect()))
+    assert a == b
