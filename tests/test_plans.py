@@ -35,3 +35,15 @@ def test_plan_has_no_hard_flags(spark, sf_dir, name, spec):
     plan = df._jdf.queryExecution().executedPlan().toString()
     hard, _soft = audit_plan(plan)
     assert not hard, f"{name}: {hard}"
+
+
+def test_metric_size_parser():
+    from tools.query_metrics import parse_bytes
+
+    assert parse_bytes("12.1 KiB") == int(12.1 * 1024)
+    assert parse_bytes(
+        "total (min, med, max (stageId: taskId))\n5.3 KiB (168.0 B, ...)"
+    ) == int(5.3 * 1024)
+    assert parse_bytes("0.0 B") == 0
+    assert parse_bytes("no size here") == 0
+    assert parse_bytes("1,234.5 MiB") == int(1234.5 * 2**20)
