@@ -1003,3 +1003,59 @@ def exact_kmeans_ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def ivf_upsert(index: IVFIndex, new_df: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> tuple[IVFIndex, DataFrame]:
+    """Incremental IVF maintenance: assign NEW vectors to the existing
+    centroids (one vectorized Pandas-UDF pass — identical math to the
+    build-time assignment) and append them to the posting lists. No
+    retraining, no touch of existing postings: at production scale
+    this is one partitioned append per ingest batch, which is why IVF
+    is the index family that survives continuous ingestion.
+
+    Returns (updated_index, drift) where drift is a 1-row DataFrame
+    (n_new, mean_d2, max_d2) of the new vectors' squared distance to
+    their assigned centroid — the monitoring signal for WHEN to
+    retrain: a rising mean against the build-time baseline means the
+    data distribution has walked away from the centroids and recall
+    is silently decaying. (The decision stays with the caller; the
+    operator only measures.)
+    """
+    import numpy as np
+
+    cb = index.centroids
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("d2", T.DoubleType()),
+    ]))
+    def assign_d(batch: pd.Series) -> pd.DataFrame:
+        m = np.stack(batch.to_numpy()).astype("float64")
+        d = (
+            (m**2).sum(axis=1)[:, None]
+            - 2.0 * (m @ cb.T)
+            + (cb**2).sum(axis=1)[None, :]
+        )
+        lab = d.argmin(axis=1)
+        return pd.DataFrame({
+            "cell": lab.astype("int32"),
+            "d2": np.maximum(d[np.arange(len(lab)), lab], 0.0),
+        })
+
+    scored = new_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        assign_d(F.col(vec_col)).alias("a"),
+    ).select("vec_id", "v", "nrm", "a.cell", "a.d2")
+    drift = scored.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.avg("d2").alias("mean_d2"),
+        F.max("d2").alias("max_d2"),
+    )
+    appended = index.assignments.unionByName(
+        scored.select("vec_id", "v", "nrm", "cell").repartition("cell")
+    )
+    return IVFIndex(cb, appended), drift

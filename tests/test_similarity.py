@@ -410,3 +410,38 @@ def test_ivfpq_runs_on_real_embeddings(spark, emb):
         rs.sort()
         assert [r for r, _ in rs] == [1, 2, 3]
         assert [d for _, d in rs] == sorted(d for _, d in rs)
+
+
+def test_ivf_upsert_equals_rebuild_with_same_centroids(spark, emb):
+    """Incremental upsert must be indistinguishable from assigning the
+    full corpus against the same centroids: searches over (base index
+    + upserted half) equal searches over an index whose assignment
+    pass saw everything — same centroids, same math, just appended
+    postings. Drift stats are sane (non-negative, max >= mean)."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        IVFIndex,
+        build_ivf_index,
+        ivf_search,
+        ivf_upsert,
+    )
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    newer = emb.filter(F.col("vec_id") % 2 == 1)
+    index = build_ivf_index(base, k=8, seed=1)
+    upserted, drift = ivf_upsert(index, newer)
+
+    # full index with the SAME centroids (reuse base's, assign all)
+    full_assignments = ivf_upsert(IVFIndex(index.centroids,
+                                           index.assignments.limit(0)), emb)[0]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sorted(
+        map(tuple, ivf_search(upserted, queries, k=5, nprobe=8).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_search(full_assignments, queries, k=5, nprobe=8).collect())
+    )
+    assert got == want
+
+    d = drift.collect()[0]
+    assert d["n_new"] == newer.count()
+    assert 0.0 <= d["mean_d2"] <= d["max_d2"]
