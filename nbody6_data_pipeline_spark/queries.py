@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "session_top_paths",
     "graph_kcore_peel",
     "embedding_hard_negatives",
+    "shipping_priority",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",

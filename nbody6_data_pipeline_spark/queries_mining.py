@@ -619,3 +619,76 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PATH_TOP)
         .transform(ordered, F.col("n_sessions").desc(), "path")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping priority (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUT_US = 897_868_800_000_000  # 1998-06-15 epoch microseconds
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS order_key,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      epoch_us(o.o_orderdate) AS orderdate_us,
+      o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND epoch_us(o.o_orderdate) < {Q3_CUT_US}
+      AND epoch_us(l.l_shipdate) > {Q3_CUT_US}
+    GROUP BY order_key, orderdate_us, priority
+    ORDER BY revenue DESC, orderdate_us, order_key
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped high-revenue orders for one market segment (TPC-H Q3
+    shape): the date-and-dimension-filtered star join with top-k.
+    Plan shape: BOTH date predicates and the segment filter push down
+    to their scans (shown in PushedFilters) before any join; the
+    filtered customer side broadcasts; lineitem-orders meet in the one
+    fact shuffle; top-10 is TakeOrdered, not a global sort. Event-time
+    comparisons go through the epoch-us normalizer (queries.event_us)
+    so the query survives the feed's timestamp-precision drift.
+    Revenue uses the exact decimal-sum idiom."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    o = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        event_us(o, "o_orderdate").alias("orderdate_us"),
+    ).filter(F.col("orderdate_us") < Q3_CUT_US)
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        event_us(li, "l_shipdate").alias("ship_us"),
+    ).filter(F.col("ship_us") > Q3_CUT_US)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            "orderdate_us",
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(dsum(rev, "revenue", 4))
+        .select("order_key", "revenue", "orderdate_us", "priority")
+        .orderBy(F.col("revenue").desc(), "orderdate_us", "order_key")
+        .limit(10)
+        .transform(ordered, F.col("revenue").desc(), "orderdate_us", "order_key")
+    )
