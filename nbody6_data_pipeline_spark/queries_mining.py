@@ -651,13 +651,16 @@ Q3_CUT_US = 897_868_800_000_000  # 1998-06-15 epoch microseconds
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unshipped high-revenue orders for one market segment (TPC-H Q3
     shape): the date-and-dimension-filtered star join with top-k.
-    Plan shape: BOTH date predicates and the segment filter push down
-    to their scans (shown in PushedFilters) before any join; the
-    filtered customer side broadcasts; lineitem-orders meet in the one
-    fact shuffle; top-10 is TakeOrdered, not a global sort. Event-time
-    comparisons go through the epoch-us normalizer (queries.event_us)
-    so the query survives the feed's timestamp-precision drift.
-    Revenue uses the exact decimal-sum idiom."""
+    Plan shape: the segment filter pushes into the customer scan
+    (PushedFilters) and that side broadcasts; lineitem-orders meet in
+    the one fact shuffle; top-10 is TakeOrdered, not a global sort.
+    The date predicates evaluate just above their scans rather than
+    inside them — they compare the epoch-us NORMALIZED column
+    (queries.event_us), trading parquet-stats pushdown for surviving
+    the feed's timestamp-precision drift (LONG nanos vs TIMESTAMP_NTZ
+    across generator rounds); on a stable production schema, compare
+    the raw column to a typed literal and the filter pushes. Revenue
+    uses the exact decimal-sum idiom."""
     c = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == Q3_SEGMENT)
