@@ -18,6 +18,8 @@ bit-exact DuckDB oracle.
   misses, at exact-dedup cost (hash groupBy; no pairwise anything).
 - part_triangle_count: triangle census of the co-occurrence graph via
   the canonical a<b<c vertex-ordering wedge join.
+- graph_kcore_peel: fixed-round k-core peel with per-round
+  node/edge survivor telemetry (oracle: unrolled CTE rounds).
 """
 
 from __future__ import annotations
