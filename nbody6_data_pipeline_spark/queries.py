@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "graph_kcore_peel",
     "embedding_hard_negatives",
     "shipping_priority",
+    "events_user_trend",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",

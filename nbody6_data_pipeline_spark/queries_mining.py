@@ -695,3 +695,78 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .transform(ordered, F.col("revenue").desc(), "orderdate_us", "order_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend (closed-form from exact moments)
+# ---------------------------------------------------------------------------
+
+TREND_MIN_EVENTS = 3
+
+
+@register(
+    "events_user_trend",
+    f"""
+    WITH m AS (SELECT MIN(epoch_us(ts)) AS mn FROM events),
+    d AS (
+      SELECT user_id,
+        CAST(epoch_us(ts) - m.mn AS DOUBLE) / 86400000000.0 AS x,
+        value AS y
+      FROM events, m
+    ),
+    s AS (
+      SELECT user_id,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
+      (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        AS intercept
+    FROM s
+    WHERE n >= {TREND_MIN_EVENTS} AND n * sxx - sx * sx != 0
+    ORDER BY user_id
+    """,
+)
+def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time — closed-form
+    slope/intercept from sufficient statistics (n, Sx, Sy, Sxy, Sxx),
+    the per-entity regression a feature store maintains without ever
+    materializing per-entity series. One map-side-combined shuffle
+    carries all five moments; the x axis is days since the corpus
+    minimum (bounded magnitude, so the decimal moment sums cannot
+    overflow), anchored by a single-row broadcast. Moments use the
+    exact-decimal-sum idiom, making the downstream IEEE arithmetic
+    bit-identical cross-engine — same recipe as the distributed
+    Pearson corr (q_lineitem_corr)."""
+    e = _t(spark, sf_dir, "events")
+    us = event_us(e)
+    mn = e.agg(F.min(us).alias("mn"))
+    x = ((us - F.col("mn")).cast("double") / 86400000000.0).alias("x")
+    d = e.crossJoin(F.broadcast(mn)).select(
+        "user_id", x, F.col("value").alias("y")
+    )
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), "sx", 6),
+        dsum(F.col("y"), "sy", 6),
+        dsum(F.col("x") * F.col("y"), "sxy", 6),
+        dsum(F.col("x") * F.col("x"), "sxx", 6),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    return (
+        s.filter((n >= TREND_MIN_EVENTS) & (denom != 0))
+        .select(
+            "user_id",
+            n.cast("long").alias("n"),
+            slope.alias("slope_per_day"),
+            ((sy - slope * sx) / n).alias("intercept"),
+        )
+        .transform(ordered, "user_id")
+    )
