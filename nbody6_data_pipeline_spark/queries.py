@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "embedding_hard_negatives",
     "shipping_priority",
     "events_user_trend",
+    "events_key_skew_profile",
     "doc_filter_funnel",
     "doc_shuffle_shards",
     "embedding_pq_ann",

@@ -770,3 +770,64 @@ def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      CAST(MAX(cnt) AS BIGINT) AS max_count,
+      CAST(floor(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 1000000 + 0.5)
+           AS BIGINT) AS max_share_q6,
+      ROUND(QUANTILE_CONT(cnt, 0.5), 6) AS p50_count,
+      ROUND(QUANTILE_CONT(cnt, 0.99), 6) AS p99_count,
+      ROUND(QUANTILE_CONT(cnt, 0.99) / QUANTILE_CONT(cnt, 0.5), 6)
+        AS p99_over_p50
+    FROM c
+    """,
+)
+def q_events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for the events user_id key: key count,
+    hottest-key share, and the p99/p50 per-key-count ratio — the
+    numbers that decide BEFORE a production join whether to rely on
+    AQE skew splitting or reach for plans/skew.salted_join (the
+    engine's rule of thumb: salt when max_share crosses ~1/partitions
+    or p99/p50 crosses ~10x). Two map-side-combined aggregations: the
+    per-key count, then O(keys) moments — nothing here scales with
+    row count beyond the first combine. Exact interpolated
+    percentiles with the ROUND-6 idiom; the hot-key share is one IEEE
+    division, q6."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    share = F.col("max_count").cast("double") / F.col("n_rows")
+    return (
+        c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_count"),
+            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_count"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_count"),
+            F.round(
+                F.expr("percentile(cnt, 0.99) / percentile(cnt, 0.5)"), 6
+            ).alias("p99_over_p50"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_count",
+            q6(share).alias("max_share_q6"),
+            "p50_count",
+            "p99_count",
+            "p99_over_p50",
+        )
+    )
