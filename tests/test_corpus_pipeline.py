@@ -1,0 +1,69 @@
+"""End-to-end training-corpus pipeline: funnel monotonicity,
+dedup behavior, determinism across reruns."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from nbody6_data_pipeline_spark.corpus_pipeline import (
+    N_SHARDS,
+    build_training_corpus,
+)
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    manifest = build_training_corpus(spark, sf_dir, out)
+
+    st = manifest["stages"]
+    # monotone funnel with a non-trivial gate
+    assert st["raw"] >= st["gated"] >= st["deduped"] > 0
+    assert st["gated"] < st["raw"]  # the gate actually fires
+
+    # shard accounting adds up and stays within the shard-count bound
+    assert sum(s["n_docs"] for s in manifest["shards"]) == st["deduped"]
+    assert len(manifest["shards"]) <= N_SHARDS
+
+    # written manifest matches the returned one
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh) == manifest
+
+    # deterministic rerun: byte-identical manifest, identical corpus
+    corpus1 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards")).collect()
+    )
+    manifest2 = build_training_corpus(spark, sf_dir, out)
+    assert manifest2 == manifest
+    corpus2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards")).collect()
+    )
+    assert corpus1 == corpus2
+
+
+def test_corpus_pipeline_removes_near_dups(spark, tmp_path):
+    """A planted near-dup family collapses to its lowest doc_id."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observer counts tokens carefully one by one today "
+    ) * 3
+    rows = []
+    for i in range(3):  # three near-identical variants
+        rows.append((100 + i, base + f"variant tail {i}", "en", "s", len(base)))
+    rows.append((500, "completely different content " * 20, "en", "s", 600))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    manifest = build_training_corpus(spark, sf, out)
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards")).collect()
+    )
+    assert kept == [100, 500]
+    assert manifest["stages"]["deduped"] == 2
