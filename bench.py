@@ -69,7 +69,37 @@ def main() -> None:
         "sf": sf_val,
     }
     out.update(bench_pipeline(spark))
+    out.update(bench_corpus(spark))
     print(json.dumps(out))
+
+
+def bench_corpus(spark) -> dict:
+    """Time the training-corpus pipeline end-to-end (quality gate ->
+    tokenset dedup -> LSH near-dup keep-best -> content-hash shards ->
+    manifest) at the bench SF — the LLM-data counterpart of the
+    NBODY6 pipeline leg."""
+    import shutil
+    import tempfile
+
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="corpus_bench_")
+    try:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        manifest = build_training_corpus(spark, SF_DIR, out_dir)
+        wall = time.perf_counter() - t0
+        return {
+            "corpus_sec": round(wall, 3),
+            "corpus_raw": manifest["stages"]["raw"],
+            "corpus_final": manifest["stages"]["deduped"],
+        }
+    except Exception as exc:  # never let this leg sink the bench line
+        return {"corpus_error": f"{type(exc).__name__}: {exc}"[:200]}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def bench_pipeline(spark, n_runs: int = 10) -> dict:
