@@ -66,12 +66,7 @@ def quality_gate(docs: DataFrame) -> DataFrame:
 def tokenset_dedup(docs: DataFrame) -> DataFrame:
     """Exact + vocabulary dedup: keep the lowest doc_id per sorted
     distinct-token-set fingerprint (subsumes byte-exact dedup)."""
-    fp = F.md5(
-        F.concat_ws(
-            " ", F.array_sort(F.array_distinct(token_array(F.lower(F.col("text")))))
-        )
-    )
-    w = docs.select("doc_id", fp.alias("fp"))
+    w = docs.select("doc_id", _tokenset_fp().alias("fp"))
     keep = w.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
@@ -100,13 +95,35 @@ def neardup_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def _tokenset_fp() -> F.Column:
+    return F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(token_array(F.lower(F.col("text"))))),
+        )
+    )
+
+
+def _write_indexes(docs: DataFrame, out_dir: str, mode: str) -> None:
+    """Persist the dedup indexes of the kept docs — the exact/vocab
+    fingerprint table and the MinHash band table — so later DELTA
+    batches can dedup against the corpus without rescanning it."""
+    docs.select(F.col("doc_id"), _tokenset_fp().alias("fp")).write.mode(
+        mode
+    ).parquet(os.path.join(out_dir, "fingerprints"))
+    minhash_bands(docs, F.col("text"), "doc_id").write.mode(mode).parquet(
+        os.path.join(out_dir, "bands")
+    )
+
+
 def build_training_corpus(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict:
     """Run the full flow; returns the manifest (also written as JSON).
 
     Layers land under out_dir: gated/, deduped/, shards/ (partitioned
-    by shard), manifest.json.
+    by shard), fingerprints/ + bands/ (the dedup indexes delta
+    batches match against), manifest.json.
     """
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_raw = raw.count()
@@ -126,6 +143,7 @@ def build_training_corpus(
     sharded.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(out_dir, "shards")
     )
+    _write_indexes(near, out_dir, "overwrite")
     shard_stats = (
         spark.read.parquet(os.path.join(out_dir, "shards"))
         .groupBy("shard")
@@ -152,5 +170,114 @@ def build_training_corpus(
         ],
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def update_training_corpus(
+    spark: SparkSession, delta: DataFrame, out_dir: str
+) -> dict:
+    """Incremental ingest: run a DELTA batch of documents through the
+    same gates and dedup it against the EXISTING corpus via the
+    persisted indexes — the corpus itself is never rescanned except to
+    verify the (tiny) candidate set.
+
+    Dedup semantics are FIRST-SEEN-WINS: a delta doc that duplicates
+    (exactly, by vocabulary, or by near-dup Jaccard) anything already
+    in the corpus is dropped, whatever its id — the only causally
+    consistent rule for an append-only corpus (a full rebuild's global
+    min-id winner could differ; rebuild when winner policy matters).
+
+    Scale shape: exact/vocab dedup is one anti-join against the
+    fingerprint index; near-dup candidates come from joining the
+    delta's bands against the stored band index on (band, band_hash)
+    — at 100 TB both indexes would be bucketed by their join key so a
+    delta batch touches only matching buckets; verification reads
+    ONLY the candidate corpus docs (semi-join into the shards).
+    Survivors append to shards/fingerprints/bands, making the update
+    itself replayable: re-ingesting the same delta drops every doc at
+    the exact-dedup stage (its fingerprints are now in the index).
+
+    The three appends are not jointly atomic: a crash between them can
+    leave a doc in shards but not the indexes (replay would re-append
+    it) or vice versa. delta_manifest.json is written last and acts as
+    the commit record — on a crash before it exists, rebuild with
+    ``build_training_corpus`` (deterministic, so cheap to reason
+    about) rather than replaying the delta.
+    """
+    n_delta = delta.count()
+    gated = quality_gate(delta)
+
+    # intra-delta exact/vocab dedup, then vs the corpus index
+    exact = tokenset_dedup(gated)
+    fp_index = spark.read.parquet(os.path.join(out_dir, "fingerprints"))
+    fresh = (
+        exact.withColumn("fp", _tokenset_fp())
+        .join(fp_index.select("fp"), "fp", "left_anti")
+        .drop("fp")
+    )
+    n_after_exact = fresh.count()
+
+    # near-dup vs corpus: delta bands x stored band index
+    delta_bands = minhash_bands(fresh, F.col("text"), "doc_id").persist()
+    band_index = spark.read.parquet(os.path.join(out_dir, "bands"))
+    cand = (
+        delta_bands.join(
+            band_index.select(
+                F.col("doc").alias("corpus_doc"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select(F.col("corpus_doc").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .distinct()
+    )
+    corpus_candidates = spark.read.parquet(
+        os.path.join(out_dir, "shards")
+    ).join(
+        cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    verify_source = corpus_candidates.select(
+        "doc_id", "text"
+    ).unionByName(fresh.select("doc_id", "text"))
+    dup_of_corpus = (
+        jaccard_verify(cand, verify_source, F.col("text"), "doc_id")
+        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    fresh2 = fresh.join(dup_of_corpus, "doc_id", "left_anti")
+    n_after_corpus = fresh2.count()
+
+    # intra-delta near-dup among what's left. localCheckpoint (NOT
+    # persist): the survivor lineage READS the very paths the appends
+    # below WRITE (fingerprints/bands/shards), and Spark's
+    # recacheByPath invalidates a merely-persisted plan on the first
+    # append — the later index writes would then recompute survivors
+    # against the already-updated fingerprint index and append empty
+    # indexes (observed: band index silently missing every delta doc,
+    # so replays re-append). Checkpointing truncates the lineage to
+    # materialized rows that no path write can invalidate.
+    survivors = neardup_dedup(fresh2).localCheckpoint()
+    n_appended = survivors.count()
+    delta_bands.unpersist()
+
+    survivors.withColumn(
+        "shard", md5_bucket(F.col("doc_id"), N_SHARDS)
+    ).write.mode("append").partitionBy("shard").parquet(
+        os.path.join(out_dir, "shards")
+    )
+    _write_indexes(survivors, out_dir, "append")
+
+    manifest = {
+        "delta": {
+            "raw": n_delta,
+            "after_exact_vs_corpus": n_after_exact,
+            "after_neardup_vs_corpus": n_after_corpus,
+            "appended": n_appended,
+        }
+    }
+    with open(os.path.join(out_dir, "delta_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest

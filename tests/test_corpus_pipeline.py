@@ -67,3 +67,65 @@ def test_corpus_pipeline_removes_near_dups(spark, tmp_path):
     )
     assert kept == [100, 500]
     assert manifest["stages"]["deduped"] == 2
+
+
+def test_incremental_update_dedups_against_corpus(spark, tmp_path):
+    """Delta docs that near-dup or exactly duplicate corpus docs are
+    dropped (first-seen wins); genuinely new docs append; replaying
+    the same delta appends nothing (the indexes now contain it)."""
+    import os
+
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        update_training_corpus,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog repeatedly "
+        "while careful observers count every token in the corpus "
+    ) * 3
+    novel_text = (
+        "an entirely different subject matter about stellar clusters "
+        "and dynamic simulations with many unique words in sequence "
+    ) * 3
+    initial = spark.createDataFrame(
+        [(1, base_text, "en", "s", len(base_text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    initial.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    m0 = build_training_corpus(spark, sf, out)
+    assert m0["stages"]["deduped"] == 1
+
+    delta = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (suffix mutation)
+            (50, base_text + " tail mutation", "en", "s", len(base_text) + 14),
+            # exact duplicate of corpus doc 1
+            (51, base_text, "en", "s", len(base_text)),
+            # genuinely new doc
+            (52, novel_text, "en", "s", len(novel_text)),
+            # near-dup of the new doc WITHIN the delta -> one survives
+            (53, novel_text + " small tail", "en", "s", len(novel_text) + 11),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    m1 = update_training_corpus(spark, delta, out)
+    assert m1["delta"]["raw"] == 4
+    assert m1["delta"]["appended"] == 1  # only doc 52 survives
+
+    corpus = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards")).collect()
+    )
+    assert corpus == [1, 52]
+
+    # replay: everything is now indexed -> nothing appends
+    m2 = update_training_corpus(spark, delta, out)
+    assert m2["delta"]["appended"] == 0
+    corpus2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards")).collect()
+    )
+    assert corpus2 == [1, 52]
