@@ -91,15 +91,56 @@ def bench_corpus(spark) -> dict:
         t0 = time.perf_counter()
         manifest = build_training_corpus(spark, SF_DIR, out_dir)
         wall = time.perf_counter() - t0
-        return {
+        out = {
             "corpus_sec": round(wall, 3),
             "corpus_raw": manifest["stages"]["raw"],
             "corpus_final": manifest["stages"]["deduped"],
         }
+        out.update(_bench_corpus_delta(spark, out_dir))
+        return out
     except Exception as exc:  # never let this leg sink the bench line
         return {"corpus_error": f"{type(exc).__name__}: {exc}"[:200]}
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _bench_corpus_delta(spark, out_dir: str) -> dict:
+    """Time an incremental delta ingest against the just-built corpus:
+    10% of raw docs re-id'd verbatim (every one must be caught by the
+    fingerprint/band indexes) plus 10% truncated to their first half
+    (shingle-Jaccard ~0.5 vs the original, so they append). Both sets
+    are md5-bucket-derived, so the delta — and the manifest it yields
+    — is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        update_training_corpus,
+    )
+    from nbody6_data_pipeline_spark.queries import md5_bucket
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b = md5_bucket(F.col("doc_id"), 20)
+    dups = raw.filter(b < 2).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    halves = (
+        raw.filter((b >= 2) & (b < 4))
+        .withColumn(
+            "text",
+            F.expr("substring(text, 1, greatest(int(length(text) / 2), 150))"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("doc_id", F.col("doc_id") + 20_000_000)
+    )
+    delta = dups.unionByName(halves)
+    t0 = time.perf_counter()
+    m = update_training_corpus(spark, delta, out_dir)
+    wall = time.perf_counter() - t0
+    return {
+        "delta_sec": round(wall, 3),
+        "delta_raw": m["delta"]["raw"],
+        "delta_appended": m["delta"]["appended"],
+    }
 
 
 def bench_pipeline(spark, n_runs: int = 10) -> dict:

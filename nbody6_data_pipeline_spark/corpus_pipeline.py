@@ -211,11 +211,18 @@ def update_training_corpus(
     # intra-delta exact/vocab dedup, then vs the corpus index
     exact = tokenset_dedup(gated)
     fp_index = spark.read.parquet(os.path.join(out_dir, "fingerprints"))
+    # Materialize each surviving-delta layer (localCheckpoint, the
+    # delta-sized analogue of the build's write-then-reread layering):
+    # the downstream dedup operators reference their input several
+    # times (band build, shingle semi-join, final anti-join), and an
+    # unmaterialized lineage would re-run the whole upstream funnel —
+    # including the corpus-verify join — once per reference. Checked
+    # frames are delta-sized, so the materialization is cheap.
     fresh = (
         exact.withColumn("fp", _tokenset_fp())
         .join(fp_index.select("fp"), "fp", "left_anti")
         .drop("fp")
-    )
+    ).localCheckpoint()
     n_after_exact = fresh.count()
 
     # near-dup vs corpus: delta bands x stored band index
@@ -247,17 +254,18 @@ def update_training_corpus(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    fresh2 = fresh.join(dup_of_corpus, "doc_id", "left_anti")
+    fresh2 = fresh.join(dup_of_corpus, "doc_id", "left_anti").localCheckpoint()
     n_after_corpus = fresh2.count()
 
-    # intra-delta near-dup among what's left. localCheckpoint (NOT
-    # persist): the survivor lineage READS the very paths the appends
-    # below WRITE (fingerprints/bands/shards), and Spark's
-    # recacheByPath invalidates a merely-persisted plan on the first
-    # append — the later index writes would then recompute survivors
-    # against the already-updated fingerprint index and append empty
-    # indexes (observed: band index silently missing every delta doc,
-    # so replays re-append). Checkpointing truncates the lineage to
+    # intra-delta near-dup among what's left. localCheckpoint here is
+    # ALSO load-bearing for correctness, not just plan hygiene: the
+    # survivor lineage READS the very paths the appends below WRITE
+    # (fingerprints/bands/shards), and Spark's recacheByPath
+    # invalidates a merely-persisted plan on the first append — the
+    # later index writes would then recompute survivors against the
+    # already-updated fingerprint index and append empty indexes
+    # (observed: band index silently missing every delta doc, so
+    # replays re-append). Checkpointing truncates the lineage to
     # materialized rows that no path write can invalidate.
     survivors = neardup_dedup(fresh2).localCheckpoint()
     n_appended = survivors.count()
