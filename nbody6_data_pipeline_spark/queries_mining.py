@@ -831,3 +831,133 @@ def q_events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_over_p50",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+@register(
+    "customer_order_distribution",
+    f"""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How many customers placed k qualifying orders, INCLUDING k=0
+    (TPC-H Q13 shape): the outer-join double aggregation where the
+    filter lives in the JOIN CONDITION, not WHERE — a WHERE would
+    silently drop the zero-order customers the query exists to count.
+
+    Plan shape: orders pre-aggregates to one (custkey, count) row
+    BEFORE the join (map-side-combinable hash agg), so the join
+    shuffles |customers| + |custkeys-with-orders| rows instead of
+    |customers| + |orders| — at 100 TB the raw-orders outer join Q13
+    is usually written with would dwarf the second aggregation, and a
+    hot customer would skew one task; pre-aggregated, every custkey
+    is exactly one row on the probe side and the distribution agg is
+    tiny. Zero-order customers surface via coalesce(cnt, 0)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .transform(ordered, F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suppliers above a global revenue threshold (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+Q11_MEAN_MULTIPLE = 1.05
+
+
+@register(
+    "supplier_revenue_share",
+    f"""
+    WITH s AS (
+      SELECT l_suppkey AS supp_key,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,4))) AS DOUBLE) AS total,
+             COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem
+    )
+    SELECT s.supp_key, s.revenue, s.revenue / tot.total AS share
+    FROM s, tot
+    WHERE s.revenue > (tot.total / tot.n_supp) * {Q11_MEAN_MULTIPLE}
+    ORDER BY s.revenue DESC, s.supp_key
+    """,
+)
+def q_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose revenue exceeds 1.05x the mean supplier
+    revenue (TPC-H Q11 shape): a grouped aggregate filtered against a
+    GLOBAL scalar computed from the same fact table.
+
+    Plan shape: one map-side-combinable hash agg builds the per-
+    supplier table; the global total/count is a second tiny agg over
+    THAT table's decimal sums (not a rescan of lineitem) and joins
+    back as a broadcast single-row cross join — the idiom this repo
+    uses for every scalar subquery, which AQE plans as
+    BroadcastNestedLoopJoin with a 1-row build side, not a cartesian
+    product. The threshold stays scale-free (mean-relative; the synthetic
+    feed's supplier revenue is near-uniform, max/mean ~1.1, so the
+    multiple sits inside the observed spread), so the selectivity
+    survives SF changes.
+
+    Determinism: supplier revenue is the exact decimal-sum idiom; the
+    global total re-sums the DECIMAL partials (exact, order-free)
+    before the one cast to double, so both engines compare the same
+    doubles; share is one IEEE division of identical inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,4)"
+    )
+    s = (
+        li.groupBy(F.col("l_suppkey").alias("supp_key"))
+        .agg(F.sum(rev).alias("_rev_dec"))
+    )
+    tot = s.agg(
+        F.sum("_rev_dec").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    return (
+        s.select("supp_key", F.col("_rev_dec").cast("double").alias("revenue"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("revenue")
+            > (F.col("total") / F.col("n_supp")) * Q11_MEAN_MULTIPLE
+        )
+        .select(
+            "supp_key",
+            "revenue",
+            (F.col("revenue") / F.col("total")).alias("share"),
+        )
+        .transform(ordered, F.col("revenue").desc(), "supp_key")
+    )
