@@ -175,7 +175,10 @@ def build_training_corpus(
 
 
 def update_training_corpus(
-    spark: SparkSession, delta: DataFrame, out_dir: str
+    spark: SparkSession,
+    delta: DataFrame,
+    out_dir: str,
+    manifest_name: str = "delta_manifest.json",
 ) -> dict:
     """Incremental ingest: run a DELTA batch of documents through the
     same gates and dedup it against the EXISTING corpus via the
@@ -286,6 +289,6 @@ def update_training_corpus(
             "appended": n_appended,
         }
     }
-    with open(os.path.join(out_dir, "delta_manifest.json"), "w") as fh:
+    with open(os.path.join(out_dir, manifest_name), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest

@@ -33,7 +33,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["fingerprints", "make_batch_processor", "start_ingest_dedup"]
+__all__ = [
+    "fingerprints",
+    "make_batch_processor",
+    "start_corpus_neardup_ingest",
+    "start_ingest_dedup",
+]
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -132,5 +137,50 @@ def start_ingest_dedup(
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))
+        .start()
+    )
+
+
+def start_corpus_neardup_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str | None = None,
+):
+    """Continuous NEAR-dup corpus maintenance: each micro-batch runs
+    the full delta funnel of ``corpus_pipeline.update_training_corpus``
+    (quality gate -> exact/vocab dedup vs the fingerprint index ->
+    banded near-dup vs the corpus band index -> intra-batch near-dup
+    -> append survivors + indexes) against a corpus built by
+    ``build_training_corpus``. Returns the StreamingQuery.
+
+    Complements ``start_ingest_dedup``: that one is EXACT-only and
+    keeps its own normalized-fingerprint store with batch-partitioned
+    exactly-once writes; this one additionally catches near-duplicates
+    of anything the corpus has ever kept, at the cost of several jobs
+    per batch and a weaker recovery contract — a completed batch
+    replays to zero appends (all its survivors are indexed), but the
+    appends within one batch are not jointly atomic (see
+    update_training_corpus; its manifest, written last per batch as
+    delta_manifest_<batch_id>.json, is the per-batch commit record).
+    """
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        update_training_corpus,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_training_corpus(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            manifest_name=f"delta_manifest_{batch_id}.json",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(out_dir, "_checkpoint"),
+        )
         .start()
     )
