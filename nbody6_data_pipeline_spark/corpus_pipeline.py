@@ -71,9 +71,12 @@ def tokenset_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
 
-def neardup_dedup(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH candidates -> exact Jaccard verify -> connected
-    components -> keep the lowest doc_id per near-dup cluster."""
+def neardup_losers(docs: DataFrame) -> DataFrame:
+    """(doc_id, dup_of) for every doc that loses its near-dup cluster:
+    MinHash-LSH candidates -> exact Jaccard verify -> connected
+    components; the lowest doc_id in each cluster keeps, the rest map
+    to it. Exposed separately so the delta path can record dedup
+    PROVENANCE (why a doc was dropped) without recomputing."""
     pairs = (
         jaccard_verify(
             lsh_candidate_pairs(minhash_bands(docs, F.col("text"), "doc_id")),
@@ -85,14 +88,21 @@ def neardup_dedup(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    losers = (
+    return (
         comp.groupBy("comp")
         .agg(F.min("node").alias("keep"))
         .join(comp, "comp")
         .filter(F.col("node") != F.col("keep"))
-        .select(F.col("node").alias("doc_id"))
+        .select(F.col("node").alias("doc_id"), F.col("keep").alias("dup_of"))
     )
-    return docs.join(losers, "doc_id", "left_anti")
+
+
+def neardup_dedup(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidates -> exact Jaccard verify -> connected
+    components -> keep the lowest doc_id per near-dup cluster."""
+    return docs.join(
+        neardup_losers(docs).select("doc_id"), "doc_id", "left_anti"
+    )
 
 
 def _tokenset_fp() -> F.Column:
@@ -207,13 +217,49 @@ def update_training_corpus(
     the commit record — on a crash before it exists, rebuild with
     ``build_training_corpus`` (deterministic, so cheap to reason
     about) rather than replaying the delta.
+
+    Every dropped doc is logged to ``provenance/`` as
+    (doc_id, stage, dup_of): which funnel stage dropped it and — for
+    dedup stages — the lowest-id doc it duplicated. The log is
+    append-only (replaying a delta re-logs its drops at the
+    exact-dedup stage); audit reads should dedup on (doc_id, stage).
     """
+    id_t = delta.schema["doc_id"].dataType
+
+    def _prov(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.lit(stage).alias("stage"),
+            F.col("dup_of").cast(id_t).alias("dup_of"),
+        )
+
     n_delta = delta.count()
     gated = quality_gate(delta)
+    gate_drops = delta.join(
+        gated.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(None).cast(id_t).alias("dup_of"))
 
     # intra-delta exact/vocab dedup, then vs the corpus index
     exact = tokenset_dedup(gated)
+    fp_tagged = gated.select("doc_id", _tokenset_fp().alias("fp"))
+    exact_intra_drops = (
+        fp_tagged.join(
+            fp_tagged.groupBy("fp").agg(F.min("doc_id").alias("dup_of")),
+            "fp",
+        )
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+    )
     fp_index = spark.read.parquet(os.path.join(out_dir, "fingerprints"))
+    # fp is unique in the index (the build deduped on it; appends
+    # anti-join against it first), so this inner join is 1:1.
+    exact_corpus_drops = (
+        exact.withColumn("fp", _tokenset_fp())
+        .join(
+            fp_index.select("fp", F.col("doc_id").alias("dup_of")), "fp"
+        )
+        .select("doc_id", "dup_of")
+    )
     # Materialize each surviving-delta layer (localCheckpoint, the
     # delta-sized analogue of the build's write-then-reread layering):
     # the downstream dedup operators reference their input several
@@ -251,13 +297,19 @@ def update_training_corpus(
     verify_source = corpus_candidates.select(
         "doc_id", "text"
     ).unionByName(fresh.select("doc_id", "text"))
-    dup_of_corpus = (
+    # (doc_id, dup_of) of delta docs near-dupping the corpus; a doc
+    # may match several corpus docs -> deterministic min. Checkpointed
+    # because it is read twice (anti-join + provenance log) and its
+    # lineage holds the corpus-verify join; it is drop-sized.
+    neardup_corpus_drops = (
         jaccard_verify(cand, verify_source, F.col("text"), "doc_id")
         .filter(F.col("jaccard") >= NEARDUP_JACCARD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    fresh2 = fresh.join(dup_of_corpus, "doc_id", "left_anti").localCheckpoint()
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("dup_of"))
+    ).localCheckpoint()
+    fresh2 = fresh.join(
+        neardup_corpus_drops.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
     n_after_corpus = fresh2.count()
 
     # intra-delta near-dup among what's left. localCheckpoint here is
@@ -270,9 +322,23 @@ def update_training_corpus(
     # (observed: band index silently missing every delta doc, so
     # replays re-append). Checkpointing truncates the lineage to
     # materialized rows that no path write can invalidate.
-    survivors = neardup_dedup(fresh2).localCheckpoint()
+    # Loser pairs computed ONCE (checkpointed, loser-sized) and used
+    # for both the survivor anti-join and the provenance log — running
+    # neardup_dedup here would redo the whole LSH+verify for the log.
+    neardup_intra_drops = neardup_losers(fresh2).localCheckpoint()
+    survivors = fresh2.join(
+        neardup_intra_drops.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
     n_appended = survivors.count()
     delta_bands.unpersist()
+
+    _prov(gate_drops, "quality_gate").unionByName(
+        _prov(exact_intra_drops, "exact_intra_delta")
+    ).unionByName(_prov(exact_corpus_drops, "exact_vs_corpus")).unionByName(
+        _prov(neardup_corpus_drops, "neardup_vs_corpus")
+    ).unionByName(
+        _prov(neardup_intra_drops, "neardup_intra_delta")
+    ).write.mode("append").parquet(os.path.join(out_dir, "provenance"))
 
     survivors.withColumn(
         "shard", md5_bucket(F.col("doc_id"), N_SHARDS)

@@ -115,6 +115,17 @@ def test_incremental_update_dedups_against_corpus(spark, tmp_path):
     assert m1["delta"]["raw"] == 4
     assert m1["delta"]["appended"] == 1  # only doc 52 survives
 
+    # provenance: every dropped doc is logged with stage + culprit
+    prov = {
+        r["doc_id"]: (r["stage"], r["dup_of"])
+        for r in spark.read.parquet(os.path.join(out, "provenance")).collect()
+    }
+    assert prov[51] == ("exact_vs_corpus", 1)
+    assert prov[50][1] == 1  # near-dupped corpus doc 1 at some stage
+    assert prov[50][0] in ("neardup_vs_corpus", "neardup_intra_delta")
+    assert prov[53] == ("neardup_intra_delta", 52)
+    assert 52 not in prov  # survivors are never logged
+
     corpus = sorted(
         r["doc_id"]
         for r in spark.read.parquet(os.path.join(out, "shards")).collect()
