@@ -65,6 +65,10 @@ def registry() -> dict[str, QuerySpec]:
 # Queries green in CORRECTNESS_local_r03.json but absent from every
 # driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
 _DRIVER_PRIORITY = [
+    "promo_revenue_share",
+    "late_shipment_priority",
+    "discounted_part_revenue",
+    "idle_rich_customers",
     "customer_order_distribution",
     "supplier_revenue_share",
     "events_hll_distinct",

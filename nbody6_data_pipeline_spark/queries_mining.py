@@ -961,3 +961,234 @@ def q_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, F.col("revenue").desc(), "supp_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic analytic shapes, continued: Q14 / Q12 / Q19 / Q22
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "PROMO"
+# [1998-01-01, 1999-01-01) as epoch-us bounds: the engine's one proven
+# cross-engine date idiom is comparing the epoch_us-normalized column
+# to integer literals (see shipping_priority) — YEAR()/year() would
+# re-introduce session-timezone sensitivity on the Spark side.
+PROMO_T0_US = 883_612_800_000_000
+PROMO_T1_US = 915_148_800_000_000
+LATE_SHIP_US = 60 * 86_400 * 1_000_000  # shipped >60 days after order
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type = '{PROMO_TYPE}'
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))
+        ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue,
+      CAST(SUM(CASE WHEN p.p_type = '{PROMO_TYPE}'
+        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))
+        ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(30,4))) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE epoch_us(l.l_shipdate) >= {PROMO_T0_US}
+      AND epoch_us(l.l_shipdate) < {PROMO_T1_US}
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share for one ship-year (TPC-H Q14 shape):
+    conditional aggregate over a fact-fact join. Plan shape: the year
+    filter prunes lineitem before the join; lineitem and part meet in
+    ONE shuffle on partkey (part scales with the corpus — SF x 200k in
+    TPC-H — so it is NOT broadcast; at small SF AQE may still choose a
+    broadcast hash join at runtime, which is exactly the adaptivity
+    wanted). Both sums keep DECIMAL partials to the end; the share is
+    one IEEE division of two identical-on-both-engines doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,4)")
+        .alias("_rev"),
+        event_us(li, "l_shipdate").alias("_ship_us"),
+    ).filter(
+        (F.col("_ship_us") >= PROMO_T0_US) & (F.col("_ship_us") < PROMO_T1_US)
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(30,4)")
+    promo = F.when(F.col("p_type") == PROMO_TYPE, F.col("_rev")).otherwise(zero)
+    agg = li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum("_rev").cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+@register(
+    "late_shipment_priority",
+    f"""
+    SELECT l.l_linestatus AS ship_class,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {LATE_SHIP_US}
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix of LATE shipments (TPC-H Q12 shape; linestatus
+    stands in for shipmode): the defining feature is the join-derived
+    predicate — lateness compares columns from BOTH sides, so it
+    cannot push below the join; Catalyst evaluates it directly on the
+    join output before the (integer-exact) conditional counts. One
+    fact-fact shuffle on orderkey, then a map-side-combinable hash
+    aggregate to |linestatus| rows."""
+    o = _t(spark, sf_dir, "orders")
+    o = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        event_us(o, "o_orderdate").alias("_order_us"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.select(
+        "l_orderkey",
+        "l_linestatus",
+        event_us(li, "l_shipdate").alias("_ship_us"),
+    )
+    is_high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("_ship_us") > F.col("_order_us") + LATE_SHIP_US)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .transform(ordered, "ship_class")
+    )
+
+
+Q19_BANDS = (  # (brand, max_size, min_qty, max_qty)
+    ("Brand#2", 15, 1, 20),
+    ("Brand#11", 25, 10, 30),
+    ("Brand#17", 35, 20, 40),
+)
+
+
+@register(
+    "discounted_part_revenue",
+    f"""
+    SELECT p.p_brand AS brand,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {s}"
+        f" AND l.l_quantity BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in Q19_BANDS)}
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_discounted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three brand/size/quantity bands (TPC-H Q19 shape):
+    a disjunction of conjunctions spanning both join sides. Catalyst
+    splits the OR: the single-side residues it can infer
+    (p_brand IN (...) on part, l_quantity BETWEEN global-min/max on
+    lineitem) push into the scans as PushedFilters, while the full
+    cross-side disjunction evaluates above the join — the scans never
+    read rows that no band could accept. One shuffle on partkey."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = None
+    for b, s, lo, hi in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, s)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        band = c if band is None else band | c
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(rev, "revenue", 4),
+        )
+        .transform(ordered, "brand")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_custs,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no urgent orders (TPC-H
+    Q22 shape): a global scalar threshold feeding a filter, then an
+    anti-join against a filtered fact subset. The threshold is a
+    1-row aggregate broadcast onto every customer row (no second
+    scan); the NOT EXISTS is a left-anti shuffle join against orders
+    pre-filtered to the urgent slice (the filter pushes into the
+    orders scan, so the anti-join's build input is already the small
+    subset). Threshold determinism: exact decimal sum, one cast, one
+    IEEE division — both engines compare the same double."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == urgent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            dsum(F.col("c_acctbal"), "total_bal", 4),
+        )
+        .transform(ordered, "segment")
+    )
