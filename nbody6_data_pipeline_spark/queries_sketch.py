@@ -25,6 +25,7 @@ bit-exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.graph import RANK_SCALE, pagerank_fixed
@@ -461,3 +462,76 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = row if stats is None else stats.unionByName(row)
     return stats.transform(ordered, "round")
+
+
+# ---------------------------------------------------------------------------
+# Dedup provenance (row-level loser -> winner audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_dedup_provenance",
+    """
+    WITH f AS (
+      SELECT doc_id, md5(text) AS bfp,
+        md5(array_to_string(list_sort(list_distinct(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))),
+          ' ')) AS vfp
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+        MIN(doc_id) OVER (PARTITION BY bfp) AS bwin,
+        MIN(doc_id) OVER (PARTITION BY vfp) AS vwin
+      FROM f
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CASE WHEN doc_id != bwin THEN 'exact_bytes'
+           ELSE 'exact_vocab' END AS stage,
+      CAST(CASE WHEN doc_id != bwin THEN bwin ELSE vwin END
+           AS BIGINT) AS dup_of
+    FROM w WHERE doc_id != bwin OR doc_id != vwin
+    ORDER BY doc_id
+    """,
+)
+def q_doc_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dedup PROVENANCE: for every document the exact-dedup
+    funnel would drop, WHICH doc it duplicates and at which stage —
+    `exact_bytes` (byte-identical text) attributed before
+    `exact_vocab` (same sorted-distinct vocabulary), mirroring the
+    corpus pipeline's funnel order (corpus_pipeline.py writes the same
+    product incrementally to provenance/). The batch recipe: both
+    fingerprints in one projection, per-fingerprint MIN(doc_id) via
+    two partitioned windows (each one shuffle whose partitions are
+    duplicate-cluster-sized — no global window, no join back), then a
+    funnel-ordered CASE. Byte-duplicates are vocab-duplicates too, so
+    the byte stage claims first and `dup_of` is always the cluster's
+    global min-id winner."""
+    d = _t(spark, sf_dir, "documents")
+    vfp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(token_array(F.lower(F.col("text"))))),
+        )
+    )
+    f = d.select("doc_id", F.md5("text").alias("bfp"), vfp.alias("vfp"))
+    w = f.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("bfp")).alias("bwin"),
+        F.min("doc_id").over(W.partitionBy("vfp")).alias("vwin"),
+    )
+    loser_b = F.col("doc_id") != F.col("bwin")
+    loser_v = F.col("doc_id") != F.col("vwin")
+    return (
+        w.filter(loser_b | loser_v)
+        .select(
+            "doc_id",
+            F.when(loser_b, "exact_bytes")
+            .otherwise("exact_vocab")
+            .alias("stage"),
+            F.when(loser_b, F.col("bwin")).otherwise(F.col("vwin")).alias(
+                "dup_of"
+            ),
+        )
+        .transform(ordered, "doc_id")
+    )
