@@ -16,6 +16,7 @@ Determinism notes (driver hash-compares bit-sensitively):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.expectations import (
@@ -1191,4 +1192,129 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), "total_bal", 4),
         )
         .transform(ordered, "segment")
+    )
+
+
+Q17_BRAND = "Brand#17"
+# 1998 H1 as epoch-us bounds (same literal-epoch idiom as above)
+Q15_T0_US = 883_612_800_000_000
+Q15_T1_US = 899_251_200_000_000
+
+
+@register(
+    "small_quantity_revenue",
+    f"""
+    WITH j AS (
+      SELECT l.l_quantity, l.l_extendedprice, l.l_partkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{Q17_BRAND}'
+    ),
+    t AS (
+      SELECT *,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)))
+               OVER (PARTITION BY l_partkey) AS DOUBLE)
+          / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM j
+    )
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / 7.0
+        AS avg_yearly,
+      CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM t WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to small-quantity orders of one brand (TPC-H Q17
+    shape): the correlated-scalar-subquery pattern — each row compares
+    against ITS part's average quantity — decorrelated into a window
+    over the join output. Plan shape: the brand filter pushes into the
+    part scan; whichever join strategy Catalyst picks, the data is
+    keyed by partkey exactly once — small SF: broadcast join (zero
+    join shuffle) + the window's single hashpartitioning exchange;
+    at scale (part too big to broadcast): the join shuffles on partkey
+    and the window REUSES that partitioning (ENSURE_REQUIREMENTS is
+    already met), so the decorrelation never costs a second exchange.
+    Threshold determinism: exact decimal avg -> one double multiply
+    by 0.2 (same bits both engines)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(30,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH r AS (
+      SELECT l_suppkey AS supp_key,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,4))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE epoch_us(l_shipdate) >= {Q15_T0_US}
+        AND epoch_us(l_shipdate) < {Q15_T1_US}
+      GROUP BY supp_key
+    )
+    SELECT r.supp_key, s.s_name AS supp_name, r.total_rev
+    FROM r JOIN supplier s ON s.s_suppkey = r.supp_key
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM r)
+    ORDER BY r.supp_key
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by half-year revenue (TPC-H Q15 shape): a
+    grouped aggregate compared against the global max OVER ITSELF —
+    ties all surface (no LIMIT 1 arbitrariness). Plan shape: one
+    map-side-combinable aggregate to |suppliers| rows; the 1-row max
+    re-aggregates THAT result (supplier-count-sized, not fact-sized)
+    and broadcasts back; the name lookup broadcasts the matched
+    suppliers. MAX over doubles is exact (comparison, not
+    accumulation), so equality against it is engine-stable; revenue
+    itself is the exact decimal-sum idiom."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_by_supp = (
+        li.select(
+            "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(30,4)")
+            .alias("_rev"),
+            event_us(li, "l_shipdate").alias("_ship_us"),
+        )
+        .filter(
+            (F.col("_ship_us") >= Q15_T0_US) & (F.col("_ship_us") < Q15_T1_US)
+        )
+        .groupBy(F.col("l_suppkey").alias("supp_key"))
+        .agg(F.sum("_rev").cast("double").alias("total_rev"))
+        .persist()  # read twice: the max subquery and the filter
+    )
+    mx = rev_by_supp.agg(F.max("total_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev_by_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(s, F.col("supp_key") == s["s_suppkey"])
+        .select("supp_key", F.col("s_name").alias("supp_name"), "total_rev")
+        .transform(ordered, "supp_key")
     )
