@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
 # Queries green in CORRECTNESS_local_r03.json but absent from every
 # driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
 _DRIVER_PRIORITY = [
+    "nation_market_share",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "doc_dedup_provenance",

@@ -1318,3 +1318,92 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("supp_key", F.col("s_name").alias("supp_name"), "total_rev")
         .transform(ordered, "supp_key")
     )
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"  # an ASIA nation (region 2 holds NATION_{2,7,12,17,22})
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH j AS (
+      SELECT CAST(epoch_us(date_trunc('year', o.o_orderdate)) AS BIGINT)
+               AS order_year_us,
+        n2.n_name AS supp_nation,
+        CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4)) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+                     AND r.r_name = '{Q8_REGION}'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    )
+    SELECT order_year_us,
+      CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
+               ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+        AS nation_revenue,
+      CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+      CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
+               ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+        / CAST(SUM(rev) AS DOUBLE) AS market_share
+    FROM j GROUP BY order_year_us ORDER BY order_year_us
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's supplier market share inside its region per order
+    year (TPC-H Q8 shape): the deepest star join in the registry —
+    two independent dimension arms (customer->nation->region gating
+    WHICH sales count; supplier->nation labeling WHOSE sales they are)
+    hang off the fact shuffle, every arm broadcast except the
+    customer join (customer scales with the corpus). Calendar years
+    via the proven date_trunc/epoch-us round-trip idiom
+    (events_weekly_summary); share per year = conditional decimal sum
+    over total decimal sum, one IEEE division."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders")
+    o = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(
+            F.date_trunc(
+                "year", F.timestamp_micros(event_us(o, "o_orderdate"))
+            )
+        ).alias("order_year_us"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    cust_nations = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("n_nationkey").alias("_cnat"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("_snat"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,4)"
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    nat_rev = F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(zero)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cust_nations), c["c_nationkey"] == F.col("_cnat"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(supp_nation), s["s_nationkey"] == F.col("_snat"))
+        .groupBy("order_year_us")
+        .agg(
+            F.sum(nat_rev).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "market_share", F.col("nation_revenue") / F.col("total_revenue")
+        )
+        .transform(ordered, "order_year_us")
+    )
