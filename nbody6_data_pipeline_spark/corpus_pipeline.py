@@ -54,13 +54,20 @@ NEARDUP_JACCARD = 0.8
 N_SHARDS = 16
 
 
-def quality_gate(docs: DataFrame) -> DataFrame:
-    """Pure-filter quality gate (no shuffle)."""
-    return docs.filter(
+def gate_predicate() -> F.Column:
+    """The quality gate as a reusable boolean column, so callers can
+    take the PASSING rows (filter) or the FAILING rows (negated
+    filter, for provenance) without an anti-join."""
+    return (
         (F.col("n_chars") >= MIN_CHARS)
         & (F.col("lang").isin(*LANGS))
         & (F.size(token_array(F.col("text"))) >= MIN_TOKENS)
     )
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Pure-filter quality gate (no shuffle)."""
+    return docs.filter(gate_predicate())
 
 
 def tokenset_dedup(docs: DataFrame) -> DataFrame:
@@ -235,9 +242,10 @@ def update_training_corpus(
 
     n_delta = delta.count()
     gated = quality_gate(delta)
-    gate_drops = delta.join(
-        gated.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", F.lit(None).cast(id_t).alias("dup_of"))
+    # Gate drops by NEGATED predicate — shuffle-free, no anti-join.
+    gate_drops = delta.filter(~gate_predicate()).select(
+        "doc_id", F.lit(None).cast(id_t).alias("dup_of")
+    )
 
     # intra-delta exact/vocab dedup, then vs the corpus index
     exact = tokenset_dedup(gated)
@@ -251,27 +259,30 @@ def update_training_corpus(
         .select("doc_id", "dup_of")
     )
     fp_index = spark.read.parquet(os.path.join(out_dir, "fingerprints"))
-    # fp is unique in the index (the build deduped on it; appends
-    # anti-join against it first), so this inner join is 1:1.
-    exact_corpus_drops = (
-        exact.withColumn("fp", _tokenset_fp())
-        .join(
-            fp_index.select("fp", F.col("doc_id").alias("dup_of")), "fp"
-        )
-        .select("doc_id", "dup_of")
-    )
-    # Materialize each surviving-delta layer (localCheckpoint, the
+    # ONE scan of the fingerprint index serves both the dedup and its
+    # provenance: a left-outer join (1:1 — fp is unique in the index:
+    # the build deduped on it, appends anti-join first) is split into
+    # survivors (no corpus match) and drops (match = the culprit).
+    # Materialize the joined layer once (localCheckpoint, the
     # delta-sized analogue of the build's write-then-reread layering):
     # the downstream dedup operators reference their input several
     # times (band build, shingle semi-join, final anti-join), and an
     # unmaterialized lineage would re-run the whole upstream funnel —
-    # including the corpus-verify join — once per reference. Checked
-    # frames are delta-sized, so the materialization is cheap.
-    fresh = (
+    # including the index join — once per reference. Checked frames
+    # are delta-sized, so the materialization is cheap.
+    matched = (
         exact.withColumn("fp", _tokenset_fp())
-        .join(fp_index.select("fp"), "fp", "left_anti")
+        .join(
+            fp_index.select("fp", F.col("doc_id").alias("_corpus_doc")),
+            "fp",
+            "left_outer",
+        )
         .drop("fp")
     ).localCheckpoint()
+    exact_corpus_drops = matched.filter(
+        F.col("_corpus_doc").isNotNull()
+    ).select("doc_id", F.col("_corpus_doc").alias("dup_of"))
+    fresh = matched.filter(F.col("_corpus_doc").isNull()).drop("_corpus_doc")
     n_after_exact = fresh.count()
 
     # near-dup vs corpus: delta bands x stored band index
