@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -364,6 +365,132 @@ def update_training_corpus(
             "after_exact_vs_corpus": n_after_exact,
             "after_neardup_vs_corpus": n_after_corpus,
             "appended": n_appended,
+        }
+    }
+    with open(os.path.join(out_dir, manifest_name), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def _swap_rewrite(df: DataFrame, path: str) -> None:
+    """Rewrite ``path`` with ``df`` (whose lineage may READ ``path``)
+    via a sibling staging directory and two renames, source deleted
+    LAST — the same crash-contract as plans/layout.compact_small_files:
+    a crash leaves either the untouched source (stale staging GC'd on
+    the next call) or the complete old copy at ``<path>._swap_old``
+    (auto-restored on the next call). The data streams executor->disk;
+    nothing is materialized through executor storage."""
+    tmp = path.rstrip("/") + "._swap_tmp"
+    old = path.rstrip("/") + "._swap_old"
+    if os.path.isdir(old):  # self-heal an interrupted swap
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def retire_docs(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    out_dir: str,
+    manifest_name: str = "retire_manifest.json",
+) -> dict:
+    """Targeted removal (right-to-be-forgotten / takedown / license
+    revocation): delete the given doc_ids from the corpus SHARDS and
+    from both dedup INDEXES, so a later re-submission of the same
+    content is admitted fresh rather than silently suppressed by a
+    fingerprint whose payload no longer exists.
+
+    Scale shape — the deletion cost is proportional to the AFFECTED
+    partitions, not the corpus: the shard of every retired id is a
+    pure function of the id (md5_bucket), so only those shard
+    directories are rewritten (anti-join + staged per-partition swap);
+    untouched shards are never read or written. The fingerprint/band
+    indexes are rewritten by one anti-join each (at 100 TB they would
+    be bucketed by their join key — plans/bucketing.py — making those
+    rewrites bucket-pruned the same way).
+
+    Crash contract: each swap self-heals (see _swap_rewrite), the
+    manifest is written last as the commit record, and the whole
+    operation is IDEMPOTENT — replaying after any crash converges
+    (anti-joins of already-removed ids are no-ops). Payload (shards)
+    is removed before the indexes, so a mid-crash state errs toward
+    the privacy-safe side. Every removed doc is logged to
+    ``provenance/`` with stage='retired' (dup_of NULL).
+    """
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+    id_t = doc_ids.schema["doc_id"].dataType
+    n_requested = ids.count()
+    shards_path = os.path.join(out_dir, "shards")
+
+    affected = sorted(
+        r["shard"]
+        for r in ids.select(
+            md5_bucket(F.col("doc_id"), N_SHARDS).alias("shard")
+        )
+        .distinct()
+        .collect()
+    )  # bounded by N_SHARDS
+    in_affected = spark.read.parquet(shards_path).filter(
+        F.col("shard").isin([int(s) for s in affected])
+    )
+    removed = (
+        in_affected.join(ids, "doc_id", "left_semi")
+        .select("doc_id")
+        .localCheckpoint()  # request-bounded; survives the rewrite below
+    )
+    n_removed = removed.count()
+
+    # 1) shards: rewrite ONLY affected partitions via staged swap
+    tmp_base = shards_path.rstrip("/") + "._retire_tmp"
+    shutil.rmtree(tmp_base, ignore_errors=True)
+    survivors = in_affected.join(ids, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").partitionBy("shard").parquet(tmp_base)
+    for s in affected:
+        src = os.path.join(tmp_base, f"shard={int(s)}")
+        dst = os.path.join(shards_path, f"shard={int(s)}")
+        old = dst + "._swap_old"
+        if os.path.isdir(old):  # self-heal
+            if os.path.isdir(dst):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, dst)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp_base, ignore_errors=True)
+
+    # 2) indexes: one anti-join each, staged swap
+    fp_path = os.path.join(out_dir, "fingerprints")
+    _swap_rewrite(
+        spark.read.parquet(fp_path).join(ids, "doc_id", "left_anti"), fp_path
+    )
+    bands_path = os.path.join(out_dir, "bands")
+    _swap_rewrite(
+        spark.read.parquet(bands_path).join(
+            ids.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
+        ),
+        bands_path,
+    )
+
+    # 3) provenance + commit record
+    removed.select(
+        "doc_id",
+        F.lit("retired").alias("stage"),
+        F.lit(None).cast(id_t).alias("dup_of"),
+    ).write.mode("append").parquet(os.path.join(out_dir, "provenance"))
+    manifest = {
+        "retire": {
+            "requested": n_requested,
+            "removed": n_removed,
+            "shards_rewritten": [int(s) for s in affected],
         }
     }
     with open(os.path.join(out_dir, manifest_name), "w") as fh:

@@ -140,3 +140,77 @@ def test_incremental_update_dedups_against_corpus(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "shards")).collect()
     )
     assert corpus2 == [1, 52]
+
+
+def test_retire_docs_removes_and_readmits(spark, sf_dir, tmp_path):
+    """Retiring docs removes them from shards AND both dedup indexes
+    (so re-submission is admitted fresh), touches only affected shard
+    partitions, logs provenance, and is idempotent."""
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        retire_docs,
+        update_training_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    build_training_corpus(spark, sf_dir, out)
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    victims = [r["doc_id"] for r in shards.limit(2).collect()]
+    victim_rows = shards.filter(shards["doc_id"].isin(victims)).collect()
+
+    # file listing of every shard partition BEFORE the retire
+    def shard_files():
+        root = os.path.join(out, "shards")
+        return {
+            d: sorted(os.listdir(os.path.join(root, d)))
+            for d in os.listdir(root)
+            if d.startswith("shard=")
+        }
+
+    before = shard_files()
+    affected_parts = {f"shard={r['shard']}" for r in victim_rows}
+
+    ids = spark.createDataFrame([(v,) for v in victims], ["doc_id"])
+    m = retire_docs(spark, ids, out)
+    assert m["retire"]["requested"] == len(set(victims))
+    assert m["retire"]["removed"] == len(set(victims))
+
+    after = shard_files()
+    # only the victims' shard partitions were rewritten
+    for part, files in before.items():
+        if part not in affected_parts:
+            assert after[part] == files, f"untouched {part} changed"
+
+    remaining = spark.read.parquet(os.path.join(out, "shards"))
+    assert remaining.filter(remaining["doc_id"].isin(victims)).count() == 0
+    for idx, col in (("fingerprints", "doc_id"), ("bands", "doc")):
+        t = spark.read.parquet(os.path.join(out, idx))
+        assert t.filter(t[col].isin(victims)).count() == 0
+
+    # provenance logged with stage='retired'
+    prov = spark.read.parquet(os.path.join(out, "provenance"))
+    logged = {
+        r["doc_id"]
+        for r in prov.filter(prov["stage"] == "retired").collect()
+    }
+    assert logged == set(victims)
+
+    # idempotent: replaying removes nothing more
+    m2 = retire_docs(spark, ids, out)
+    assert m2["retire"]["removed"] == 0
+
+    # re-submitting a retired doc is admitted FRESH (indexes cleaned)
+    resubmit = spark.createDataFrame(
+        [
+            (
+                r["doc_id"],
+                r["text"],
+                r["lang"],
+                r["source"],
+                r["n_chars"],
+            )
+            for r in victim_rows
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    md = update_training_corpus(spark, resubmit, out)
+    assert md["delta"]["appended"] == len(set(victims))
