@@ -496,3 +496,31 @@ def retire_docs(
     with open(os.path.join(out_dir, manifest_name), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest
+
+
+def compact_corpus_shards(
+    spark: SparkSession,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance companion to the delta/retire paths: every
+    ``update_training_corpus`` appends one file set per shard it
+    touches, so file counts grow with ingest frequency until scan
+    planning degrades (the classic small-file problem). Compact each
+    shard PARTITION DIRECTORY independently with the layout
+    compactor — per-partition scope keeps the rewrite incremental,
+    inherits its staged-swap crash contract, and leaves concurrent
+    readers of other shards untouched. Returns per-shard
+    (files_before, files_after)."""
+    from nbody6_data_pipeline_spark.plans.layout import compact_small_files
+
+    shards_path = os.path.join(out_dir, "shards")
+    report = {}
+    for d in sorted(os.listdir(shards_path)):
+        if not d.startswith("shard="):
+            continue
+        before, after = compact_small_files(
+            spark, os.path.join(shards_path, d), target_file_bytes
+        )
+        report[d] = {"files_before": before, "files_after": after}
+    return report

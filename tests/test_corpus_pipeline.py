@@ -214,3 +214,55 @@ def test_retire_docs_removes_and_readmits(spark, sf_dir, tmp_path):
     )
     md = update_training_corpus(spark, resubmit, out)
     assert md["delta"]["appended"] == len(set(victims))
+
+
+def test_compact_corpus_shards(spark, sf_dir, tmp_path):
+    """Delta appends multiply per-shard files; compaction folds them
+    without changing the corpus contents."""
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        compact_corpus_shards,
+        update_training_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    build_training_corpus(spark, sf_dir, out)
+    # two deltas of fresh synthetic docs -> extra file sets per shard
+    for i in range(2):
+        delta = spark.createDataFrame(
+            [
+                (
+                    1_000_000 + i * 100 + j,
+                    f"unique delta document {i} {j} " * 30,
+                    "en",
+                    "d",
+                    900,
+                )
+                for j in range(20)
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        update_training_corpus(spark, delta, out)
+
+    shards = os.path.join(out, "shards")
+    docs_before = sorted(
+        r["doc_id"] for r in spark.read.parquet(shards).collect()
+    )
+
+    def n_files():
+        return sum(
+            1
+            for d in os.listdir(shards)
+            if d.startswith("shard=")
+            for f in os.listdir(os.path.join(shards, d))
+            if f.endswith(".parquet")
+        )
+
+    before = n_files()
+    report = compact_corpus_shards(spark, out)
+    after = n_files()
+    assert after < before
+    assert after == sum(v["files_after"] for v in report.values())
+    docs_after = sorted(
+        r["doc_id"] for r in spark.read.parquet(shards).collect()
+    )
+    assert docs_after == docs_before
