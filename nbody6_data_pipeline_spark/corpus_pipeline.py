@@ -524,3 +524,17 @@ def compact_corpus_shards(
         )
         report[d] = {"files_before": before, "files_after": after}
     return report
+
+
+def read_provenance(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Audit view over the provenance log with the documented
+    dedup-on-read semantics: the log is append-only and a replayed
+    delta re-logs its drops, so the view keeps ONE row per
+    (doc_id, stage) — dup_of is deterministic given (doc_id, stage)
+    (min-id winners all the way down), so min() here is a formality
+    that also makes the view stable if historical logs ever disagree."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "provenance"))
+        .groupBy("doc_id", "stage")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )

@@ -266,3 +266,39 @@ def test_compact_corpus_shards(spark, sf_dir, tmp_path):
         r["doc_id"] for r in spark.read.parquet(shards).collect()
     )
     assert docs_after == docs_before
+
+
+def test_read_provenance_dedups_replayed_drops(spark, tmp_path):
+    """A replayed delta re-logs its drops; the audit view collapses
+    them to one row per (doc_id, stage)."""
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        read_provenance,
+        update_training_corpus,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog repeatedly "
+        "while careful observers count every token in the corpus "
+    ) * 3
+    initial = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    initial.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    build_training_corpus(spark, sf, out)
+
+    dup = spark.createDataFrame(
+        [(9, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    update_training_corpus(spark, dup, out)
+    update_training_corpus(spark, dup, out)  # replay re-logs the drop
+
+    raw = spark.read.parquet(os.path.join(out, "provenance"))
+    assert raw.filter(raw["doc_id"] == 9).count() == 2  # logged twice
+    view = read_provenance(spark, out)
+    rows = view.filter(view["doc_id"] == 9).collect()
+    assert len(rows) == 1 and rows[0]["dup_of"] == 1
