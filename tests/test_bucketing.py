@@ -102,3 +102,42 @@ def test_bucketed_aggregation_no_shuffle(spark, bucketed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert exchange_count(agg) == 0
+
+
+def test_bucketed_corpus_index_antijoin(spark, sf_dir, tmp_path):
+    """Pins corpus_pipeline's 100 TB claim: a fingerprint index
+    bucketed on fp anti-joins a delta's fingerprints with ZERO
+    Exchange on the index side — the index (the corpus-sized side)
+    is never shuffled; only the delta-sized probe repartitions to
+    match the bucketing."""
+    from nbody6_data_pipeline_spark.corpus_pipeline import _tokenset_fp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = docs.select("doc_id", _tokenset_fp().alias("fp"))
+    spark.sql("DROP TABLE IF EXISTS b_fingerprints")
+    write_bucketed(
+        fps, "b_fingerprints", "fp", n_buckets=8,
+        path=str(tmp_path / "fingerprints"),
+    )
+    delta_fps = docs.filter(F.col("doc_id") % 40 == 0).select(
+        "doc_id", _tokenset_fp().alias("fp")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        survivors = delta_fps.join(
+            read_table(spark, "b_fingerprints").select("fp"),
+            "fp",
+            "left_anti",
+        )
+        plan = (
+            survivors._jdf.queryExecution().executedPlan().toString()
+        )
+        # exactly one Exchange: the delta probe repartitioning into
+        # the index's bucketing; the index side scan is shuffle-free
+        assert exchange_count(survivors) == 1, plan
+        assert "Exchange hashpartitioning(fp" in plan
+        # and the result is still correct: every delta fp is indexed
+        assert survivors.count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_fingerprints")
