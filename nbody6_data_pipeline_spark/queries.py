@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "late_shipment_priority",
     "discounted_part_revenue",
     "idle_rich_customers",
+    "streaming_interval_join",
     "customer_order_distribution",
     "supplier_revenue_share",
     "events_hll_distinct",
@@ -115,7 +116,6 @@ _DRIVER_PRIORITY = [
     "lineitem_mad",
     "orders_priority_mode",
     "range_join_incidents",
-    "streaming_interval_join",
 ]
 
 
