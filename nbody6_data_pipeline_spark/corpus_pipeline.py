@@ -113,6 +113,16 @@ def neardup_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _log_seq() -> F.Column:
+    """Log-time sequence stamp for provenance rows (epoch micros at
+    WRITE time). Chronology is what read_provenance recovers the
+    first-ingest drop reason from; only cross-call ordering matters,
+    which the clock guarantees. The log is an operational audit
+    artifact, not an oracle-checked query output, so a wall clock is
+    acceptable here."""
+    return F.unix_micros(F.current_timestamp()).alias("seq_us")
+
+
 def _tokenset_fp() -> F.Column:
     return F.md5(
         F.concat_ws(
@@ -229,8 +239,12 @@ def update_training_corpus(
     Every dropped doc is logged to ``provenance/`` as
     (doc_id, stage, dup_of): which funnel stage dropped it and — for
     dedup stages — the lowest-id doc it duplicated. The log is
-    append-only (replaying a delta re-logs its drops at the
-    exact-dedup stage); audit reads should dedup on (doc_id, stage).
+    append-only: replaying a delta re-logs its drops, and a replayed
+    intra-delta near-dup loser may re-log at a DIFFERENT stage
+    (its fingerprint was never indexed, so on replay it falls through
+    the exact stage and is caught against the now-indexed winner as a
+    corpus near-dup). Audit through ``read_provenance``, which keeps
+    one chronologically-first row per doc.
     """
     id_t = delta.schema["doc_id"].dataType
 
@@ -239,18 +253,25 @@ def update_training_corpus(
             "doc_id",
             F.lit(stage).alias("stage"),
             F.col("dup_of").cast(id_t).alias("dup_of"),
+            _log_seq(),
         )
 
     n_delta = delta.count()
     gated = quality_gate(delta)
     # Gate drops by NEGATED predicate — shuffle-free, no anti-join.
-    gate_drops = delta.filter(~gate_predicate()).select(
-        "doc_id", F.lit(None).cast(id_t).alias("dup_of")
-    )
+    # coalesce: a NULL predicate (NULL lang/n_chars/text) is a DROP
+    # (filter keeps only TRUE), and three-valued ~NULL is NULL — the
+    # coalesce keeps such docs from vanishing without a log row.
+    gate_drops = delta.filter(
+        ~F.coalesce(gate_predicate(), F.lit(False))
+    ).select("doc_id", F.lit(None).cast(id_t).alias("dup_of"))
 
-    # intra-delta exact/vocab dedup, then vs the corpus index
-    exact = tokenset_dedup(gated)
-    fp_tagged = gated.select("doc_id", _tokenset_fp().alias("fp"))
+    # intra-delta exact/vocab dedup: the fingerprint is computed ONCE
+    # (checkpointed — the tiny (doc_id, fp) table feeds the winner
+    # aggregate, the loser log, and the corpus-index join below).
+    fp_tagged = (
+        gated.select("doc_id", _tokenset_fp().alias("fp")).localCheckpoint()
+    )
     exact_intra_drops = (
         fp_tagged.join(
             fp_tagged.groupBy("fp").agg(F.min("doc_id").alias("dup_of")),
@@ -258,6 +279,9 @@ def update_training_corpus(
         )
         .filter(F.col("doc_id") != F.col("dup_of"))
         .select("doc_id", "dup_of")
+    )
+    exact_fp = fp_tagged.join(
+        exact_intra_drops.select("doc_id"), "doc_id", "left_anti"
     )
     fp_index = spark.read.parquet(os.path.join(out_dir, "fingerprints"))
     # ONE scan of the fingerprint index serves both the dedup and its
@@ -272,13 +296,16 @@ def update_training_corpus(
     # including the index join — once per reference. Checked frames
     # are delta-sized, so the materialization is cheap.
     matched = (
-        exact.withColumn("fp", _tokenset_fp())
-        .join(
-            fp_index.select("fp", F.col("doc_id").alias("_corpus_doc")),
-            "fp",
-            "left_outer",
+        gated.join(
+            exact_fp.join(
+                fp_index.select(
+                    "fp", F.col("doc_id").alias("_corpus_doc")
+                ),
+                "fp",
+                "left_outer",
+            ).drop("fp"),
+            "doc_id",
         )
-        .drop("fp")
     ).localCheckpoint()
     exact_corpus_drops = matched.filter(
         F.col("_corpus_doc").isNotNull()
@@ -415,18 +442,39 @@ def retire_docs(
     be bucketed by their join key — plans/bucketing.py — making those
     rewrites bucket-pruned the same way).
 
-    Crash contract: each swap self-heals (see _swap_rewrite), the
-    manifest is written last as the commit record, and the whole
-    operation is IDEMPOTENT — replaying after any crash converges
-    (anti-joins of already-removed ids are no-ops). Payload (shards)
-    is removed before the indexes, so a mid-crash state errs toward
-    the privacy-safe side. Every removed doc is logged to
-    ``provenance/`` with stage='retired' (dup_of NULL).
+    Crash contract: all staging lives OUTSIDE the shards table root
+    (``shards._retire_tmp`` / ``shards._retire_old`` siblings), so a
+    reader — or Spark's partition discovery — never sees a half-swapped
+    or stale copy; interrupted swaps self-heal at the next call's
+    entry. The audit log is written FIRST (from the checkpointed
+    removed set, before anything destructive — a crash can therefore
+    double-log but never lose the trail; ``read_provenance`` dedups),
+    the manifest last as the commit record, and the whole operation is
+    IDEMPOTENT — replaying after any crash converges (anti-joins of
+    already-removed ids are no-ops). Payload (shards) is removed
+    before the indexes, so a mid-crash state errs toward the
+    privacy-safe side.
     """
     ids = doc_ids.select("doc_id").distinct().localCheckpoint()
     id_t = doc_ids.schema["doc_id"].dataType
     n_requested = ids.count()
     shards_path = os.path.join(out_dir, "shards")
+    tmp_base = shards_path.rstrip("/") + "._retire_tmp"
+    old_base = shards_path.rstrip("/") + "._retire_old"
+
+    # Self-heal BEFORE any read: a prior crash may have left a shard
+    # moved out but not replaced (restore it) or replaced but not
+    # cleaned (drop the old copy). Both live outside the table root,
+    # so even an unhealed state never corrupts readers.
+    if os.path.isdir(old_base):
+        for d in os.listdir(old_base):
+            back = os.path.join(shards_path, d)
+            if os.path.isdir(back):
+                shutil.rmtree(os.path.join(old_base, d))
+            else:
+                os.rename(os.path.join(old_base, d), back)
+        shutil.rmtree(old_base, ignore_errors=True)
+    shutil.rmtree(tmp_base, ignore_errors=True)
 
     affected = sorted(
         r["shard"]
@@ -446,28 +494,30 @@ def retire_docs(
     )
     n_removed = removed.count()
 
-    # 1) shards: rewrite ONLY affected partitions via staged swap
-    tmp_base = shards_path.rstrip("/") + "._retire_tmp"
-    shutil.rmtree(tmp_base, ignore_errors=True)
+    # 1) audit trail FIRST — before anything destructive
+    removed.select(
+        "doc_id",
+        F.lit("retired").alias("stage"),
+        F.lit(None).cast(id_t).alias("dup_of"),
+        _log_seq(),
+    ).write.mode("append").parquet(os.path.join(out_dir, "provenance"))
+
+    # 2) shards: rewrite ONLY affected partitions via staged swap
     survivors = in_affected.join(ids, "doc_id", "left_anti")
     survivors.write.mode("overwrite").partitionBy("shard").parquet(tmp_base)
+    os.makedirs(old_base, exist_ok=True)
     for s in affected:
-        src = os.path.join(tmp_base, f"shard={int(s)}")
-        dst = os.path.join(shards_path, f"shard={int(s)}")
-        old = dst + "._swap_old"
-        if os.path.isdir(old):  # self-heal
-            if os.path.isdir(dst):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, dst)
+        part = f"shard={int(s)}"
+        src = os.path.join(tmp_base, part)
+        dst = os.path.join(shards_path, part)
         if os.path.isdir(dst):
-            os.rename(dst, old)
+            os.rename(dst, os.path.join(old_base, part))
         if os.path.isdir(src):
             os.rename(src, dst)
-        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(old_base, ignore_errors=True)
     shutil.rmtree(tmp_base, ignore_errors=True)
 
-    # 2) indexes: one anti-join each, staged swap
+    # 3) indexes: one anti-join each, staged swap
     fp_path = os.path.join(out_dir, "fingerprints")
     _swap_rewrite(
         spark.read.parquet(fp_path).join(ids, "doc_id", "left_anti"), fp_path
@@ -480,12 +530,6 @@ def retire_docs(
         bands_path,
     )
 
-    # 3) provenance + commit record
-    removed.select(
-        "doc_id",
-        F.lit("retired").alias("stage"),
-        F.lit(None).cast(id_t).alias("dup_of"),
-    ).write.mode("append").parquet(os.path.join(out_dir, "provenance"))
     manifest = {
         "retire": {
             "requested": n_requested,
@@ -527,14 +571,30 @@ def compact_corpus_shards(
 
 
 def read_provenance(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Audit view over the provenance log with the documented
-    dedup-on-read semantics: the log is append-only and a replayed
-    delta re-logs its drops, so the view keeps ONE row per
-    (doc_id, stage) — dup_of is deterministic given (doc_id, stage)
-    (min-id winners all the way down), so min() here is a formality
-    that also makes the view stable if historical logs ever disagree."""
-    return (
-        spark.read.parquet(os.path.join(out_dir, "provenance"))
-        .groupBy("doc_id", "stage")
-        .agg(F.min("dup_of").alias("dup_of"))
+    """Audit view over the provenance log: ONE row per doc per event
+    class. Replays re-log drops, and NOT necessarily at the same
+    stage (an intra-delta near-dup loser's fingerprint was never
+    indexed, so on replay it falls through the exact stage and is
+    caught as a CORPUS near-dup against its now-indexed winner — a
+    different, equally true, but historically later reason). The
+    first-ingest truth is therefore selected CHRONOLOGICALLY: every
+    log row carries seq_us (log-time clock), and the view keeps the
+    earliest row per doc. 'retired' is a separate lifecycle event,
+    kept as its own (deduped) row."""
+    log = spark.read.parquet(os.path.join(out_dir, "provenance"))
+    drops = (
+        log.filter(F.col("stage") != "retired")
+        .groupBy("doc_id")
+        # lexicographic struct-min: chronology first; the remaining
+        # fields only break (practically impossible) same-microsecond
+        # ties deterministically
+        .agg(F.min(F.struct("seq_us", "stage", "dup_of")).alias("w"))
+        .select("doc_id", F.col("w.stage").alias("stage"),
+                F.col("w.dup_of").alias("dup_of"))
     )
+    retired = (
+        log.filter(F.col("stage") == "retired")
+        .select("doc_id", "stage", "dup_of")
+        .distinct()
+    )
+    return drops.unionByName(retired)

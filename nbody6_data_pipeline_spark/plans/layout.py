@@ -105,8 +105,11 @@ def compact_small_files(
     directory renames (source deleted LAST): the source is never the
     only copy while being replaced — a crash leaves either the
     untouched source (plus a stale staging dir, garbage-collected on
-    the next call) or the complete old table at ``<path>._compact_old``
-    (auto-restored on the next call). No full materialization through
+    the next call) or the complete old table at
+    ``.compact_old.<basename>`` (auto-restored on the next call; the
+    ``.`` prefix keeps partition discovery from ever seeing staging,
+    even when ``path`` is a partition dir of a larger table). No full
+    materialization through
     executor storage either, so the table can exceed cluster memory.
     Returns (files_before, files_after).
     """
@@ -114,8 +117,18 @@ def compact_small_files(
     import os
     import shutil
 
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
+    # Staging names start with "." so partition discovery never sees
+    # them — load-bearing when ``path`` is one partition directory of
+    # a larger table (e.g. shards/shard=3): a visible sibling like
+    # "shard=3._compact_old" (or ANY name containing "=", even
+    # "_"-prefixed — Spark 4 parses it as a partition column and
+    # throws CONFLICTING_PARTITION_COLUMN_NAMES; verified empirically,
+    # only the "." prefix is skipped) would corrupt or resurrect data
+    # for every reader of the table root.
+    base = os.path.basename(path.rstrip("/"))
+    parent = os.path.dirname(path.rstrip("/"))
+    tmp = os.path.join(parent, f".compact_tmp.{base}")
+    old = os.path.join(parent, f".compact_old.{base}")
     # self-heal a previous interrupted swap before touching anything
     if os.path.isdir(old):
         if os.path.isdir(path):

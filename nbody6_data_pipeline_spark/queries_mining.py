@@ -1357,8 +1357,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     year (TPC-H Q8 shape): the deepest star join in the registry —
     two independent dimension arms (customer->nation->region gating
     WHICH sales count; supplier->nation labeling WHOSE sales they are)
-    hang off the fact shuffle, every arm broadcast except the
-    customer join (customer scales with the corpus). Calendar years
+    hang off the fact shuffle. The true dimensions (nation, region,
+    nation-gated keys) travel by broadcast hint; customer and supplier
+    scale with the corpus, so their joins carry no hint — AQE
+    broadcasts them at small SF and degrades to shuffle at scale
+    (same rule as part in promo_revenue_share). Calendar years
     via the proven date_trunc/epoch-us round-trip idiom
     (events_weekly_summary); share per year = conditional decimal sum
     over total decimal sum, one IEEE division."""
@@ -1395,7 +1398,10 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(cust_nations), c["c_nationkey"] == F.col("_cnat"))
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        # no broadcast hint on supplier: it scales with the corpus
+        # (same rule as part in promo_revenue_share) — AQE picks
+        # broadcast at small SF and degrades to shuffle at scale
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(supp_nation), s["s_nationkey"] == F.col("_snat"))
         .groupBy("order_year_us")
         .agg(

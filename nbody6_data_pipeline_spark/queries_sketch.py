@@ -505,8 +505,9 @@ def q_doc_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     two partitioned windows (each one shuffle whose partitions are
     duplicate-cluster-sized — no global window, no join back), then a
     funnel-ordered CASE. Byte-duplicates are vocab-duplicates too, so
-    the byte stage claims first and `dup_of` is always the cluster's
-    global min-id winner."""
+    the byte stage claims first; `dup_of` is the winner of the CLAIMED
+    stage's cluster (a byte-loser maps to its byte-cluster winner,
+    which may itself be a vocab-loser of a wider cluster)."""
     d = _t(spark, sf_dir, "documents")
     vfp = F.md5(
         F.concat_ws(

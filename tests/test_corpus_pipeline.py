@@ -141,6 +141,18 @@ def test_incremental_update_dedups_against_corpus(spark, tmp_path):
     )
     assert corpus2 == [1, 52]
 
+    # the replay re-logs doc 53 at a LATER stage (its fp was never
+    # indexed, so it now drops against the corpus); the audit view
+    # must still return exactly one funnel-earliest row per doc
+    from nbody6_data_pipeline_spark.corpus_pipeline import read_provenance
+
+    view = {
+        r["doc_id"]: (r["stage"], r["dup_of"])
+        for r in read_provenance(spark, out).collect()
+    }
+    assert view[53] == ("neardup_intra_delta", 52)
+    assert len(read_provenance(spark, out).collect()) == len(view)
+
 
 def test_retire_docs_removes_and_readmits(spark, sf_dir, tmp_path):
     """Retiring docs removes them from shards AND both dedup indexes
@@ -302,3 +314,91 @@ def test_read_provenance_dedups_replayed_drops(spark, tmp_path):
     view = read_provenance(spark, out)
     rows = view.filter(view["doc_id"] == 9).collect()
     assert len(rows) == 1 and rows[0]["dup_of"] == 1
+
+
+def test_null_gate_columns_are_logged(spark, tmp_path):
+    """A doc whose gate predicate evaluates NULL (e.g. NULL lang) is
+    dropped AND logged — three-valued logic must not let it vanish
+    silently."""
+    from nbody6_data_pipeline_spark.corpus_pipeline import (
+        update_training_corpus,
+    )
+
+    text = "perfectly reasonable words repeated for length " * 10
+    seed = spark.createDataFrame(
+        [(1, text + "seed", "en", "s", 600)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    seed.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    build_training_corpus(spark, sf, out)
+
+    delta = spark.createDataFrame(
+        [
+            (70, text + "null lang", None, "s", 600),  # NULL predicate
+            (71, text + "fresh doc", "en", "s", 600),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    m = update_training_corpus(spark, delta, out)
+    assert m["delta"]["appended"] == 1  # only 71
+    prov = {
+        r["doc_id"]: (r["stage"], r["dup_of"])
+        for r in spark.read.parquet(os.path.join(out, "provenance")).collect()
+    }
+    assert prov[70] == ("quality_gate", None)
+
+
+def test_staging_leftovers_never_corrupt_readers(spark, tmp_path):
+    """Simulated crash leftovers — a hidden compaction staging dir and
+    an un-restored retire old_base — must not change what readers see
+    (hidden prefix) and must self-heal on the next retire call."""
+    import shutil
+
+    from nbody6_data_pipeline_spark.corpus_pipeline import retire_docs
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                (f"distinct vocabulary number {i} " * 8) + f"doc {i} body",
+                "en",
+                "s",
+                400,
+            )
+            for i in range(40)
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    build_training_corpus(spark, sf, out)
+    shards = os.path.join(out, "shards")
+    n0 = spark.read.parquet(shards).count()
+    parts = sorted(d for d in os.listdir(shards) if d.startswith("shard="))
+
+    # 1) hidden compaction leftover: a stale duplicate copy under a
+    #    "."-prefixed sibling must be invisible to partition discovery
+    shutil.copytree(
+        os.path.join(shards, parts[0]),
+        os.path.join(shards, f".compact_old.{parts[0]}"),
+    )
+    assert spark.read.parquet(shards).count() == n0
+
+    # 2) interrupted retire: a shard moved OUT (crash between the two
+    #    renames) is restored by the next call's entry self-heal
+    old_base = shards + "._retire_old"
+    os.makedirs(old_base, exist_ok=True)
+    os.rename(
+        os.path.join(shards, parts[1]), os.path.join(old_base, parts[1])
+    )
+    victim = spark.read.parquet(shards).limit(1).collect()[0]["doc_id"]
+    ids = spark.createDataFrame([(victim,)], ["doc_id"])
+    m = retire_docs(spark, ids, out)
+    assert m["retire"]["removed"] == 1
+    assert not os.path.isdir(old_base)  # healed and cleaned
+    assert spark.read.parquet(shards).count() == n0 - 1
