@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None):
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
     import nbody6_data_pipeline_spark.queries_cdc  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_classic  # noqa: F401
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
     import nbody6_data_pipeline_spark.queries_mining  # noqa: F401
@@ -65,6 +66,12 @@ def registry() -> dict[str, QuerySpec]:
 # Queries green in CORRECTNESS_local_r03.json but absent from every
 # driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
 _DRIVER_PRIORITY = [
+    "order_priority_late_check",
+    "large_volume_orders",
+    "sole_late_supplier",
+    "part_supplier_counts",
+    "returned_item_customers",
+    "bilateral_trade_volume",
     "nation_market_share",
     "small_quantity_revenue",
     "top_supplier_revenue",
