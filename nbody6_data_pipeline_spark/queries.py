@@ -66,6 +66,10 @@ def registry() -> dict[str, QuerySpec]:
 # Queries green in CORRECTNESS_local_r03.json but absent from every
 # driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
 _DRIVER_PRIORITY = [
+    "forecast_revenue_change",
+    "min_cost_regional_supplier",
+    "product_line_profit",
+    "dominant_part_suppliers",
     "order_priority_late_check",
     "large_volume_orders",
     "sole_late_supplier",

@@ -26,6 +26,8 @@ exchange is shared under AQE.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -488,4 +490,335 @@ def q_bilateral_trade_volume(
         .groupBy("supp_nation", "cust_nation", "order_year_us")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .transform(ordered, "supp_nation", "cust_nation", "order_year_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — tight filter + single exact aggregate (forecast revenue)
+# ---------------------------------------------------------------------------
+
+Y1996_LO = 820_454_400_000_000  # 1996-01-01
+Y1996_HI = 852_076_800_000_000  # 1997-01-01 (1996 is a leap year)
+
+
+@register(
+    "forecast_revenue_change",
+    f"""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4)))
+        AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= {Y1996_LO}
+      AND epoch_us(l_shipdate) < {Y1996_HI}
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue delta if mid-band discounts were dropped (TPC-H Q6
+    shape): one scan, every predicate pushdown-eligible, one exact
+    decimal aggregate. The whole query is a single map-side-combined
+    partial agg — the canonical 'scan efficiency' probe: at 100 TB the
+    only cost is the parquet scan itself, and the discount/quantity/
+    date predicates all reach the reader (min-max row-group pruning).
+    Discount bounds compare the ORIGINAL double column against the
+    same double literals on both engines — no derived arithmetic, so
+    the comparison is bit-identical."""
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    return (
+        li.filter(
+            (event_us(li, "l_shipdate") >= Y1996_LO)
+            & (event_us(li, "l_shipdate") < Y1996_HI)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    _REV_DEC
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — correlated MIN subquery (cheapest regional supplier)
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 20
+
+
+@register(
+    "min_cost_regional_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = '{Q2_REGION}'
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+      c.unit_cost
+    FROM part p
+    JOIN cost c ON c.partkey = p.p_partkey
+    JOIN eu s ON s.s_suppkey = c.suppkey
+    WHERE p.p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+      AND p.p_type = '{Q2_TYPE}'
+      AND c.unit_cost = (
+        SELECT MIN(c2.unit_cost)
+        FROM cost c2 JOIN eu s2 ON s2.s_suppkey = c2.suppkey
+        WHERE c2.partkey = p.p_partkey
+      )
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_regional_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cheapest in-region supplier per part slice (TPC-H Q2 shape,
+    partsupp derived from lineitem: supply cost := the minimum unit
+    price ever shipped). The oracle keeps the correlated scalar-MIN
+    subquery; the Spark plan decorrelates it as a window MIN over the
+    part key on the already part-filtered, region-gated cost table —
+    the standard rewrite, value-identical because the window scope
+    equals the subquery's correlation scope. unit_cost is one IEEE
+    division per row then MIN — bit-exact cross-engine. Scale: region
+    gate broadcasts; the cost aggregation reuses the (partkey,
+    suppkey) exchange; the window shuffles only the ~p_size-slice
+    rows."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    n["n_regionkey"] == r["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI)
+        & (F.col("p_type") == Q2_TYPE)
+    )
+    joined = (
+        cost.join(p, cost["partkey"] == p["p_partkey"])
+        .join(eu, cost["suppkey"] == eu["s_suppkey"])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "unit_cost",
+        )
+    )
+    best = F.min("unit_cost").over(W.partitionBy("p_partkey"))
+    return (
+        joined.withColumn("_best", best)
+        .filter(F.col("unit_cost") == F.col("_best"))
+        .drop("_best")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .transform(
+            ordered, F.col("s_acctbal").desc(), "n_name", "s_name",
+            "p_partkey",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — multi-dimension star profit with a derived cost leg
+# ---------------------------------------------------------------------------
+
+Q9_TOKEN = "red"
+COST_FRACTION = "0.1"  # decimal literal, exact on both engines
+
+
+@register(
+    "product_line_profit",
+    f"""
+    SELECT n.n_name AS nation,
+      CAST(epoch_us(date_trunc('year', o.o_orderdate)) AS BIGINT)
+        AS order_year_us,
+      CAST(SUM(
+        CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))
+        - CAST(p.p_retailprice * l.l_quantity AS DECIMAL(30,4))
+          * {COST_FRACTION}
+      ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%{Q9_TOKEN}%'
+    GROUP BY 1, 2
+    ORDER BY nation, order_year_us DESC
+    """,
+)
+def q_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for a product line
+    (TPC-H Q9 shape; supply cost proxied as a fixed fraction of
+    retail price — no partsupp table). Both cost legs are a single
+    double multiply cast to DECIMAL(30,4) before any summation, then
+    the decimal subtraction/scaling stays exact — the proven
+    rev-idiom extended to a two-term expression. Scale: the part
+    filter gates the fact table FIRST (broadcast under AQE at small
+    SF, shuffle join at 100 TB); supplier→nation travels broadcast;
+    the groupBy is map-side combinable."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q9_TOKEN}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount", "l_quantity",
+    )
+    o = _t(spark, sf_dir, "orders")
+    o = o.select(
+        "o_orderkey",
+        F.unix_micros(
+            F.date_trunc(
+                "year", F.timestamp_micros(event_us(o, "o_orderdate"))
+            )
+        ).alias("order_year_us"),
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = _rev() - (
+        F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_REV_DEC) * F.lit(Decimal(COST_FRACTION))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy("nation", "order_year_us")
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .transform(ordered, "nation", F.col("order_year_us").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — nested IN with a correlated volume threshold
+# ---------------------------------------------------------------------------
+
+Q20_PREFIX = "red "
+
+
+@register(
+    "dominant_part_suppliers",
+    f"""
+    WITH sp AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+        SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem
+      WHERE epoch_us(l_shipdate) >= {Y1996_LO}
+        AND epoch_us(l_shipdate) < {Y1996_HI}
+      GROUP BY 1, 2
+    ), dom AS (
+      SELECT sp.sk, sp.pk FROM sp
+      WHERE sp.pk IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PREFIX}%'
+        )
+        AND 2 * sp.qty > (
+          SELECT SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+          FROM lineitem l
+          WHERE l.l_partkey = sp.pk
+            AND epoch_us(l.l_shipdate) >= {Y1996_LO}
+            AND epoch_us(l.l_shipdate) < {Y1996_HI}
+        )
+    )
+    SELECT s.s_name, n.n_name, COUNT(*) AS n_dominated
+    FROM dom
+    JOIN supplier s ON s.s_suppkey = dom.sk
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    ORDER BY n_dominated DESC, s.s_name
+    """,
+)
+def q_dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Suppliers that shipped the majority of a part's 1996 volume,
+    for a name-prefixed part family (TPC-H Q20 shape; availqty
+    replaced by shipped volume — no partsupp). The oracle is the
+    canonical nested-IN-plus-correlated-threshold form; the Spark
+    plan decorrelates the threshold as a window SUM over the part key
+    on the semi-filtered per-(part, supplier) aggregate. The majority
+    test is `2*qty > total` in exact decimals — no 0.5 multiply, no
+    double comparison. Scale: the part-prefix gate broadcasts into
+    the aggregate's output; the window reuses the groupBy's partkey
+    exchange under AQE."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    li96 = li.filter(
+        (event_us(li, "l_shipdate") >= Y1996_LO)
+        & (event_us(li, "l_shipdate") < Y1996_HI)
+    )
+    sp = li96.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"{Q20_PREFIX}%"))
+        .select("p_partkey")
+    )
+    gated = sp.join(
+        F.broadcast(red), sp["pk"] == red["p_partkey"], "left_semi"
+    )
+    total = F.sum("qty").over(W.partitionBy("pk"))
+    dom = (
+        gated.withColumn("_total", total)
+        .filter(F.col("qty") * 2 > F.col("_total"))
+        .select("sk", "pk")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dom.join(F.broadcast(s), dom["sk"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+        .transform(ordered, F.col("n_dominated").desc(), "s_name")
     )
