@@ -235,9 +235,12 @@ def kcore_peel(
     """
     out = []
     e = edges.select("s", "d").localCheckpoint()
-    for _ in range(rounds + 1):
+    for rnd in range(rounds + 1):
         deg = e.groupBy("s").agg(F.count("*").alias("c"))
         out.append((e, deg))
+        if rnd == rounds:
+            break  # the next edge set would never be read — skip its
+            # (eager) localCheckpoint materialization entirely
         good = deg.filter(F.col("c") >= k).select("s")
         e = (
             e.join(F.broadcast(good), "s")

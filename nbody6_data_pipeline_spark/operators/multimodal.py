@@ -4,11 +4,12 @@ Images/audio/video ride through the engine as opaque BINARY columns
 with typed metadata; decode / feature-extraction / resize / frame
 sampling run as Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-Codecs: binary PNM images (PPM ``P6`` / PGM ``P5`` — the formats that
-need no external libraries) get a REAL decode → nearest-neighbor
-resample → re-encode path implemented here in pure numpy
-(``pnm_decode`` / ``pnm_encode`` / ``pnm_resize``). Other formats
-(JPEG/PNG/audio/video) would need PIL/opencv/ffmpeg, which are not in
+Codecs: binary PNM images (PPM ``P6`` / PGM ``P5``) and RIFF/WAVE PCM
+audio (8/16-bit) — the formats that need no external libraries — get
+REAL decode → nearest-neighbor resample → re-encode paths implemented
+here in pure numpy (``pnm_decode``/``pnm_resize``,
+``wav_decode``/``wav_resample``). Other formats
+(JPEG/PNG/MP3/video) would need PIL/opencv/ffmpeg, which are not in
 this container: for those ``decode_fn``/``resize_fn`` fall back to a
 deterministic byte-level stand-in (``fake_decode``/``fake_resize``),
 and a real deployment injects a library-backed callable with the same
@@ -204,12 +205,187 @@ def is_pnm(content: bytes | None) -> bool:
     return content is not None and bytes(content[:2]) in (b"P5", b"P6")
 
 
+# ---- Real WAV (RIFF PCM) codec — pure numpy, no external deps ----
+
+
+def is_wav(content: bytes | None) -> bool:
+    return (
+        content is not None
+        and len(content) >= 12
+        and bytes(content[:4]) == b"RIFF"
+        and bytes(content[8:12]) == b"WAVE"
+    )
+
+
+def _wav_chunks(data: bytes) -> dict[bytes, tuple[int, int]]:
+    """Walk the RIFF chunk list: {chunk_id: (offset, size)} for the
+    payload of each top-level chunk (first occurrence wins). Chunks
+    are word-aligned per spec — odd sizes get a pad byte."""
+    out: dict[bytes, tuple[int, int]] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = bytes(data[pos : pos + 4])
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        out.setdefault(cid, (pos + 8, size))
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def wav_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """Binary RIFF/WAVE PCM -> (samples, sample_rate). samples is
+    (n_frames, n_channels) int16-ranged int32 (8-bit input is
+    re-centered from unsigned to signed, scaled x256 so both depths
+    share one numeric range)."""
+    chunks = _wav_chunks(content)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("not a complete RIFF/WAVE file")
+    off, size = chunks[b"fmt "]
+    fmt = content[off : off + size]
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} bits={bits}"
+        )
+    doff, dsize = chunks[b"data"]
+    raw = content[doff : doff + dsize]
+    if bits == 8:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+        arr = (arr - 128) * 256
+    else:
+        n = len(raw) // 2
+        arr = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int32)
+    n_frames = arr.size // n_channels
+    return arr[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int array (int16 range) -> 16-bit PCM
+    RIFF/WAVE bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_channels = samples.shape
+    pcm = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(pcm).to_bytes(4, "little")
+        + pcm
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def wav_resample(content: bytes, new_rate: int) -> bytes:
+    """Real audio resample: decode, nearest-neighbor frame index remap
+    (pure integer arithmetic — deterministic on every platform, the
+    audio twin of pnm_resize), re-encode as 16-bit PCM at new_rate.
+    Duration is preserved to sample-rounding."""
+    samples, rate = wav_decode(content)
+    n_frames = samples.shape[0]
+    n_out = max(1, (n_frames * new_rate) // max(rate, 1))
+    idx = np.minimum((np.arange(n_out) * rate) // max(new_rate, 1), n_frames - 1)
+    return wav_encode(samples[idx], new_rate)
+
+
+def wav_duration_ms(content: bytes) -> int:
+    samples, rate = wav_decode(content)
+    return int(samples.shape[0] * 1000) // max(rate, 1)
+
+
+def wav_features(content: bytes) -> np.ndarray:
+    """Real audio feature extraction: per-channel mean/RMS/min/max in
+    [-1, 1] units for up to two channels, zero-crossing rate and peak
+    of channel 0, channel count and seconds-of-audio — FEATURE_DIM
+    floats, zero-padded. Integer sums accumulate in float64 (exact
+    within 2^53), so the vector is deterministic."""
+    samples, rate = wav_decode(content)
+    x = samples.astype(np.float64) / 32768.0
+    feats: list[float] = []
+    for c in range(min(2, x.shape[1])):
+        ch = x[:, c]
+        feats += [
+            float(ch.mean()),
+            float(np.sqrt((ch * ch).mean())),
+            float(ch.min()),
+            float(ch.max()),
+        ]
+    ch0 = x[:, 0]
+    sign = np.signbit(ch0)
+    zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / max(len(ch0) - 1, 1)
+    feats += [
+        zcr,
+        float(np.abs(ch0).max()),
+        float(x.shape[1]),
+        x.shape[0] / max(rate, 1),
+    ]
+    out = np.zeros(FEATURE_DIM)
+    vals = np.array(feats[:FEATURE_DIM])
+    out[: vals.size] = vals
+    return out
+
+
+def resample_audio(
+    media: DataFrame,
+    new_rate: int,
+    resample_fn: Callable[[bytes, int], bytes] = wav_resample,
+) -> DataFrame:
+    """Binary-in / binary-out audio resample via mapInPandas — the
+    audio twin of resize_media. WAV PCM payloads go through the real
+    codec; rows that are not audio, have NULL payloads, or are not
+    RIFF/WAVE pass through UNTOUCHED (payload and duration_ms kept).
+    duration_ms is recomputed from the re-encoded PAYLOAD, never
+    assumed from the old metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, durations = [], []
+            for c, d, mt in zip(
+                pdf["content"], pdf["duration_ms"], pdf["media_type"]
+            ):
+                if mt != "audio" or c is None or not is_wav(bytes(c)):
+                    contents.append(c)
+                    durations.append(None if pd.isna(d) else int(d))
+                else:
+                    nb = resample_fn(bytes(c), new_rate)
+                    contents.append(nb)
+                    durations.append(wav_duration_ms(nb))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": contents,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "duration_ms": pd.array(durations, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def decode_auto(content: bytes, media_type: str) -> np.ndarray:
-    """Feature decode dispatch: REAL codec for binary PNM payloads,
-    deterministic byte-level stand-in otherwise (JPEG/PNG/audio need
-    libraries this container doesn't ship — inject a decode_fn)."""
+    """Feature decode dispatch: REAL codecs for binary PNM image and
+    RIFF/WAVE PCM audio payloads, deterministic byte-level stand-in
+    otherwise (JPEG/PNG/video need libraries this container doesn't
+    ship — inject a decode_fn)."""
     if is_pnm(content):
         return pnm_features(content, media_type)
+    if is_wav(content):
+        return wav_features(content)
     return fake_decode(content, media_type)
 
 
