@@ -34,7 +34,12 @@ import glob
 import os
 from decimal import ROUND_HALF_UP, Decimal
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 from nbody6_data_pipeline_spark.sources.block_text import BlockSourceConfig
@@ -293,9 +298,55 @@ def _arrow_type(dt: T.DataType):
     return pa.string()
 
 
+class NBody6StreamReader(DataSourceStreamReader):
+    """Micro-batch ingestion of simulation runs AS THEY LAND: each
+    trigger's offset is the sorted list of run files visible under the
+    root; a batch's partitions are the files that appeared since the
+    last offset — one InputPartition per new file, parsed ON THE
+    EXECUTORS by the same code path as the batch reader (this is the
+    partition-planning API, not SimpleDataSourceStreamReader, whose
+    read() would funnel every byte through the driver).
+
+    Offset bound: O(total files seen) strings per offset JSON — the
+    same bookkeeping Spark's built-in file source keeps in its
+    file-stream log. A run file is assumed immutable once present
+    (NBODY6 writes per-run outputs then moves on); appends to an
+    already-seen file are not re-read.
+    """
+
+    def __init__(self, batch: NBody6Reader):
+        self._b = batch
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {
+            "seen": sorted(
+                p for _, p in _discover(self._b.path, self._b.kind)
+            )
+        }
+
+    def partitions(self, start: dict, end: dict):
+        prev = set(start.get("seen", []))
+        new = [p for p in end.get("seen", []) if p not in prev]
+        rid = {p: r for r, p in _discover(self._b.path, self._b.kind)}
+        return [
+            _FilePartition(rid.get(p, os.path.basename(os.path.dirname(p))), p)
+            for p in new
+        ]
+
+    def read(self, partition: _FilePartition):
+        return self._b.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class NBody6DataSource(DataSource):
     """format("nbody6") — options: kind (FILE_CONFIGS key, default
-    OUT34), table (data|headers), mode (strict|lax)."""
+    OUT34), table (data|headers), mode (strict|lax). Supports both
+    batch reads and readStream (new run files per micro-batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -308,6 +359,10 @@ class NBody6DataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> NBody6Reader:
         return NBody6Reader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> NBody6StreamReader:
+        reader = NBody6Reader(dict(self.options))
+        return NBody6StreamReader(reader)
 
 
 def register_nbody6_source(spark) -> None:

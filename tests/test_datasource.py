@@ -147,3 +147,50 @@ def test_structural_error_message_parity(spark, tmp_path):
     f.write_text("1 2 3 4 5 6 7 8 9\n")
     with pytest.raises(Exception, match="Expected a header line"):
         spark.read.format("nbody6").load(str(f)).collect()
+
+
+def test_stream_reader_ingests_new_runs_only(spark, tmp_path):
+    """readStream on the nbody6 source: first micro-batch picks up the
+    runs present at start; after new runs LAND, a restart from the
+    same checkpoint ingests ONLY the new files (offset = seen-file
+    log), and the union equals a batch read of the root."""
+    register_nbody6_source(spark)
+    root = tmp_path / "sims"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_run(str(root / "run1"))
+
+    def drain():
+        q = (
+            spark.readStream.format("nbody6")
+            .option("kind", "OUT34")
+            .load(str(root))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {
+            (r["run_id"], r["block_id"], r["line_no"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    assert first and all(rid == "run1" for rid, _, _ in first)
+
+    write_run(str(root / "run2"))
+    both = drain()
+    new = both - first
+    assert new and all(rid == "run2" for rid, _, _ in new)
+
+    batch = {
+        (r["run_id"], r["block_id"], r["line_no"])
+        for r in spark.read.format("nbody6")
+        .option("kind", "OUT34")
+        .load(str(root))
+        .collect()
+    }
+    assert both == batch
