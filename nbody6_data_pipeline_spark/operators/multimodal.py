@@ -360,7 +360,13 @@ def resample_audio(
                     contents.append(c)
                     durations.append(None if pd.isna(d) else int(d))
                 else:
-                    nb = resample_fn(bytes(c), new_rate)
+                    try:
+                        nb = resample_fn(bytes(c), new_rate)
+                    except ValueError:
+                        # corrupt RIFF payload: pass through untouched
+                        contents.append(c)
+                        durations.append(None if pd.isna(d) else int(d))
+                        continue
                     contents.append(nb)
                     durations.append(wav_duration_ms(nb))
             yield pd.DataFrame(
@@ -382,10 +388,17 @@ def decode_auto(content: bytes, media_type: str) -> np.ndarray:
     RIFF/WAVE PCM audio payloads, deterministic byte-level stand-in
     otherwise (JPEG/PNG/video need libraries this container doesn't
     ship — inject a decode_fn)."""
-    if is_pnm(content):
-        return pnm_features(content, media_type)
-    if is_wav(content):
-        return wav_features(content)
+    try:
+        if is_pnm(content):
+            return pnm_features(content, media_type)
+        if is_wav(content):
+            return wav_features(content)
+    except ValueError:
+        # Corrupt payload wearing a valid magic (truncated header,
+        # bad geometry, unsupported PCM variant): routine at corpus
+        # scale — degrade to the byte-level stand-in instead of
+        # killing the whole task/stage.
+        pass
     return fake_decode(content, media_type)
 
 
@@ -393,9 +406,13 @@ def resize_auto(
     content: bytes, width: int, height: int, new_width: int, new_height: int
 ) -> bytes:
     """Resize dispatch: REAL decode/resample/re-encode for binary PNM
-    payloads, deterministic byte-level stand-in otherwise."""
+    payloads, deterministic byte-level stand-in otherwise (including
+    corrupt payloads wearing the PNM magic — see decode_auto)."""
     if is_pnm(content):
-        return pnm_resize(content, width, height, new_width, new_height)
+        try:
+            return pnm_resize(content, width, height, new_width, new_height)
+        except ValueError:
+            pass
     return fake_resize(content, width, height, new_width, new_height)
 
 

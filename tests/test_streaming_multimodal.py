@@ -447,3 +447,41 @@ def test_wav_feature_dispatch(spark):
     assert feats[2] == pytest.approx(
         fake_decode(b"\x00\x01" * 16, "audio").tolist(), rel=1e-12
     )
+
+
+def test_corrupt_payloads_degrade_not_crash(spark):
+    """Payloads wearing a valid magic but truncated/corrupt must not
+    kill the task: feature extraction falls back to the byte-level
+    stand-in; resample passes the row through untouched."""
+    from nbody6_data_pipeline_spark.operators.multimodal import (
+        decode_auto,
+        extract_features,
+        resample_audio,
+        resize_auto,
+    )
+
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEfmt "  # no chunks parseable
+    bad_ppm = b"P6\n8 8\n255\n\x00\x01"  # payload far too short
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bad_wav, None, None, 55),
+            (2, "image", bad_ppm, 8, 8, None),
+        ],
+        MEDIA_SCHEMA,
+    ).coalesce(1)
+
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, decode_fn=decode_auto).collect()
+    }
+    assert feats[1] == pytest.approx(fake_decode(bad_wav, "audio").tolist())
+    assert feats[2] == pytest.approx(fake_decode(bad_ppm, "image").tolist())
+
+    out = {r["media_id"]: r for r in resample_audio(media, 400).collect()}
+    assert bytes(out[1]["content"]) == bad_wav
+    assert out[1]["duration_ms"] == 55
+
+    # resize_auto: corrupt PNM degrades to the stand-in resampler
+    got = resize_auto(bad_ppm, 8, 8, 4, 4)
+    from nbody6_data_pipeline_spark.operators.multimodal import fake_resize
+    assert got == fake_resize(bad_ppm, 8, 8, 4, 4)
