@@ -159,3 +159,56 @@ def test_merge_asof_matches_pandas(spark, lts, rts, direction, tol):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+# ---- WAV codec invariants (no Spark job: pure-numpy kernel) ----
+
+wav_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=-32768, max_value=32767),
+        st.integers(min_value=-32768, max_value=32767),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(frames=wav_frames, rate=st.integers(min_value=1, max_value=96000))
+def test_wav_roundtrip_exact(frames, rate):
+    """encode -> decode is the identity for any int16 stereo signal
+    at any sample rate."""
+    from nbody6_data_pipeline_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    arr = np.array(frames, dtype=np.int32)
+    back, r = wav_decode(wav_encode(arr, rate))
+    assert r == rate
+    assert np.array_equal(back, arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(frames=wav_frames, rate=st.integers(min_value=1, max_value=48000))
+def test_wav_resample_identity_and_bounds(frames, rate):
+    """Resampling at the SAME rate is the identity; at any rate the
+    output contains only input sample values (nearest-neighbor never
+    invents samples) and frame count is floor(n*new/old)."""
+    from nbody6_data_pipeline_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+        wav_resample,
+    )
+
+    arr = np.array(frames, dtype=np.int32)
+    wav = wav_encode(arr, rate)
+    same, r = wav_decode(wav_resample(wav, rate))
+    assert r == rate and np.array_equal(same, arr)
+
+    new_rate = max(1, rate // 3)
+    res, rr = wav_decode(wav_resample(wav, new_rate))
+    assert rr == new_rate
+    assert res.shape[0] == max(1, (arr.shape[0] * new_rate) // rate)
+    in_vals = {tuple(f) for f in arr.tolist()}
+    assert all(tuple(f) in in_vals for f in res.tolist())
