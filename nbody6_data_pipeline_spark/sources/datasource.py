@@ -38,6 +38,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    In,
     InputPartition,
 )
 from pyspark.sql import types as T
@@ -249,6 +251,30 @@ class NBody6Reader(DataSourceReader):
         if self.table not in ("data", "headers"):
             raise ValueError("table must be 'data' or 'headers'")
         self.strict = options.get("mode", "strict") != "lax"
+        self.run_id_allow: set[str] | None = None  # None = no constraint
+
+    def pushFilters(self, filters):
+        """Partition-level pushdown: run_id equality/IN constraints
+        prune which FILES get opened and parsed at all — the Python-
+        DataSource analogue of parquet partition pruning (at a sims
+        root with thousands of runs, `WHERE run_id = 'batch42/run7'`
+        plans exactly one InputPartition). Handled filters are exact
+        (a file's rows all carry its run_id), so they are consumed
+        here; everything else is returned for Spark to evaluate."""
+        for f in filters:
+            allow = None
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("run_id",):
+                allow = {f.value}
+            elif isinstance(f, In) and tuple(f.attribute) == ("run_id",):
+                allow = set(f.value)
+            if allow is None:
+                yield f
+            else:
+                self.run_id_allow = (
+                    allow
+                    if self.run_id_allow is None
+                    else self.run_id_allow & allow
+                )
 
     def partitions(self):
         found = _discover(self.path, self.kind)
@@ -256,6 +282,10 @@ class NBody6Reader(DataSourceReader):
             raise FileNotFoundError(
                 f"no {self.kind} files under {self.path}"
             )
+        if self.run_id_allow is not None:
+            found = [
+                (rid, p) for rid, p in found if rid in self.run_id_allow
+            ]
         return [_FilePartition(rid, p) for rid, p in found]
 
     def read(self, partition: _FilePartition):
@@ -366,4 +396,8 @@ class NBody6DataSource(DataSource):
 
 
 def register_nbody6_source(spark) -> None:
+    """Register format("nbody6") and enable Python-DataSource filter
+    pushdown (a runtime conf, default false — Spark hard-errors on a
+    reader that merely IMPLEMENTS pushFilters while it's off)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(NBody6DataSource)

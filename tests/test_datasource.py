@@ -194,3 +194,34 @@ def test_stream_reader_ingests_new_runs_only(spark, tmp_path):
         .collect()
     }
     assert both == batch
+
+
+def test_run_id_pushdown_prunes_file_partitions(spark, runs_root):
+    """WHERE run_id = ... reaches pushFilters and prunes the planned
+    InputPartitions to the matching files only — the Python-DataSource
+    analogue of partition pruning. Results stay identical to post-hoc
+    filtering; unsupported predicates still evaluate in Spark."""
+    register_nbody6_source(spark)
+    base = spark.read.format("nbody6").option("kind", "OUT34").load(runs_root)
+    all_rows = {tuple(r) for r in base.collect()}
+
+    eq = base.filter(base["run_id"] == "a/run1")
+    assert eq.rdd.getNumPartitions() == 1  # 2 files discovered, 1 planned
+    assert {tuple(r) for r in eq.collect()} == {
+        t for t in all_rows if t[0] == "a/run1"
+    }
+
+    isin = base.filter(base["run_id"].isin("a/run1", "b/run2"))
+    assert isin.rdd.getNumPartitions() == 2
+    assert {tuple(r) for r in isin.collect()} == all_rows
+
+    none = base.filter(base["run_id"] == "nope")
+    assert none.count() == 0
+
+    # non-pushable residue (time filter) must still apply post-scan
+    mixed = base.filter(
+        (base["run_id"] == "a/run1") & (base["time"] > 0.0)
+    )
+    assert {tuple(r) for r in mixed.collect()} == {
+        t for t in all_rows if t[0] == "a/run1" and t[2] > 0.0
+    }
