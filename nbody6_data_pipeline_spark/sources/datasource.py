@@ -286,17 +286,30 @@ class NBody6Reader(DataSourceReader):
             found = [
                 (rid, p) for rid, p in found if rid in self.run_id_allow
             ]
+        if not found:
+            # Pushdown pruned EVERY file. pyspark's Python-DataSource
+            # runner calls read(None) when partitions() is empty, so a
+            # fully-pruned scan (a routine production shape) must plan a
+            # sentinel partition whose read yields an empty batch.
+            return [_FilePartition(None, None)]
         return [_FilePartition(rid, p) for rid, p in found]
 
     def read(self, partition: _FilePartition):
         import pyarrow as pa
 
         cfg = FILE_CONFIGS[self.kind]
-        rows = list(
-            _parse_file(
-                partition.path, partition.run_id, cfg, self.table, self.strict
+        if partition is None or partition.path is None:
+            rows = []
+        else:
+            rows = list(
+                _parse_file(
+                    partition.path,
+                    partition.run_id,
+                    cfg,
+                    self.table,
+                    self.strict,
+                )
             )
-        )
         schema = _source_schema(cfg, self.table)
         arrow_schema = pa.schema(
             [
