@@ -25,12 +25,15 @@ Scale shape (deliberately NOT the naive unrolled-join plan):
   three iteration plans stay flat (same idiom as
   `operators/dedup.connected_components`).
 - The per-node rank state is |V| rows, orders of magnitude smaller
-  than |E|, so each iteration BROADCASTS the rank table against the
-  cached edge list: the edge list never re-shuffles; the only
-  per-iteration shuffle is the map-side-combined contribution
-  aggregation, bounded by |V|. For graphs whose node state outgrows
-  executor memory, drop the broadcast hint and the same plan degrades
-  gracefully to a shuffle join co-partitioned on the node key.
+  than |E|, so each iteration joins the rank table against the cached
+  edge list with a SIZE-DISPATCHED strategy (``_state_hint``): node
+  state up to BROADCAST_MAX_NODES rows is broadcast (the edge list
+  never re-shuffles; the only per-iteration shuffle is the
+  map-side-combined contribution aggregation, bounded by |V|), and
+  bigger state drops the hint so Spark plans a shuffle hash join on
+  the node key instead — the decision is made ONCE per call from an
+  actual count, not a manual edit, so a billion-node rank table can
+  never be force-broadcast into executor OOM.
 - Iteration 1 needs no join at all: ranks are uniform, so each edge's
   contribution is the constant RANK_SCALE div out_deg.
 - On symmetric graphs (`symmetric=True` — e.g. a symmetrized
@@ -50,6 +53,33 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 RANK_SCALE = 1_000_000_000_000  # integer mass units per node
+
+# Node-state tables at or below this row count are broadcast each
+# iteration (~16 B of key+rank per row -> at most ~160 MB, inside a
+# normal executor's broadcast budget). Above it the hint is DROPPED
+# and Spark plans a shuffle hash join on the node key — a hardcoded
+# broadcast of a billion-node rank table would OOM every executor at
+# 100x scale. Join strategy cannot perturb the integer-exact sums, so
+# both paths are bit-identical (test_graph_shuffle_path_bit_exact).
+BROADCAST_MAX_NODES = 10_000_000
+
+
+def _state_hint(state: DataFrame, n_nodes: int) -> DataFrame:
+    """Size-dispatch for per-iteration node state — the
+    connected_components pattern: count once, then choose broadcast
+    vs shuffle join for every iteration."""
+    return F.broadcast(state) if n_nodes <= BROADCAST_MAX_NODES else state
+
+
+def _node_bound(edges: DataFrame, key: str = "src") -> int:
+    """|V| or a cheap upper bound of it, for the broadcast decision.
+    Every node appears as a `key` at least once, so |V| <= |E|; the
+    exact distinct count (a real shuffle) runs only when the edge
+    count alone cannot prove the state is broadcast-safe."""
+    n_edges = edges.count()
+    if n_edges <= BROADCAST_MAX_NODES:
+        return n_edges
+    return edges.select(key).distinct().count()
 
 
 def _damp(contrib_col: str) -> str:
@@ -102,12 +132,13 @@ def pagerank_fixed(
         )
     )
     if symmetric:
+        n_nodes = _node_bound(ce)
         ranks = contribs.select(
             F.col("dst").alias("node"), F.expr(_damp("contrib_sum")).alias("rank")
         )
         for _ in range(iterations - 1):
             contribs = (
-                ce.join(F.broadcast(ranks), ce["src"] == ranks["node"])
+                ce.join(_state_hint(ranks, n_nodes), ce["src"] == ranks["node"])
                 .select(
                     F.col("dst"),
                     F.expr("rank div out_deg").alias("contrib"),
@@ -122,18 +153,19 @@ def pagerank_fixed(
         return ranks
 
     nodes = ce.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_nodes = nodes.count()  # free: nodes was just materialized
     ranks = nodes.join(
-        F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+        _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
     ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
     for _ in range(iterations - 1):
         contribs = (
-            ce.join(F.broadcast(ranks), ce["src"] == ranks["node"])
+            ce.join(_state_hint(ranks, n_nodes), ce["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank div out_deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("contrib_sum"))
         )
         ranks = nodes.join(
-            F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+            _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
         ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
     return ranks
 
@@ -177,6 +209,7 @@ def personalized_pagerank(
         .select("node", F.coalesce("is_src", F.lit(0)).alias("is_src"))
         .localCheckpoint()
     )
+    n_nodes = nodes.count()  # free: nodes was just materialized
     base = f"15 * cast({RANK_SCALE} as bigint) * is_src"
     update = (
         f"({base} + 85 * coalesce(contrib_sum, cast(0 as bigint))) div 100"
@@ -198,17 +231,17 @@ def personalized_pagerank(
         .agg(F.sum("contrib").alias("contrib_sum"))
     )
     ranks = nodes.join(
-        F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+        _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
     ).select("node", "is_src", F.expr(update).alias("rank"))
     for _ in range(iterations - 1):
         contribs = (
-            ce.join(F.broadcast(ranks), ce["src"] == ranks["node"])
+            ce.join(_state_hint(ranks, n_nodes), ce["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank div out_deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("contrib_sum"))
         )
         ranks = nodes.join(
-            F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+            _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
         ).select("node", "is_src", F.expr(update).alias("rank"))
     return ranks.select("node", "rank")
 
@@ -235,6 +268,9 @@ def kcore_peel(
     """
     out = []
     e = edges.select("s", "d").localCheckpoint()
+    # one up-front decision: survivor sets only shrink, so if the
+    # round-0 node set is broadcast-safe every later round's is too
+    n_nodes = _node_bound(e, key="s")
     for rnd in range(rounds + 1):
         deg = e.groupBy("s").agg(F.count("*").alias("c"))
         out.append((e, deg))
@@ -243,9 +279,9 @@ def kcore_peel(
             # (eager) localCheckpoint materialization entirely
         good = deg.filter(F.col("c") >= k).select("s")
         e = (
-            e.join(F.broadcast(good), "s")
+            e.join(_state_hint(good, n_nodes), "s")
             .join(
-                F.broadcast(good.select(F.col("s").alias("d"))),
+                _state_hint(good.select(F.col("s").alias("d")), n_nodes),
                 "d",
             )
             .select("s", "d")
