@@ -28,7 +28,19 @@ def expectation_report(
     checks: {check_name: violation_predicate (Column<bool>)}.
     Returns DataFrame[table, check_name, n_checked, n_violations]
     with one row per check, all computed in a single aggregate.
+
+    Check names are restricted to [A-Za-z_][A-Za-z0-9_]* because they
+    are interpolated into the stack(...) expression as quoted literals
+    and backticked identifiers — a quote or backtick in a name would
+    otherwise break (or inject into) the generated SQL.
     """
+    import re
+
+    if not checks:
+        raise ValueError("expectation_report needs at least one check")
+    for name in checks:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid check name {name!r}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in checks.items():
         aggs.append(

@@ -215,9 +215,14 @@ def heavy_hitters(
     # tiny at any scale; the one driver action reads N off it, then the
     # returned plan re-reads the cached table (no token re-scan).
     counts = keyed.groupBy("ctoken").agg(F.count("*").alias("cnt")).persist()
-    total = counts.agg(F.sum("cnt")).collect()[0][0]
-    return (
+    # SUM over zero rows is NULL: an empty tokens input means no
+    # heavy hitters, not a TypeError at F.lit(int(None)).
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    out = (
         counts.filter(F.col("ctoken").isNotNull())
         .filter(F.col("cnt") * inv_threshold > F.lit(int(total)))
         .select(F.col("ctoken").alias("token"), F.col("cnt"))
     )
+    if total == 0:
+        counts.unpersist()  # nothing downstream will read the cache
+    return out

@@ -194,6 +194,14 @@ def zorder_key(cols: list[Column], mins: list, maxs: list) -> Column:
     n = len(cols)
     if not (len(mins) == len(maxs) == n) or n < 2:
         raise ValueError("need >= 2 columns with matching bounds")
+    if n * ZORDER_BITS > 63:
+        # bit positions past 62 spill into the sign bit of the LONG
+        # key: keys wrap negative and the interleaved-range clustering
+        # (and its min/max pruning) silently breaks
+        raise ValueError(
+            f"{n} columns x {ZORDER_BITS} bits exceeds the 63 usable "
+            "bits of a signed LONG key; reduce ZORDER_BITS or columns"
+        )
     quantized = []
     top = (1 << ZORDER_BITS) - 1
     for c, lo, hi in zip(cols, mins, maxs):

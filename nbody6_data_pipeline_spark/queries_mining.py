@@ -234,7 +234,13 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         e.select(
             "event_type",
-            (F.floor(us / _HOUR_US) * _HOUR_US).cast("long").alias("hour_us"),
+            # integer hour bucket: us - us % H == (us div H) * H for
+            # non-negative epochs. floor(us / H) on DOUBLES is wrong
+            # within ~0.2 ms below an hour boundary (the quotient
+            # rounds up to the next integer before floor), silently
+            # bucketing the event one hour late vs the oracle's
+            # integer `//`.
+            (us - us % _HOUR_US).cast("long").alias("hour_us"),
         )
         .groupBy("event_type", "hour_us")
         .agg(F.count("*").alias("n"))

@@ -178,3 +178,16 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(sorted_path).collect()))
     b = sorted(map(tuple, spark.read.parquet(z_path).collect()))
     assert a == b
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """4+ columns at 16 bits/dim would interleave into bit 63 (the
+    sign bit), wrapping keys negative — must refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nbody6_data_pipeline_spark.plans.layout import zorder_key
+
+    cols = [F.col(c) for c in "abcd"]
+    with pytest.raises(ValueError, match="63 usable"):
+        zorder_key(cols, [0] * 4, [100] * 4)

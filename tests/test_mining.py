@@ -146,3 +146,20 @@ def test_session_paths_gap_and_order(spark, tmp_path):
         ).collect()
     }
     assert out == {"view->click->purchase": 1, "signup": 1}
+
+
+def test_expectation_report_rejects_bad_names(spark):
+    """Quote/backtick-bearing or empty check sets must fail fast, not
+    generate broken stack(...) SQL (ADVICE round 4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nbody6_data_pipeline_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one check"):
+        expectation_report(df, {}, "t")
+    with pytest.raises(ValueError, match="invalid check name"):
+        expectation_report(df, {"bad'name": F.col("id") > 1}, "t")

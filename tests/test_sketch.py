@@ -260,3 +260,49 @@ def test_personalized_pagerank_proximity(spark):
     assert got == rank
     assert got["b"] > got["d"]
     assert got["a"] > got["e"]
+
+
+def test_graph_shuffle_path_bit_exact(spark, monkeypatch):
+    """Forcing the node-state join onto the SHUFFLE path (threshold 0
+    -> _state_hint never broadcasts) produces bit-identical ranks and
+    k-core rounds: the size dispatch chooses a physical strategy, not
+    a result. This is the path a billion-node graph takes at 100x
+    scale, where force-broadcasting node state would OOM executors."""
+    from nbody6_data_pipeline_spark.operators import graph as G
+
+    raw = [(f"n{(7 * i) % 23}", f"n{(11 * i + 3) % 23}") for i in range(60)]
+    sym = [(s, d) for s, d in raw + [(d, s) for s, d in raw] if s != d]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    want = {r["node"]: r["rank"] for r in G.pagerank_fixed(df, 3).collect()}
+    want_sym = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed(df, 3, symmetric=True).collect()
+    }
+    edf = spark.createDataFrame(sym, ["s", "d"])
+    want_core = [
+        sorted(tuple(r) for r in e.collect())
+        for e, _ in G.kcore_peel(edf, k=4, rounds=2)
+    ]
+
+    monkeypatch.setattr(G, "BROADCAST_MAX_NODES", 0)
+    got = {r["node"]: r["rank"] for r in G.pagerank_fixed(df, 3).collect()}
+    got_sym = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed(df, 3, symmetric=True).collect()
+    }
+    got_core = [
+        sorted(tuple(r) for r in e.collect())
+        for e, _ in G.kcore_peel(edf, k=4, rounds=2)
+    ]
+    assert got == want
+    assert got_sym == want_sym
+    assert got_core == want_core
+
+
+def test_heavy_hitters_empty_input(spark):
+    """Zero input rows -> empty result, not TypeError from a NULL
+    total (ADVICE round 4)."""
+    from nbody6_data_pipeline_spark.operators.sketch import heavy_hitters
+
+    empty = spark.createDataFrame([], "token string")
+    assert heavy_hitters(empty, inv_threshold=10).count() == 0
