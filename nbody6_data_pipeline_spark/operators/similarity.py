@@ -1059,3 +1059,308 @@ def ivf_upsert(index: IVFIndex, new_df: DataFrame,
         scored.select("vec_id", "v", "nrm", "cell").repartition("cell")
     )
     return IVFIndex(cb, appended), drift
+
+
+# ---------------------------------------------------------------------------
+# Exact-parity PQ / IVF-PQ (cross-engine-checkable twins of the numpy
+# ADC paths above — same index family, integer-exact arithmetic)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_KSUB = 16    # codes per subspace codebook
+PQ_ITERS = 2    # Lloyd iterations per subspace (matches KM_ITERS)
+
+
+_PCB_SCHEMA = T.StructType(
+    [
+        T.StructField("j", T.IntegerType()),
+        T.StructField("c_id", T.IntegerType()),
+        T.StructField("cv", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _with_pcbs(df: DataFrame, spark, cb: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """Attach the per-subspace codebook table [(j, c_id, cv)] as ONE
+    broadcast array<struct> column ``pcbs`` — same design (and same
+    codegen-cache rationale) as ``_with_cents``."""
+    carr = (
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(cb, 1), _PCB_SCHEMA
+        ).agg(F.collect_list(F.struct("j", "c_id", "cv")).alias("pcbs"))
+    )
+    return df.crossJoin(F.broadcast(carr))
+
+
+def _pq_sub(vq_col: str, j: int, dsub: int) -> str:
+    return f"slice({vq_col}, {j * dsub + 1}, {dsub})"
+
+
+def _pq_assign_expr(vq_col: str, j: int, dsub: int) -> str:
+    """argmin over subspace-j codebook entries of the exact left-fold
+    squared L2 between the row's quantized slice and the centroid,
+    ties on c_id — the _CELL_STRUCTS recipe, scoped per subspace."""
+    return (
+        f"array_min(transform(filter(pcbs, s -> s.j = {j}), c -> struct("
+        f"aggregate(zip_with({_pq_sub(vq_col, j, dsub)}, c.cv, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x) AS d2, c.c_id AS c_id))).c_id"
+    )
+
+
+def exact_pq_train(
+    df: DataFrame,
+    vq_col: str = "vq",
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> list[tuple[int, int, list[float]]]:
+    """Fixed-iteration exact-arithmetic Lloyd PER SUBSPACE, all m
+    subspaces fused into ONE job per iteration (explode the per-row
+    (j, cell, sub) structs, one 3-key hash-agg, collect m*k*dsub tiny
+    rows). Input rows carry an integer-quantized array column
+    ``vq_col`` so every centroid mean is an exact integer sum over an
+    exact count — bit-replayable by a SQL oracle (the
+    exact_kmeans_cells proof, per subspace).
+
+    Codebook ids are DENSE 0..k-1 (rank of vec_id among the k seed
+    rows), so a flat position lookup ``j*k + code`` is always valid —
+    never raw vec_ids, which need not be contiguous.
+
+    Returns [(j, c_id, cv)] with cv a dsub-list of doubles."""
+    spark = df.sparkSession
+    dsub = dim // m
+    seed_rows = sorted(
+        (r["vec_id"], [int(x) for x in r[vq_col]])
+        for r in df.filter(F.col("vec_id") < k)
+        .select("vec_id", vq_col)
+        .collect()
+    )
+    cb = [
+        (j, c, [float(v) for v in row[j * dsub : (j + 1) * dsub]])
+        for j in range(m)
+        for c, (_, row) in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        structs = ", ".join(
+            f"struct({j} AS j, {_pq_assign_expr(vq_col, j, dsub)} AS cell, "
+            f"{_pq_sub(vq_col, j, dsub)} AS sub)"
+            for j in range(m)
+        )
+        sums = (
+            _with_pcbs(df, spark, cb)
+            .select(F.expr(f"explode(array({structs}))").alias("s"))
+            .select(
+                F.col("s.j").alias("j"),
+                F.col("s.cell").alias("cell"),
+                F.posexplode("s.sub").alias("d", "x"),
+            )
+            .groupBy("j", "cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list] = {}
+        for r in sums:
+            acc.setdefault((r["j"], r["cell"]), [0] * (dsub + 1))
+            acc[(r["j"], r["cell"])][r["d"]] = r["s"]
+            acc[(r["j"], r["cell"])][dsub] = r["cnt"]
+        cb = [
+            (
+                j,
+                c,
+                [acc[(j, c)][d] / acc[(j, c)][dsub] for d in range(dsub)]
+                if (j, c) in acc
+                else cv,
+            )
+            for j, c, cv in cb
+        ]
+    return cb
+
+
+def exact_pq_codes(
+    df: DataFrame,
+    cb: list[tuple[int, int, list[float]]],
+    vq_col: str = "vq",
+    dim: int = 64,
+    m: int = PQ_M,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode every row to its m-array of dense codes — one shuffle-free
+    projection against the broadcast codebook."""
+    dsub = dim // m
+    codes = ", ".join(_pq_assign_expr(vq_col, j, dsub) for j in range(m))
+    return _with_pcbs(df, df.sparkSession, cb).select(
+        "vec_id", *keep, F.expr(f"array({codes})").alias("codes")
+    )
+
+
+def _pq_adc_expr(qd_col: str, m: int, k: int, dsub: int) -> str:
+    """Exact ADC: left-fold over subspaces (j ascending) of the
+    left-fold squared L2 between the query's subspace slice and the
+    candidate code's centroid, looked up by flat position j*k+code in
+    the broadcast ``cbflat`` (valid because codes are dense 0..k-1).
+    Both folds start from 0.0 — the same association order DuckDB's
+    list_reduce produces, so the double is bit-identical."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
+        f"aggregate(zip_with(slice({qd_col}, j * {dsub} + 1, {dsub}), "
+        f"element_at(cbflat, j * {k} + CAST(element_at(codes, j + 1) AS INT) + 1), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))"
+    )
+
+
+def _with_cbflat(df: DataFrame, spark, cb, m: int, k: int) -> DataFrame:
+    flat = [cv for _, _, cv in sorted(cb, key=lambda t: (t[0], t[1]))]
+    assert len(flat) == m * k
+    one = spark.createDataFrame(
+        spark.sparkContext.parallelize([(flat,)], 1),
+        T.StructType(
+            [T.StructField(
+                "cbflat", T.ArrayType(T.ArrayType(T.DoubleType())))]
+        ),
+    )
+    return df.crossJoin(F.broadcast(one))
+
+
+def exact_pq_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    topk: int = 3,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Product-quantized ANN, exact-parity variant: quantized
+    subspace Lloyd codebooks (deterministic function of the data),
+    one-pass corpus encoding to m dense codes, ADC top-k with
+    bit-replayable folds. Queries = vec_id % query_mod == 0, scored
+    against the whole encoded corpus (that IS flat PQ — no cells to
+    prune; the cell-pruned variant is exact_ivfpq_ann). The query
+    batch is broadcast; the encoded corpus never shuffles until the
+    final tiny top-k window.
+
+    Returns (query_id, cand_id, approx_d2, rank<=topk)."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    e = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _quantize(F.col(vec_col)).alias("vq"),
+        )
+        .persist()
+    )
+    cb = exact_pq_train(e, "vq", dim, m, k, iters)
+    codes = exact_pq_codes(e, cb, "vq", dim, m)
+    q = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(vq, x -> CAST(x AS DOUBLE))").alias("qd"),
+    )
+    scored = (
+        _with_cbflat(codes, spark, cb, m, k)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.expr(_pq_adc_expr("qd", m, k, dim // m)).alias("approx_d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "approx_d2", "rank")
+    )
+
+
+def exact_ivfpq_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    pq_k: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    topk: int = 3,
+    nprobe: int = 4,
+    query_mod: int = 50,
+) -> DataFrame:
+    """IVF-PQ ANN, exact-parity variant (FAISS layout, replayable
+    arithmetic): coarse cells from exact_kmeans_cells, RESIDUALS
+    (quantized coords minus the cell centroid, re-rounded to integers
+    so subspace Lloyd stays exact-sum) PQ-encoded per cell, probes =
+    nprobe nearest coarse cells, ADC only inside probed cells. A
+    candidate lives in exactly one cell, so (query, cand) pairs are
+    unique across probes. Scan cost per query: nprobe/k_cells of the
+    corpus, m lookups per candidate — the same pruning contract as
+    the numpy ivfpq_search, minus float non-determinism.
+
+    Returns (query_id, cand_id, approx_d2, rank<=topk)."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    cents, cells = exact_kmeans_cells(df, id_col=id_col, vec_col=vec_col,
+                                      dim=dim)
+    cvcell = "element_at(filter(cents, c -> c.c_id = cell), 1).cv"
+    rq_expr = (
+        f"zip_with(vq, {cvcell}, (x, cv) -> "
+        "CAST(floor(CAST(x AS DOUBLE) - cv + 0.5D) AS BIGINT))"
+    )
+    r = (
+        _with_cents(cells, spark, cents)
+        .select("vec_id", "cell", F.expr(rq_expr).alias("rq"))
+        .persist()
+    )
+    cb = exact_pq_train(r, "rq", dim, m, pq_k, iters)
+    codes = exact_pq_codes(r, cb, "rq", dim, m, keep=("cell",))
+
+    probe_expr = (
+        f"transform(slice(array_sort({_CELL_STRUCTS}), 1, {int(nprobe)}),"
+        " s -> s.c_id)"
+    )
+    probes = (
+        _with_cents(
+            cells.filter(F.col("vec_id") % query_mod == 0).select(
+                "vec_id", "vq"
+            ),
+            spark,
+            cents,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "vq",
+            F.explode(F.expr(probe_expr)).alias("cell"),
+            F.col("cents"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                "transform(" + rq_expr + ", x -> CAST(x AS DOUBLE))"
+            ).alias("qd"),
+        )
+    )
+    scored = (
+        _with_cbflat(codes, spark, cb, m, pq_k)
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.expr(_pq_adc_expr("qd", m, pq_k, dim // m)).alias("approx_d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cand_id", "approx_d2", "rank")
+    )

@@ -177,14 +177,15 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY fingerprint
-    ORDER BY representative_id
+    ORDER BY representative_id NULLS LAST, fingerprint NULLS LAST
     """,
 )
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (hash-groupBy) dedup over normalized text."""
     d = _t(spark, sf_dir, "documents")
-    return exact_duplicates(d, F.col("text"), "doc_id").transform(ordered, 
-        "representative_id"
+    return exact_duplicates(d, F.col("text"), "doc_id").transform(
+        # fingerprint tiebreak: all-NULL-id groups share a NULL rep
+        ordered, "representative_id", "fingerprint"
     )
 
 
@@ -828,50 +829,288 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pq_ann", None)  # rows-only: ADC uses numpy float
+def _pq_sql_d2(sub: str, cv: str, dsub: int) -> str:
+    """Subspace squared-L2 as a DuckDB left fold — bit-identical to
+    the Spark twin's aggregate(zip_with(...), 0.0D, +)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> "
+        f"(CAST({sub}[i] AS DOUBLE) - {cv}[i]) * "
+        f"(CAST({sub}[i] AS DOUBLE) - {cv}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_sql_iterations(src: str, pfx: str, k: int, dsub: int,
+                       iters: int) -> str:
+    """CTE chain replaying exact-integer subspace Lloyd: {pfx}0 is the
+    seed codebook (dense c_id = rank of vec_id among the k seed rows),
+    {pfx}{iters} the trained one. Mirrors
+    operators/similarity.exact_pq_train."""
+    sums = ", ".join(f"SUM(sub[{i + 1}]) AS s{i}" for i in range(dsub))
+    means = ", ".join(f"CAST(s{i} AS DOUBLE) / cnt" for i in range(dsub))
+    out = [f"""
+    {pfx}0 AS (
+      SELECT j, ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1
+               AS c_id,
+             list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
+      FROM {src} WHERE vec_id < {k}
+    )"""]
+    for i in range(1, iters + 1):
+        out.append(f"""
+    {pfx}a{i} AS (
+      SELECT vec_id, j, sub, cell FROM (
+        SELECT s.vec_id, s.j, s.sub, c.c_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+            ORDER BY {_pq_sql_d2('s.sub', 'c.cv', dsub)} ASC, c.c_id ASC)
+            AS rn
+        FROM {src} s JOIN {pfx}{i - 1} c ON s.j = c.j)
+      WHERE rn = 1
+    ),
+    {pfx}m{i} AS (
+      SELECT j, cell AS c_id, COUNT(*) AS cnt, {sums}
+      FROM {pfx}a{i} GROUP BY j, cell
+    ),
+    {pfx}{i} AS (
+      SELECT p.j, p.c_id, COALESCE(u.cv, p.cv) AS cv
+      FROM {pfx}{i - 1} p LEFT JOIN
+        (SELECT j, c_id, [{means}] AS cv FROM {pfx}m{i}) u
+        USING (j, c_id)
+    )""")
+    return ",".join(out)
+
+
+def _pq_sql_adc(qd: str, m: int, k: int, dsub: int) -> str:
+    """ADC distance as nested left folds over flat codebook positions
+    j*k + code — the Spark twin's _pq_adc_expr, DuckDB spelling."""
+    cb = f"cbflat[j*{k} + codes[j+1] + 1]"
+    return (
+        f"list_reduce(list_transform(range(0, {m}), j -> "
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> "
+        f"({qd}[j*{dsub} + i] - {cb}[i]) * ({qd}[j*{dsub} + i] - {cb}[i])), "
+        "(a, x) -> a + x)), (a, x) -> a + x)"
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """Generated DuckDB oracle replaying the exact-parity PQ pipeline
+    (operators/similarity.exact_pq_ann): quantize -> per-subspace
+    exact Lloyd -> encode -> ADC top-3."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        KM_QUANT,
+        PQ_ITERS,
+        PQ_KSUB,
+        PQ_M,
+    )
+
+    dim = 64
+    m, k, iters = PQ_M, PQ_KSUB, PQ_ITERS
+    dsub = dim // m
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * {KM_QUANT}.0 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    js AS (SELECT unnest(range(0, {m})) AS j),
+    subs AS (
+      SELECT vec_id, j, vq[j*{dsub}+1 : j*{dsub}+{dsub}] AS sub FROM e, js
+    ),{_pq_sql_iterations('subs', 'pb', k, dsub, iters)},
+    af AS (
+      SELECT vec_id, j, cell FROM (
+        SELECT s.vec_id, s.j, c.c_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+            ORDER BY {_pq_sql_d2('s.sub', 'c.cv', dsub)} ASC, c.c_id ASC)
+            AS rn
+        FROM subs s JOIN pb{iters} c ON s.j = c.j)
+      WHERE rn = 1
+    ),
+    codes AS (SELECT vec_id, list(cell ORDER BY j) AS codes
+              FROM af GROUP BY vec_id),
+    flat AS (SELECT list(cv ORDER BY j, c_id) AS cbflat FROM pb{iters}),
+    qs AS (SELECT vec_id AS query_id,
+                  list_transform(vq, x -> CAST(x AS DOUBLE)) AS qd
+           FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, c.vec_id AS cand_id,
+             {_pq_sql_adc('qd', m, k, dsub)} AS approx_d2
+      FROM qs, codes c, flat WHERE c.vec_id != query_id
+    )
+    SELECT query_id, cand_id, approx_d2, rank FROM (
+      SELECT query_id, cand_id, approx_d2,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Generated DuckDB oracle replaying the exact-parity IVF-PQ
+    pipeline (operators/similarity.exact_ivfpq_ann): coarse exact
+    k-means (the _km_oracle_sql recipe) -> integer residuals ->
+    per-subspace exact Lloyd on residuals -> nprobe probe -> ADC
+    top-3 inside probed cells."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_QUANT,
+        PQ_ITERS,
+        PQ_KSUB,
+        PQ_M,
+    )
+
+    dim = 64
+    m, pq_k, iters, nprobe = PQ_M, PQ_KSUB, PQ_ITERS, 4
+    dsub = dim // m
+
+    def cd2(vq: str, cv: str) -> str:  # full-dim coarse distance
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"(CAST({vq}[i] AS DOUBLE) - {cv}[i]) * "
+            f"(CAST({vq}[i] AS DOUBLE) - {cv}[i])), (acc, x) -> acc + x)"
+        )
+
+    csums = ", ".join(f"SUM(vq[{i + 1}]) AS s{i}" for i in range(dim))
+    cmeans = ", ".join(f"CAST(s{i} AS DOUBLE) / cnt" for i in range(dim))
+    citers = ",".join(
+        f"""
+    ca{i} AS (
+      SELECT vec_id, vq, c_id AS cell FROM (
+        SELECT e.vec_id, e.vq, c.c_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {cd2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+        FROM e, c{i - 1} c)
+      WHERE rn = 1
+    ),
+    cm{i} AS (
+      SELECT cell AS c_id, COUNT(*) AS cnt, {csums}
+      FROM ca{i} GROUP BY cell
+    ),
+    c{i} AS (
+      SELECT p.c_id, COALESCE(u.cv, p.cv) AS cv
+      FROM c{i - 1} p LEFT JOIN
+        (SELECT c_id, [{cmeans}] AS cv FROM cm{i}) u USING (c_id)
+    )"""
+        for i in range(1, KM_ITERS + 1)
+    )
+    rq = (
+        f"list_transform(range(1, {dim + 1}), i -> "
+        "CAST(floor(CAST(a.vq[i] AS DOUBLE) - cc.cv[i] + 0.5) AS BIGINT))"
+    )
+    qres = (
+        f"list_transform(range(1, {dim + 1}), i -> "
+        "CAST(CAST(floor(CAST(e.vq[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)"
+        " AS DOUBLE))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * {KM_QUANT}.0 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS c_id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS cv
+      FROM e WHERE vec_id < {KM_K}
+    ),{citers},
+    afc AS (
+      SELECT vec_id, vq, cell FROM (
+        SELECT e.vec_id, e.vq, c.c_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {cd2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+        FROM e, c{KM_ITERS} c)
+      WHERE rn = 1
+    ),
+    rqt AS (
+      SELECT a.vec_id, a.cell, {rq} AS rq
+      FROM afc a JOIN c{KM_ITERS} cc ON a.cell = cc.c_id
+    ),
+    js AS (SELECT unnest(range(0, {m})) AS j),
+    rsubs AS (
+      SELECT vec_id, cell, j, rq[j*{dsub}+1 : j*{dsub}+{dsub}] AS sub
+      FROM rqt, js
+    ),{_pq_sql_iterations('rsubs', 'pb', pq_k, dsub, iters)},
+    af AS (
+      SELECT vec_id, cell, j, code FROM (
+        SELECT s.vec_id, s.cell, s.j, c.c_id AS code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+            ORDER BY {_pq_sql_d2('s.sub', 'c.cv', dsub)} ASC, c.c_id ASC)
+            AS rn
+        FROM rsubs s JOIN pb{iters} c ON s.j = c.j)
+      WHERE rn = 1
+    ),
+    codes AS (SELECT vec_id, MIN(cell) AS cell,
+                     list(code ORDER BY j) AS codes
+              FROM af GROUP BY vec_id),
+    flat AS (SELECT list(cv ORDER BY j, c_id) AS cbflat FROM pb{iters}),
+    probes AS (
+      SELECT query_id, cell, qd FROM (
+        SELECT e.vec_id AS query_id, c.c_id AS cell, {qres} AS qd,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {cd2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS pr
+        FROM e, c{KM_ITERS} c WHERE e.vec_id % 50 = 0)
+      WHERE pr <= {nprobe}
+    ),
+    scored AS (
+      SELECT query_id, c.vec_id AS cand_id,
+             {_pq_sql_adc('qd', m, pq_k, dsub)} AS approx_d2
+      FROM probes p JOIN codes c ON p.cell = c.cell
+                                AND c.vec_id != p.query_id, flat
+    )
+    SELECT query_id, cand_id, approx_d2, rank FROM (
+      SELECT query_id, cand_id, approx_d2,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@register("embedding_pq_ann", _pq_oracle_sql())
 def q_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN (operators/similarity.py build_pq_index /
-    pq_search): per-subspace codebooks trained on a bounded driver
-    sample, corpus encoded to m uint8 codes in one vectorized Arrow
-    pass (32x compression at m=8 over float32), asymmetric-distance
-    top-k where each Arrow batch emits only its per-query top-k
-    partials. No SQL oracle: the codebooks come from numpy k-means
-    whose SIMD summation order no independent engine reproduces —
-    the driver records the rows-only check; value-level guarantees
-    are pinned by tests/test_similarity.py (exact-duplicate recall,
-    deterministic rebuild, ranking invariants)."""
-    from nbody6_data_pipeline_spark.operators.similarity import (
-        build_pq_index,
-        pq_search,
-    )
+    """Product-quantized ANN, exact-parity variant
+    (operators/similarity.exact_pq_ann): integer-quantized per-subspace
+    Lloyd codebooks (every centroid mean an exact integer sum / count),
+    one-pass encoding to m dense codes, ADC top-3 via bit-replayable
+    left folds — fully value-checked against a DuckDB oracle that
+    replays the same training iterations (the exact_kmeans_cells
+    recipe, per subspace).
+
+    The numpy path (build_pq_index / pq_search: sampled k-means
+    codebooks + vectorized Arrow ADC with per-batch top-k partials)
+    stays the throughput path for real workloads; its guarantees are
+    pinned by tests/test_similarity.py (exact-duplicate recall,
+    deterministic rebuild, ranking invariants). This query is the
+    correctness anchor — same index family, same search contract."""
+    from nbody6_data_pipeline_spark.operators.similarity import exact_pq_ann
 
     e = _t(spark, sf_dir, "embeddings")
-    idx = build_pq_index(e, m=8, k=16)
-    queries = e.filter(F.col("vec_id") % 50 == 0)
-    return pq_search(idx, queries, k=3).transform(
-        ordered, "query_id", "rank"
-    )
+    return exact_pq_ann(e, topk=3).transform(ordered, "query_id", "rank")
 
 
-@register("embedding_ivfpq_ann", None)  # rows-only: numpy-float ADC
+@register("embedding_ivfpq_ann", _ivfpq_oracle_sql())
 def q_embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (operators/similarity.py build_ivfpq_index /
-    ivfpq_search) — the FAISS-style production layout: coarse cells
-    bound how many vectors a probe scans, per-cell residual PQ codes
-    bound what each scanned vector costs (m small ints), and the scan
-    filters to probed cells before touching any data (partition
-    pruning when codes are written partitioned by cell). Rows-only
-    check for the same reason as embedding_pq_ann; recall/determinism
-    pinned by tests/test_similarity.py."""
+    """IVF-PQ ANN, exact-parity variant
+    (operators/similarity.exact_ivfpq_ann — the FAISS layout): coarse
+    cells bound how many vectors a probe SCANS, per-cell integer
+    residual PQ codes bound what each scanned vector COSTS, and the
+    scan filters to probed cells before touching any data (partition
+    pruning when codes are written partitioned by cell). Residuals are
+    re-rounded to integers so the subspace Lloyd update stays an exact
+    integer mean — the whole index is a deterministic function of the
+    data that a DuckDB oracle replays end-to-end.
+
+    The numpy path (build_ivfpq_index / ivfpq_search) stays the
+    throughput path; recall/determinism pinned by
+    tests/test_similarity.py."""
     from nbody6_data_pipeline_spark.operators.similarity import (
-        build_ivfpq_index,
-        ivfpq_search,
+        exact_ivfpq_ann,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    idx = build_ivfpq_index(e, m=8, pq_k=16)
-    queries = e.filter(F.col("vec_id") % 50 == 0)
-    return ivfpq_search(idx, queries, k=3, nprobe=4).transform(
+    return exact_ivfpq_ann(e, topk=3, nprobe=4).transform(
         ordered, "query_id", "rank"
     )
 
