@@ -112,6 +112,13 @@ def minhash_signatures(df: DataFrame, text: Column, id_col: str) -> DataFrame:
     # a ~20s one-time interpretation/compile penalty per fresh plan).
     rows = (
         _normed_docs(df, text, id_col)
+        # NULL text has no shingles: drop it here, matching the SQL
+        # oracle's unnest(NULL) semantics. Without this, every
+        # NULL-text doc gets an all-NULL signature -> identical
+        # md5('') band hashes -> they all pair with each other.
+        # (Empty-string text keeps its single '' shingle on BOTH
+        # sides, so it is NOT filtered.)
+        .filter(F.col("norm").isNotNull())
         .select(
             "doc",
             "norm",
@@ -221,6 +228,7 @@ def jaccard_verify(
         _normed_docs(
             docs.join(ids, docs[id_col] == ids["doc"], "left_semi"), text, id_col
         )
+        .filter(F.col("norm").isNotNull())  # no shingles, no verify
         .select(
             "doc",
             "norm",
@@ -245,7 +253,10 @@ def jaccard_verify(
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("double") / union).alias("jaccard"),
+            # NULL (not 0/0) when both shingle sets are empty — the
+            # pair then fails any jaccard >= t gate instead of raising
+            # DIVIDE_BY_ZERO under ANSI mode
+            F.when(union > 0, inter.cast("double") / union).alias("jaccard"),
         )
     )
 

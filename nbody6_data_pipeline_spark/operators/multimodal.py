@@ -64,9 +64,13 @@ def extract_features(
     """Per-media feature vectors via mapInPandas: Arrow batches in,
     (media_id, features array<double>) out. The binary payload never
     leaves the executor; only the small feature vector shuffles."""
+    # media_id stays NULLABLE: declaring it non-null makes Arrow throw
+    # "Value at index is null" and kill the whole stage the moment one
+    # malformed row arrives — a single bad record must degrade (NULL
+    # id, NULL features), never fail the job (round-5 NULL sweep).
     out_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_id", T.LongType(), True),
             T.StructField("features", T.ArrayType(T.DoubleType()), True),
         ]
     )

@@ -63,9 +63,35 @@ def registry() -> dict[str, QuerySpec]:
     return ordered
 
 
-# Queries green in CORRECTNESS_local_r03.json but absent from every
-# driver CORRECTNESS_r0{1,2,3}.json (see VERDICT.md round 3, ask #1).
+# Front of the driver's ~50-query sampling prefix, least-evidence
+# first (VERDICT round 4, asks #2-#4):
+#  1. the 11 queries never sampled by ANY round's driver gate (they
+#     sat just past the 50-prefix and every prepend pushed them
+#     further — round 5 puts them first);
+#  2. the 5 entries that scored red in CORRECTNESS_r04.json, re-fixed
+#     this round (NULL-safe final ordering / new exact-parity oracles)
+#     and needing driver re-confirmation;
+#  3. everything else in round-4 order (all driver-green already).
 _DRIVER_PRIORITY = [
+    # -- never driver-sampled (rounds 1-4) --
+    "doc_stratified_sample",
+    "doc_topk_per_source",
+    "events_funnel",
+    "events_interval_coverage",
+    "events_json_extract",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_weekly_summary",
+    "lineitem_mad",
+    "orders_priority_mode",
+    "range_join_incidents",
+    # -- red in r4, fixed in r5 --
+    "doc_shuffle_shards",
+    "doc_pattern_scrub",
+    "doc_rollup_stats",
+    "embedding_pq_ann",
+    "embedding_ivfpq_ann",
+    # -- driver-green history --
     "forecast_revenue_change",
     "min_cost_regional_supplier",
     "product_line_profit",
@@ -107,26 +133,10 @@ _DRIVER_PRIORITY = [
     "events_user_trend",
     "events_key_skew_profile",
     "doc_filter_funnel",
-    "doc_shuffle_shards",
-    "embedding_pq_ann",
-    "embedding_ivfpq_ann",
     "asof_join_tables",
     "doc_benchmark_contamination",
     "doc_length_winsorize",
     "doc_mixture_sample",
-    "doc_pattern_scrub",
-    "doc_rollup_stats",
-    "doc_stratified_sample",
-    "doc_topk_per_source",
-    "events_funnel",
-    "events_interval_coverage",
-    "events_json_extract",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_weekly_summary",
-    "lineitem_mad",
-    "orders_priority_mode",
-    "range_join_incidents",
 ]
 
 
@@ -142,8 +152,20 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
     levenshtein verifies), that silently doubles the most expensive
     stage. Do NOT use for non-terminal sorts over unreduced data —
     this is for the final, small, about-to-be-collected result only.
+
+    String column names sort ``asc_nulls_last`` — ANSI/DuckDB default
+    (nulls last in BOTH directions; verified on DuckDB 1.0.0) — not
+    Spark's nulls-first ascending default, so an order-sensitive
+    cross-engine hash of the result agrees when a final sort key is
+    NULL (ROLLUP super-aggregate rows, NULL-bearing group keys).
+    Column objects pass through: every call site's Column arg is
+    ``.desc()``, where Spark's nulls-last default already matches.
     """
-    return df.repartition(1).sortWithinPartitions(*cols)
+    keys = [
+        F.col(c).asc_nulls_last() if isinstance(c, str) else c
+        for c in cols
+    ]
+    return df.repartition(1).sortWithinPartitions(*keys)
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
@@ -528,7 +550,7 @@ def q_semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
     FROM documents
     GROUP BY text
-    ORDER BY doc_id
+    ORDER BY doc_id NULLS LAST, text NULLS LAST
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,7 +564,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "text", "n_copies")
-        .orderBy("doc_id")
+        # doc_id alone is not a total order: groups whose every member
+        # has a NULL id share doc_id NULL — the group key breaks the tie
+        .transform(ordered, "doc_id", "text")
     )
 
 

@@ -255,9 +255,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (
       SELECT doc_id, source,
-        md5(array_to_string(list_sort(list_distinct(list_filter(
-          regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))),
-          ' ')) AS fp
+        md5(COALESCE(array_to_string(list_sort(list_distinct(list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'),
+          x -> x != ''))), ' '), '')) AS fp
       FROM documents
     )
     SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
@@ -279,10 +279,17 @@ def q_doc_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte fingerprint; embarrassingly parallel at any corpus size.
     keep_doc = MIN(doc_id), the engine's canonical-winner rule."""
     d = _t(spark, sf_dir, "documents")
+    # COALESCE to '' on BOTH sides: Spark's concat_ws treats a NULL
+    # token array as empty (md5('')), DuckDB's array_to_string yields
+    # NULL — align by fingerprinting NULL text as the empty vocabulary
     fp = F.md5(
         F.concat_ws(
             " ",
-            F.array_sort(F.array_distinct(token_array(F.lower(F.col("text"))))),
+            F.array_sort(
+                F.array_distinct(
+                    token_array(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+                )
+            ),
         )
     )
     return (

@@ -47,7 +47,7 @@ _WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour tumbling window
            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start_us, event_type
-    ORDER BY window_start_us, event_type
+    ORDER BY window_start_us, event_type NULLS LAST
     """,
 )
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +66,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").cast("decimal(30,6)").cast("double").alias(
             "total_value"
         ),
-    ).orderBy("window_start_us", "event_type")
+    ).transform(ordered, "window_start_us", "event_type")
 
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
@@ -91,7 +91,7 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
     )
     SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
     FROM s GROUP BY user_id, sid
-    ORDER BY user_id, session_start_us
+    ORDER BY user_id NULLS LAST, session_start_us
     """,
 )
 def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +107,7 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
-    ).orderBy("user_id", "session_start_us")
+    ).transform(ordered, "user_id", "session_start_us")
 
 
 @register(
@@ -118,7 +118,7 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     QUALIFY row_number() OVER (
       PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
-    ORDER BY user_id, event_type
+    ORDER BY user_id NULLS LAST, event_type NULLS LAST
     """,
 )
 def q_streaming_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +150,7 @@ def q_streaming_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("m.first_ts_us").alias("first_ts_us"),
             F.col("m.first_event_id").alias("first_event_id"),
         )
-        .orderBy("user_id", "event_type")
+        .transform(ordered, "user_id", "event_type")
     )
 
 
@@ -164,6 +164,7 @@ def q_streaming_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
              hex(encode(text)) AS h,
              CAST(octet_length(encode(text)) AS BIGINT) AS n
       FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), f AS (
       SELECT media_id, media_type, h, n, n // 16 AS l, n % 16 AS r FROM m
     )
@@ -198,6 +199,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer byte sums are exact in float64 on both engines, so the
     divisions are bit-identical)."""
     d = _t(spark, sf_dir, "documents")
+    # only decodable media enter the pipeline: an id-less or
+    # payload-less row has nothing to decode (both sides filter)
+    d = d.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

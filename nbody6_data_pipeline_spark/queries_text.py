@@ -165,7 +165,7 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY fingerprint
-    ORDER BY doc_id
+    ORDER BY doc_id NULLS LAST, fingerprint NULLS LAST
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +178,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.md5(normalized).alias("fingerprint"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
-        .transform(ordered, "doc_id")
+        # fingerprint tiebreak: all-NULL-id groups share doc_id NULL
+        .transform(ordered, "doc_id", "fingerprint")
     )
 
 
@@ -216,7 +217,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
     FROM documents
     GROUP BY ROLLUP (lang, source)
-    ORDER BY g_lang, g_source, lang, source
+    ORDER BY g_lang, g_source, lang NULLS LAST, source NULLS LAST
     """,
 )
 def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,7 +270,7 @@ _SCRUB_RE = "[a-z]{5,}"
            SUM(chars_removed) AS total_chars_removed
     FROM r
     GROUP BY lang
-    ORDER BY lang
+    ORDER BY lang NULLS LAST
     """,
 )
 def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -223,7 +223,7 @@ REPETITION_MAX = 0.2
       CAST(top_count AS DOUBLE) / n_bigrams <= {REPETITION_MAX}
         AS passes_repetition
     FROM top
-    ORDER BY doc_id
+    ORDER BY doc_id NULLS LAST, n_bigrams, top_count
     """,
 )
 def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +260,10 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.alias("repetition_ratio"),
             (ratio <= REPETITION_MAX).alias("passes_repetition"),
         )
-        .transform(ordered, "doc_id")
+        # doc_id alone is no total order on NULL-id docs: every such
+        # doc shares key NULL — the per-doc stats break the tie (rows
+        # agreeing on all three are bitwise-identical rows)
+        .transform(ordered, "doc_id", "n_bigrams", "top_count")
     )
 
 
@@ -648,11 +651,12 @@ STRATUM_N = 10
       SELECT lang, doc_id,
              ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS LAST,
+                        doc_id NULLS LAST) AS rk
       FROM documents
     )
     WHERE rk <= {STRATUM_N}
-    ORDER BY lang, doc_id
+    ORDER BY lang NULLS LAST, doc_id NULLS LAST
     """,
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,8 +671,13 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle).
     """
     d = _t(spark, sf_dir, "documents")
+    # NULLS LAST on the window keys too: a NULL doc_id hashes to a
+    # NULL rank key, and Spark's nulls-first ascending default would
+    # hand it rank 1 while the oracle ranks it last — silently
+    # swapping which rows the stratum keeps (round-5 NULL sweep).
     w = W.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
     )
     return (
         d.select("lang", "doc_id")
@@ -685,8 +694,9 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id, n_chars,
              md5(CAST(doc_id AS VARCHAR)) AS hx,
-             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 16 AS shard
+             COALESCE(
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16, -1) AS shard
       FROM documents
     )
     SELECT shard,
@@ -696,7 +706,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(hx) AS last_hash
     FROM h
     GROUP BY shard
-    ORDER BY shard
+    ORDER BY shard NULLS LAST
     """,
 )
 def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,7 +723,12 @@ def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = F.md5(F.col("doc_id").cast("string"))
     return (
         d.select(
-            md5_bucket(F.col("doc_id"), 16).alias("shard"),
+            # NULL doc_id -> sentinel shard -1 (not a NULL group key):
+            # keeps the final sort cross-engine-deterministic and gives
+            # unsharded rows an auditable bucket in the manifest.
+            F.coalesce(md5_bucket(F.col("doc_id"), 16), F.lit(-1)).alias(
+                "shard"
+            ),
             F.col("n_chars"),
             hx.alias("hx"),
         )

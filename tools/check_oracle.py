@@ -2,9 +2,13 @@
 
 Runs every queries()[name] in Spark and the matching oracle_sql()
 in DuckDB on the same parquet tables, then compares row count, column
-names, and values (order-insensitive: rows sorted by all columns,
-columns sorted by name). Reports exact and approximate (1e-9) match
-status so float-hash risk is visible before the driver runs.
+names, and values TWICE: order-insensitive (rows sorted by all
+columns) AND order-sensitive (rows in returned order, columns sorted
+by name — the driver's hash is order-sensitive, which is how round 4
+shipped three locally-green queries that hash-FAILED at the driver
+when NULL sort keys ordered differently between Spark and DuckDB).
+Either divergence is a FAIL. Reports exact and approximate (1e-9)
+match status so float-hash risk is visible before the driver runs.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -24,6 +28,27 @@ TABLES = (
 ).split()
 
 
+def assert_duckdb_idioms():
+    """Abort loudly if this DuckDB build diverges from the pinned
+    oracle assumptions (README "Oracle environment"): hex-string
+    casts and NULLS LAST defaults. A silent change here would show up
+    as inscrutable value drift across dozens of md5-bucketed queries."""
+    con = duckdb.connect()
+    hex_ok = con.execute("SELECT CAST('0x1f' AS BIGINT)").fetchone()[0] == 31
+    nulls = con.execute(
+        "SELECT list(x) FROM (SELECT x FROM (VALUES (2), (NULL), (1)) "
+        "t(x) ORDER BY x) s"
+    ).fetchone()[0]
+    con.close()
+    if not hex_ok or nulls != [1, 2, None]:
+        raise SystemExit(
+            f"DuckDB {duckdb.__version__} breaks a pinned oracle idiom "
+            f"(hex cast ok={hex_ok}, asc order={nulls}); the oracle "
+            "pairs were developed against DuckDB 1.0.0 — see README "
+            "'Oracle environment & NULL robustness'."
+        )
+
+
 def duck_run(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
@@ -37,11 +62,13 @@ def duck_run(sql: str, sf_dir: str):
     return cols, rows
 
 
-def normalize(rows, colnames):
+def normalize(rows, colnames, keep_order=False):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
         out.append(tuple(row[i] for i in order))
+    if keep_order:
+        return sorted(colnames), out
     return sorted(colnames), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
@@ -78,6 +105,17 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
                             f"VALUE row {i} col {sc[j]}: spark={sv!r} duck={dv!r}"
                         )
     if exact:
+        # multisets agree bit-exactly; now replay the driver's
+        # ORDER-SENSITIVE hash: rows in returned order
+        _, so = normalize(spark_rows, spark_cols, keep_order=True)
+        _, do = normalize(duck_rows, duck_cols, keep_order=True)
+        for i, (sr, dr) in enumerate(zip(so, do)):
+            if any(not values_equal(a, b, 0.0) for a, b in zip(sr, dr)):
+                return [
+                    "ORDER-DRIFT (values match but row order differs — "
+                    f"driver hash would FAIL): first at row {i}: "
+                    f"spark={sr!r} duck={dr!r}"
+                ], False
         return [], True
     if approx:
         problems.insert(0, "INEXACT-BUT-CLOSE (hash would FAIL)")
@@ -94,6 +132,7 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     record: dict[str, dict] = {}
+    assert_duckdb_idioms()
 
     import __spark_entry__ as entrymod
     from nbody6_data_pipeline_spark.session import get_spark
