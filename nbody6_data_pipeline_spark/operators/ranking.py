@@ -8,28 +8,44 @@ shape that cannot survive a 100x scale-up (WindowExec warns "Moving
 all data to a single partition"). The classic distributed recipe used
 here instead:
 
-1. bucket rows by value range — bucket bounds come from one
-   ``percentile_approx`` aggregate (sample-sketch, map-side
-   combinable) attached to every row as a broadcast array column, and
-   the bucket id is a pure function of the row value against that
-   array, so it is DETERMINISTIC across jobs (no reliance on exchange
-   reuse, unlike ``repartitionByRange`` + ``spark_partition_id``);
+1. bucket rows by value range so that rows in bucket i all sort
+   before rows in bucket i+1;
 2. count rows per bucket (one map-side-combinable hash-agg reducing
-   to at most ``n_buckets`` rows), prefix-sum the counts into
-   per-bucket rank offsets with a window over that TINY aggregated
-   table, and broadcast-join the offsets back;
+   to at most ``#non-empty buckets`` rows), prefix-sum the counts
+   into per-bucket rank offsets with a window over that TINY
+   aggregated table, and broadcast-join the offsets back;
 3. window WITHIN each bucket for the local row_number, add the
    offset: ``global_rn = local_rn + offset[bucket]``.
 
-The whole computation is ONE lazy plan — no ``collect`` between
-stages, so materializing the result is a single job (the bounds and
-offset subqueries run as broadcast-exchange subjobs inside it). The
-only single-partition shapes are over aggregated inputs bounded by
-``n_buckets`` rows regardless of table size (the shape
-``tools/explain_audit.py`` explicitly permits). Ties on the first
-sort column all land in the same bucket (the bucket id depends only
-on that column), so later tie-break columns order them correctly
-inside one window partition.
+For a NUMERIC first sort column the bucket id is a FIXED monotone
+map of the value itself (sign + binary exponent + top mantissa bits,
+all plain arithmetic — see ``fixed_numeric_key``), so step 1 needs NO
+data-dependent preparation at all: the whole computation is ONE lazy
+plan whose materialization runs exactly TWO sequential jobs — the
+broadcast-offsets subjob (scan 1: hash-agg to a tiny table) and the
+main job (scan 2: broadcast join + per-bucket window). Round 4's
+shape paid a third job for a ``percentile_approx`` bounds sketch
+before it could bucket anything; the fixed key deletes that job AND
+its full-table scan (VERDICT r4 ask #6).
+
+Non-numeric first columns keep the sketch path: bucket bounds from
+one ``percentile_approx`` aggregate attached as a broadcast array,
+bucket id = fold over the array. Same exactness, one more job.
+
+The only single-partition shapes in either path are over aggregated
+inputs bounded by the bucket count regardless of table size (the
+shape ``tools/explain_audit.py`` explicitly permits; the fixed key
+yields at most ``_OCT`` buckets per binary octave of the data's
+range — a few hundred for any realistic business domain, ~67k for a
+column spanning the entire double range). Ties on the first sort
+column always land in the same bucket (the bucket id depends only on
+that column), so later tie-break columns order them correctly inside
+one window partition.
+
+NULL ordering is ``asc_nulls_last`` throughout — the ANSI/DuckDB
+default — so ranks agree with an ``ORDER BY`` oracle on NULL-bearing
+keys (round-5 NULL sweep); NaN sorts after every finite value and
+before NULL on both engines.
 """
 
 from __future__ import annotations
@@ -39,8 +55,87 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["with_global_row_number", "with_exact_ntile", "ntile_from_rn"]
+__all__ = [
+    "with_global_row_number",
+    "with_exact_ntile",
+    "ntile_from_rn",
+    "fixed_numeric_key",
+]
+
+_MBITS = 5          # mantissa bits kept per bucket id
+_OCT = 1 << _MBITS  # bucket ids per binary octave (32)
+_HALF = _OCT >> 1
+_EOFF = 1100        # exponent offset: e >= -1074 -> e + _EOFF > 0
+_INF_KEY = (_EOFF + 1026) * _OCT   # > any finite key ((1024+_EOFF)*32+33)
+_NAN_KEY = (_EOFF + 1027) * _OCT   # NaN sorts after +inf (Spark & DuckDB)
+_NULL_KEY = (_EOFF + 1028) * _OCT  # NULLS LAST
+
+
+def fixed_numeric_key(col: Column) -> Column:
+    """A FIXED monotone (non-decreasing) map numeric -> long, used as
+    a range-bucket id: ``x <= y  =>  key(x) <= key(y)``, equal values
+    always share a key, and no data-dependent bounds are needed.
+
+    Construction (positive x): binary exponent ``e = floor(log2(x))``
+    and the top ``_MBITS`` mantissa bits ``m = floor(x * 2^(B-1-e))``
+    combine into ``(e + _EOFF) * _OCT + m``. ``log2`` is only
+    semi-monotonic at octave boundaries, but an off-by-one ``e``
+    makes ``m`` under/overflow its ``[_HALF, _OCT)`` octave band by
+    exactly the compensating amount, so the combined key stays
+    monotone (the multiply by a power of two is exact in IEEE754).
+    Negative values mirror through ``-key(-x)``; 0 (and -0.0) map to
+    0; +-inf clamp beyond all finite keys; NaN and NULL sort last in
+    that order, matching both engines' ORDER BY.
+    """
+    x = col.cast("double")
+    ax = F.abs(x)
+    e = F.floor(F.log2(ax))
+    scale = F.lit(float(_MBITS - 1)) - e
+    m = F.when(scale > 1023, F.lit(_HALF)).otherwise(
+        F.floor(ax * F.pow(F.lit(2.0), scale))
+    )
+    kpos = F.when(ax == F.lit(float("inf")), F.lit(_INF_KEY)).otherwise(
+        (e.cast("long") + F.lit(_EOFF)) * _OCT + m.cast("long")
+    )
+    return (
+        F.when(x.isNull(), F.lit(_NULL_KEY))
+        .when(F.isnan(x), F.lit(_NAN_KEY))
+        .when(x == 0, F.lit(0).cast("long"))
+        .when(x > 0, kpos)
+        .otherwise(-kpos)
+    )
+
+
+def _tag_bucket(df: DataFrame, first: str, n_buckets: int) -> DataFrame:
+    """Append the range-bucket id ``_bkt``: the fixed arithmetic key
+    for numeric first columns (no preparation job), else sketch-based
+    bounds (one extra ``percentile_approx`` job)."""
+    if isinstance(df.schema[first].dataType, T.NumericType):
+        return df.withColumn("_bkt", fixed_numeric_key(F.col(first)))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.percentile_approx(first, probs, 10_000).alias("_bnds"))
+    # Bucket id = number of bounds strictly below the value: a HOF
+    # fold over the broadcast bounds array, fully inside codegen.
+    # NULL values coalesce PAST the last bucket (NULLS LAST); an
+    # all-NULL/empty input (NULL sketch) has no non-null rows to tag.
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bkt",
+            F.coalesce(
+                F.aggregate(
+                    "_bnds",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col(first) > b, 1).otherwise(0),
+                ),
+                F.lit(n_buckets),
+            ).cast("long"),
+        )
+        .drop("_bnds")
+    )
 
 
 def with_global_row_number(
@@ -52,38 +147,18 @@ def with_global_row_number(
 ) -> DataFrame:
     """Append an exact global ``ROW_NUMBER() OVER (ORDER BY
     order_cols)`` column without a global sort and without any driver
-    action — the result is a single lazy plan.
+    action — the result is a single lazy plan (two jobs on
+    materialization for a numeric first column, see module doc).
 
     If ``total_col`` is given, the (constant) total row count is also
     appended as a column, available to downstream closed-form
     computations (NTILE) without a separate ``count()`` job.
 
     ``order_cols`` must be a total order (include a unique tie-break
-    key last) for the row numbering to be deterministic.
+    key last) for the row numbering to be deterministic. NULL keys
+    rank last (ANSI / DuckDB ``ORDER BY`` parity).
     """
-    first = order_cols[0]
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.agg(F.percentile_approx(first, probs, 10_000).alias("_bnds"))
-    # Bucket id = number of bounds strictly below the value: a HOF fold
-    # over the broadcast bounds array, fully inside codegen. NULL
-    # values (and an all-NULL/empty input, where the sketch is NULL)
-    # coalesce to bucket 0, matching NULLS FIRST ordering.
-    tagged = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "_bkt",
-            F.coalesce(
-                F.aggregate(
-                    "_bnds",
-                    F.lit(0),
-                    lambda acc, b: acc
-                    + F.when(F.col(first) > b, 1).otherwise(0),
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_bnds")
-    )
+    tagged = _tag_bucket(df, order_cols[0], n_buckets)
     counts = tagged.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     w_tot = W.orderBy("_bkt").rowsBetween(
@@ -94,7 +169,9 @@ def with_global_row_number(
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_cnt").over(w_tot).alias("_total"),
     )
-    w = W.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
+    w = W.partitionBy("_bkt").orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     out = tagged.join(F.broadcast(offsets), "_bkt").withColumn(
         rn_col, (F.row_number().over(w) + F.col("_off")).cast("int")
     )
@@ -129,7 +206,8 @@ def with_exact_ntile(
     """Exact ``NTILE(n_tiles) OVER (ORDER BY order_cols)`` computed
     distributed and fully lazy: global row number via range buckets +
     broadcast offsets, then the closed-form NTILE group assignment —
-    one job on materialization, no driver-side staging actions."""
+    no driver-side staging actions, two jobs total on a numeric
+    first column."""
     ranked = with_global_row_number(
         df, order_cols, rn_col="_grn", n_buckets=n_buckets, total_col="_tot"
     )

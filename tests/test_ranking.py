@@ -51,6 +51,98 @@ def test_global_row_number_matches_window(spark):
     assert got == want
 
 
+def test_fixed_numeric_key_is_monotone(spark):
+    """The fixed bucket key must be non-decreasing across the nastiest
+    double landscape: signed zeros, subnormals, exact powers of two
+    and their ulp-neighbours (where log2's semi-monotonicity bites),
+    huge magnitudes, infinities; NaN after +inf, NULL after NaN."""
+    import math
+
+    from nbody6_data_pipeline_spark.operators.ranking import fixed_numeric_key
+
+    finite = sorted(
+        {
+            0.0,
+            -0.0,
+            5e-324,
+            -5e-324,
+            1e-320,
+            2.2250738585072014e-308,
+            -1e-308,
+            0.1,
+            -0.1,
+            1.0,
+            math.nextafter(1.0, 0.0),
+            math.nextafter(1.0, 2.0),
+            8.0,
+            math.nextafter(8.0, 0.0),
+            math.nextafter(8.0, 9.0),
+            -8.0,
+            123.456,
+            -999.99,
+            9999.99,
+            1e15,
+            -1e15,
+            1.7976931348623157e308,
+            -1.7976931348623157e308,
+        }
+    )
+    vals = finite + [float("inf"), float("-inf"), float("nan"), None]
+    rows = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    ).select("i", fixed_numeric_key(F.col("x")).alias("k")).collect()
+    keys = {r["i"]: r["k"] for r in rows}
+    ordered_finite = [keys[i] for i in range(len(finite))]
+    assert ordered_finite == sorted(ordered_finite)
+    inf_k, ninf_k = keys[len(finite)], keys[len(finite) + 1]
+    nan_k, null_k = keys[len(finite) + 2], keys[len(finite) + 3]
+    assert ninf_k < ordered_finite[1] if finite[0] == float("-inf") else True
+    assert ninf_k <= min(ordered_finite)
+    assert inf_k >= max(ordered_finite)
+    assert inf_k < nan_k < null_k
+    # equal values share a key (ties must land in one bucket)
+    dup = spark.createDataFrame(
+        [(123.456,), (123.456,)], "x double"
+    ).select(fixed_numeric_key(F.col("x")).alias("k")).collect()
+    assert dup[0]["k"] == dup[1]["k"]
+
+
+def test_exact_ntile_with_null_keys_matches_nulls_last_window(spark):
+    """NULL first-column values rank last (ANSI / DuckDB parity), and
+    the distributed result still matches the window formulation."""
+    data = [(float(i % 5) if i % 7 else None, i) for i in range(40)]
+    df = spark.createDataFrame(data, "v double, k long")
+    got = {
+        r["k"]: r["bin"] for r in with_exact_ntile(df, ["v", "k"], 4).collect()
+    }
+    want = {
+        r["k"]: r["bin"]
+        for r in df.select(
+            "k",
+            F.ntile(4)
+            .over(W.orderBy(F.col("v").asc_nulls_last(), "k"))
+            .alias("bin"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_numeric_ntile_plan_has_no_sketch_job(spark):
+    """Numeric first column -> fixed arithmetic bucket key: the plan
+    must not contain the percentile_approx bounds subquery (that was
+    a third sequential job and a second full scan of the input)."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("v"), F.col("id").alias("k")
+    )
+    plan = (
+        with_exact_ntile(df, ["v", "k"], 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile_approx" not in plan
+
+
 def test_no_single_partition_window_in_plan(spark):
     """The canonical plan gate: any single-partition shape in the
     exact-ntile plan must sit above an aggregation (≤ n_buckets rows),
