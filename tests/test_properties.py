@@ -212,3 +212,32 @@ def test_wav_resample_identity_and_bounds(frames, rate):
     assert res.shape[0] == max(1, (arr.shape[0] * new_rate) // rate)
     in_vals = {tuple(f) for f in arr.tolist()}
     assert all(tuple(f) in in_vals for f in res.tolist())
+
+
+any_double = st.floats(allow_nan=False, allow_infinity=True, width=64)
+
+
+@settings(max_examples=8, deadline=None)
+@given(xs=st.lists(any_double, min_size=2, max_size=64))
+def test_fixed_numeric_key_monotone_on_random_doubles(spark, xs):
+    """fixed_numeric_key (operators/ranking.py) must be non-decreasing
+    over ANY doubles — hypothesis sweeps the full float64 range
+    including subnormals and infinities; the curated boundary cases
+    live in test_ranking.py. One batched Spark job per example."""
+    from nbody6_data_pipeline_spark.operators.ranking import fixed_numeric_key
+
+    xs = sorted(xs)
+    rows = (
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], "i int, x double"
+        )
+        .select("i", fixed_numeric_key(F.col("x")).alias("k"))
+        .collect()
+    )
+    keys = [k for _, k in sorted((r["i"], r["k"]) for r in rows)]
+    assert keys == sorted(keys), list(zip(xs, keys))
+    # equal inputs always share a key (ties must share a bucket)
+    by_val: dict[float, set] = {}
+    for v, k in zip(xs, keys):
+        by_val.setdefault(v, set()).add(k)
+    assert all(len(s) == 1 for s in by_val.values())
