@@ -69,3 +69,98 @@ def language_scores(df: DataFrame, text: Column) -> DataFrame:
 def fingerprint(text: Column) -> Column:
     """md5 fingerprint over whitespace-normalized lowercase text."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary learning (merge-pair training)
+# ---------------------------------------------------------------------------
+
+def _wrapped_word(word: Column) -> Column:
+    """Encode a word as its per-character symbol string ``(c)(a)(t)``.
+    Each symbol carries its OWN delimiters, so a plain non-regex
+    ``replace(v, '(a)(b)', '(ab)')`` implements exactly the greedy
+    leftmost non-overlapping BPE merge: adjacent occurrences keep
+    their parens (no shared-separator consumption bug), and a symbol
+    can never false-match inside a longer one (symbols are [a-z]+,
+    parens never occur inside). ``replace`` has identical
+    leftmost/continue-after-replacement semantics in Spark and
+    DuckDB, which is what makes the merge loop SQL-replayable."""
+    return F.regexp_replace(word, "(.)", "($1)")
+
+
+def _symbols(v: str) -> str:
+    """SQL fragment: symbol array of a wrapped-word expression."""
+    return f"split(substring({v}, 2, length({v}) - 2), '\\\\)\\\\(')"
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text: Column,
+    k: int = 6,
+) -> DataFrame:
+    """Learn the first ``k`` BPE merge rules over a corpus — the
+    TRAINING side of byte-pair encoding (the reference-adjacent
+    tokenizer ops only APPLY a fixed tokenization; a training-data
+    pipeline also has to fit the vocabulary).
+
+    Scale shape: the only corpus-sized pass is the word-frequency
+    aggregation (map-side-combinable hash-agg onto the distinct
+    ASCII-lowercase words — bounded by the language's vocabulary, not
+    the corpus). That table is localCheckpointed once; each of the k
+    rounds then runs one tiny job on it (re-applying the r-1 learned
+    replaces lazily, counting weighted adjacent pairs, collecting the
+    single argmax row — a |1|-sized driver action, same bounded-
+    collect contract as the k-means codebook training). At 100 TB the
+    vocab table is millions of rows; a round's pair-agg over it is
+    seconds of cluster work.
+
+    Deterministic: integer pair counts; argmax ties broken by
+    (lhs, rhs) ascending — bit-replayable by the DuckDB oracle's CTE
+    chain (queries_text.q_doc_bpe_learn).
+
+    Returns DataFrame[merge_rank int, lhs, rhs, merged string,
+    pair_count bigint], at most k rows (fewer if the corpus runs out
+    of repeated pairs).
+    """
+    spark = df.sparkSession
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(_wrapped_word(F.col("w")).alias("v"), "f")
+        .localCheckpoint()
+    )
+    v_expr = "v"
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, k + 1):
+        syms = _symbols(v_expr)
+        pair_rows = (
+            vocab.select(
+                "f",
+                F.explode(
+                    F.expr(
+                        f"zip_with(slice({syms}, 1, size({syms}) - 1), "
+                        f"slice({syms}, 2, size({syms}) - 1), "
+                        "(a, b) -> struct(a AS lhs, b AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        lhs, rhs, cnt = pair_rows[0]["lhs"], pair_rows[0]["rhs"], pair_rows[0]["cnt"]
+        merges.append((r, lhs, rhs, lhs + rhs, int(cnt)))
+        v_expr = f"replace({v_expr}, '({lhs})({rhs})', '({lhs}{rhs})')"
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )

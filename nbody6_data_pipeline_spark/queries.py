@@ -73,6 +73,8 @@ def registry() -> dict[str, QuerySpec]:
 #     and needing driver re-confirmation;
 #  3. everything else in round-4 order (all driver-green already).
 _DRIVER_PRIORITY = [
+    # -- new in round 5 --
+    "doc_bpe_learn",
     # -- never driver-sampled (rounds 1-4) --
     "doc_stratified_sample",
     "doc_topk_per_source",

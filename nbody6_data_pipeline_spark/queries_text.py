@@ -335,3 +335,69 @@ def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rank", "doc_id", "n_chars")
         .transform(ordered, "source", "rank")
     )
+
+
+# ---- BPE vocabulary learning (merge-pair training) ----
+
+BPE_K = 6
+
+
+def _bpe_oracle(k: int) -> str:
+    """CTE chain replaying the k greedy merge rounds bit-for-bit:
+    w0 = wrapped-word frequencies, then per round r: weighted
+    adjacent-pair counts (p{r}) -> deterministic argmax (b{r}) ->
+    plain-replace merge applied to every word (w{r}). The
+    ``(a)(b)`` symbol encoding makes DuckDB's replace() and Spark's
+    replace() perform the identical leftmost non-overlapping merge
+    (operators/text.py _wrapped_word)."""
+    parts = [r"""
+    w0 AS (
+      SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS v, COUNT(*) AS f
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents) t
+      GROUP BY w
+    )"""]
+    for r in range(1, k + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,
+             SUM(f) AS cnt
+      FROM (
+        SELECT f, unnest(list_transform(range(1, len(s)),
+                                        i -> s[i] || ' ' || s[i + 1])) AS pr
+        FROM (SELECT string_split(substring(v, 2, length(v) - 2), ')(') AS s,
+                     f
+              FROM w{r - 1}) q
+      ) z GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs
+             LIMIT 1),
+    w{r} AS (
+      SELECT replace(v, '(' || lhs || ')(' || rhs || ')',
+                     '(' || lhs || rhs || ')') AS v, f
+      FROM w{r - 1}, b{r}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+@register("doc_bpe_learn", _bpe_oracle(BPE_K))
+def q_doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING over the corpus: the first BPE_K merge
+    rules by weighted pair frequency (ties broken lexicographically).
+    One corpus-sized pass (word-frequency hash-agg, bounded by the
+    language's vocabulary), then k tiny argmax rounds on the
+    checkpointed vocab table — operators/text.bpe_learn_merges."""
+    from nbody6_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return ordered(
+        bpe_learn_merges(d, F.col("text"), k=BPE_K), "merge_rank"
+    )
