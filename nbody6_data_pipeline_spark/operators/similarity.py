@@ -1364,3 +1364,51 @@ def exact_ivfpq_ann(
         .filter(F.col("rank") <= topk)
         .select("query_id", "cand_id", "approx_d2", "rank")
     )
+
+
+def semantic_dedup_cells(cells: DataFrame, theta: float) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023
+    layout): pairwise cosine is computed only WITHIN each k-means
+    cell of ``cells`` (the exact_kmeans_cells output: vec_id, v, nrm,
+    cell) — never across the corpus. A vector is a semantic duplicate
+    if some lower-id vector in its cell has cosine >= theta;
+    ``dup_of`` is the smallest such id (deterministic), ``cos_sim``
+    that pair's similarity.
+
+    Scale shape: the only join is the within-cell self-join — with
+    ~sqrt(N) cells of ~sqrt(N) vectors the pair count stays ~N^1.5
+    worst-case and the join is hash-partitioned by cell; nothing is
+    all-pairs. The min-struct aggregation is map-side combinable.
+
+    Returns DataFrame[vec_id, cell, dup_of, cos_sim], one row per
+    dropped duplicate."""
+    slim = cells.select("vec_id", "v", "nrm", "cell")
+    lo = slim.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+        "cell",
+    )
+    hi = slim.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        "cell",
+    )
+    cs = cosine_prenormed(
+        F.col("av"), F.col("bv"), F.col("anrm"), F.col("bnrm")
+    )
+    return (
+        lo.join(hi, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("cell", "b_id", "a_id", cs.alias("cs"))
+        .filter(F.col("cs") >= theta)
+        .groupBy("b_id", "cell")
+        .agg(F.min(F.struct("a_id", "cs")).alias("m"))
+        .select(
+            F.col("b_id").alias("vec_id"),
+            "cell",
+            F.col("m.a_id").alias("dup_of"),
+            F.col("m.cs").alias("cos_sim"),
+        )
+    )

@@ -1442,3 +1442,118 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HN_TOP)
         .transform(ordered, F.col("cos_sim").desc(), "vec_a", "vec_b")
     )
+
+
+# ---- semantic dedup (SemDeDup layout over the exact k-means cells) ----
+
+SEMDEDUP_THETA = 0.30
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replay of the exact-parity k-means assignment (same CTE
+    recipe as _km_oracle_sql through `af`) followed by the within-cell
+    lower-id cosine-duplicate rule. Folds run index-ascending on both
+    engines; the dot numerator multiplies (lower, higher) in that
+    order and the denominator (lower_nrm * higher_nrm), matching
+    operators/similarity.semantic_dedup_cells bit-for-bit."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_QUANT,
+    )
+
+    dim = 64
+
+    def d2(vq: str, cv: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), j -> "
+            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j]) * "
+            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j])), (acc, x) -> acc + x)"
+        )
+
+    sums = ", ".join(f"SUM(vq[{j + 1}]) AS s{j}" for j in range(dim))
+    means = ", ".join(f"CAST(s{j} AS DOUBLE) / cnt" for j in range(dim))
+
+    def iteration(i: int) -> str:
+        prev = f"c{i - 1}"
+        return f"""
+    a{i} AS (
+      SELECT vec_id, vq, c_id AS cell FROM (
+        SELECT e.vec_id, e.vq, c.c_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+        FROM e, {prev} c)
+      WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cell AS c_id, COUNT(*) AS cnt, {sums}
+      FROM a{i} GROUP BY cell
+    ),
+    c{i} AS (
+      SELECT p.c_id, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN
+        (SELECT c_id, [{means}] AS cv FROM m{i}) u USING (c_id)
+    )"""
+
+    nrm = (
+        lambda v: f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
+    )
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> (lo.v)[i] * (hi.v)[i]), (acc, x) -> acc + x)"
+    )
+    iters = ",".join(iteration(i) for i in range(1, KM_ITERS + 1))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * {KM_QUANT}.0 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS c_id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS cv
+      FROM e WHERE vec_id < {KM_K}
+    ),{iters},
+    af AS (
+      SELECT x.vec_id, e.v, {nrm('(e.v)')} AS nrm, x.cell FROM (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT e.vec_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+          FROM e, c{KM_ITERS} c)
+        WHERE rn = 1) x JOIN e USING (vec_id)
+    ),
+    pairs AS (
+      SELECT hi.vec_id AS b_id, hi.cell, lo.vec_id AS a_id,
+        {dot} / (lo.nrm * hi.nrm) AS cs
+      FROM af hi JOIN af lo
+        ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+    )
+    SELECT vec_id, cell, dup_of, cos_sim FROM (
+      SELECT b_id AS vec_id, cell, a_id AS dup_of, cs AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+      FROM pairs WHERE cs >= {SEMDEDUP_THETA}) t
+    WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@register("embedding_semantic_dedup", _semdedup_oracle_sql())
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the exact k-means cells: a vector is dropped when
+    a lower-id vector in the SAME cell has cosine >= theta; dup_of is
+    the smallest such id. Pairwise work never leaves a cell, so the
+    candidate count is bounded by the cell-size distribution, not
+    |corpus|^2 (on real embeddings theta would be ~0.95; synthetic
+    vectors are near-orthogonal, so 0.30 exercises the path)."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        exact_kmeans_cells,
+        semantic_dedup_cells,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, cells = exact_kmeans_cells(e)
+    return semantic_dedup_cells(cells, SEMDEDUP_THETA).transform(
+        ordered, "vec_id"
+    )
