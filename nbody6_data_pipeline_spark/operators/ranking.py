@@ -73,6 +73,34 @@ _NAN_KEY = (_EOFF + 1027) * _OCT   # NaN sorts after +inf (Spark & DuckDB)
 _NULL_KEY = (_EOFF + 1028) * _OCT  # NULLS LAST
 
 
+def _fixed_key_sql(col_sql: str) -> str:
+    """SQL text of the fixed monotone key (see ``fixed_numeric_key``).
+    One string, built once: constructing this as a chained Column
+    expression cost ~1s of per-query Py4J/analysis overhead (measured
+    — dozens of JVM round trips over a large tree); one parse of one
+    string is ~free. The sign is folded in with ``sign(x)`` instead of
+    duplicating the positive branch, halving the tree."""
+    x = f"CAST({col_sql} AS DOUBLE)"
+    e = f"FLOOR(LOG2(ABS({x})))"
+    m = (
+        f"CASE WHEN {float(_MBITS - 1)}D - {e} > 1023D"
+        f" THEN CAST({_HALF} AS BIGINT)"
+        f" ELSE CAST(FLOOR(ABS({x}) * POWER(2.0D,"
+        f" {float(_MBITS - 1)}D - {e})) AS BIGINT) END"
+    )
+    kpos = (
+        f"CASE WHEN ABS({x}) = CAST('Infinity' AS DOUBLE)"
+        f" THEN CAST({_INF_KEY} AS BIGINT)"
+        f" ELSE (CAST({e} AS BIGINT) + {_EOFF}) * {_OCT} + {m} END"
+    )
+    return (
+        f"CASE WHEN {x} IS NULL THEN CAST({_NULL_KEY} AS BIGINT)"
+        f" WHEN isnan({x}) THEN CAST({_NAN_KEY} AS BIGINT)"
+        f" WHEN {x} = 0D THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(SIGN({x}) AS BIGINT) * ({kpos}) END"
+    )
+
+
 def fixed_numeric_key(col: Column) -> Column:
     """A FIXED monotone (non-decreasing) map numeric -> long, used as
     a range-bucket id: ``x <= y  =>  key(x) <= key(y)``, equal values
@@ -85,27 +113,11 @@ def fixed_numeric_key(col: Column) -> Column:
     makes ``m`` under/overflow its ``[_HALF, _OCT)`` octave band by
     exactly the compensating amount, so the combined key stays
     monotone (the multiply by a power of two is exact in IEEE754).
-    Negative values mirror through ``-key(-x)``; 0 (and -0.0) map to
-    0; +-inf clamp beyond all finite keys; NaN and NULL sort last in
-    that order, matching both engines' ORDER BY.
+    Negative values mirror through ``-key(-x)`` (``sign(x)``); 0 (and
+    -0.0) map to 0; +-inf clamp beyond all finite keys; NaN and NULL
+    sort last in that order, matching both engines' ORDER BY.
     """
-    x = col.cast("double")
-    ax = F.abs(x)
-    e = F.floor(F.log2(ax))
-    scale = F.lit(float(_MBITS - 1)) - e
-    m = F.when(scale > 1023, F.lit(_HALF)).otherwise(
-        F.floor(ax * F.pow(F.lit(2.0), scale))
-    )
-    kpos = F.when(ax == F.lit(float("inf")), F.lit(_INF_KEY)).otherwise(
-        (e.cast("long") + F.lit(_EOFF)) * _OCT + m.cast("long")
-    )
-    return (
-        F.when(x.isNull(), F.lit(_NULL_KEY))
-        .when(F.isnan(x), F.lit(_NAN_KEY))
-        .when(x == 0, F.lit(0).cast("long"))
-        .when(x > 0, kpos)
-        .otherwise(-kpos)
-    )
+    return F.expr(_fixed_key_sql(col._jc.toString()))
 
 
 def _tag_bucket(df: DataFrame, first: str, n_buckets: int) -> DataFrame:
@@ -113,7 +125,9 @@ def _tag_bucket(df: DataFrame, first: str, n_buckets: int) -> DataFrame:
     for numeric first columns (no preparation job), else sketch-based
     bounds (one extra ``percentile_approx`` job)."""
     if isinstance(df.schema[first].dataType, T.NumericType):
-        return df.withColumn("_bkt", fixed_numeric_key(F.col(first)))
+        return df.selectExpr(
+            "*", f"{_fixed_key_sql(f'`{first}`')} AS _bkt"
+        )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(F.percentile_approx(first, probs, 10_000).alias("_bnds"))
     # Bucket id = number of bounds strictly below the value: a HOF
@@ -159,25 +173,34 @@ def with_global_row_number(
     rank last (ANSI / DuckDB ``ORDER BY`` parity).
     """
     tagged = _tag_bucket(df, order_cols[0], n_buckets)
-    counts = tagged.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-    w_tot = W.orderBy("_bkt").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    # coalesce(1) between the bucket-count aggregate and its prefix-sum
+    # window: the window needs a single partition anyway (input bounded
+    # by the bucket count), and the coalesce lets AQE fuse the final
+    # aggregate + window + broadcast into ONE stage round instead of
+    # paying an extra single-partition exchange barrier.
+    offsets = (
+        tagged.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .coalesce(1)
+        .selectExpr(
+            "_bkt",
+            "coalesce(sum(_cnt) OVER (ORDER BY _bkt ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _off",
+            "sum(_cnt) OVER (ORDER BY _bkt ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND UNBOUNDED FOLLOWING) AS _total",
+        )
     )
-    offsets = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(w_tot).alias("_total"),
-    )
-    w = W.partitionBy("_bkt").orderBy(
-        *[F.col(c).asc_nulls_last() for c in order_cols]
-    )
-    out = tagged.join(F.broadcast(offsets), "_bkt").withColumn(
-        rn_col, (F.row_number().over(w) + F.col("_off")).cast("int")
+    order_sql = ", ".join(f"`{c}` ASC NULLS LAST" for c in order_cols)
+    keep = [f"`{c}`" for c in df.columns]
+    out = tagged.join(F.broadcast(offsets), "_bkt").selectExpr(
+        *keep,
+        f"CAST(row_number() OVER (PARTITION BY _bkt ORDER BY {order_sql})"
+        f" + _off AS INT) AS {rn_col}",
+        "_total",
     )
     if total_col is not None:
-        return out.withColumnRenamed("_total", total_col).drop("_bkt", "_off")
-    return out.drop("_bkt", "_off", "_total")
+        return out.withColumnRenamed("_total", total_col)
+    return out.drop("_total")
 
 
 def ntile_from_rn(rn: Column, total: Column, n_tiles: int) -> Column:

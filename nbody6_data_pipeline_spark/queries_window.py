@@ -158,7 +158,11 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_acctbal").alias("bal_min"),
             F.max("c_acctbal").alias("bal_max"),
         )
-        .transform(ordered, "bin")
+        # coalesce, not repartition: the agg's exchange is already a
+        # stage boundary, so AQE folds the 4-row final sort into the
+        # reduce side instead of paying one more exchange round
+        .coalesce(1)
+        .sortWithinPartitions(F.col("bin").asc_nulls_last())
     )
 
 
