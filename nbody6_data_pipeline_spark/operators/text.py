@@ -122,7 +122,18 @@ def bpe_learn_merges(
     pair_count bigint], at most k rows (fewer if the corpus runs out
     of repeated pairs).
     """
-    spark = df.sparkSession
+    merges, _, _ = _bpe_train(df, text, k)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(df: DataFrame, text: Column, k: int):
+    """Shared BPE training loop: returns ``(merges, vocab, v_expr)``
+    where merges is the [(rank, lhs, rhs, merged, count)] list, vocab
+    the checkpointed (v, f) word-frequency table, and v_expr the SQL
+    expression applying every learned merge to ``v``."""
     words = df.select(
         F.explode(
             F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), F.lit(0))
@@ -160,7 +171,25 @@ def bpe_learn_merges(
         lhs, rhs, cnt = pair_rows[0]["lhs"], pair_rows[0]["rhs"], pair_rows[0]["cnt"]
         merges.append((r, lhs, rhs, lhs + rhs, int(cnt)))
         v_expr = f"replace({v_expr}, '({lhs})({rhs})', '({lhs}{rhs})')"
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    return merges, vocab, v_expr
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    text: Column,
+    k: int = 6,
+) -> DataFrame:
+    """APPLY side of BPE: train the first ``k`` merges (same loop as
+    ``bpe_learn_merges``), apply them to every word and return the
+    resulting subword vocabulary with weighted corpus frequencies —
+    DataFrame[token string, n_tokens bigint]. One extra
+    vocabulary-bounded aggregation on top of training; the merged
+    symbol explode is bounded by total characters, not corpus rows.
+    """
+    _, vocab, v_expr = _bpe_train(df, text, k)
+    return (
+        vocab.selectExpr(f"{_symbols(v_expr)} AS syms", "f")
+        .select(F.explode("syms").alias("token"), "f")
+        .groupBy("token")
+        .agg(F.sum("f").cast("bigint").alias("n_tokens"))
     )

