@@ -48,6 +48,9 @@ HEAVY = [
     "doc_heavy_hitters",
     "doc_boilerplate_shingles",
     "doc_tokenset_dedup",
+    "doc_bpe_learn",
+    "doc_bpe_encode",
+    "embedding_semantic_dedup",
 ]
 
 
