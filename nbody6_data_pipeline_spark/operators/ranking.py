@@ -101,7 +101,7 @@ def _fixed_key_sql(col_sql: str) -> str:
     )
 
 
-def fixed_numeric_key(col: Column) -> Column:
+def fixed_numeric_key(col: Column | str) -> Column:
     """A FIXED monotone (non-decreasing) map numeric -> long, used as
     a range-bucket id: ``x <= y  =>  key(x) <= key(y)``, equal values
     always share a key, and no data-dependent bounds are needed.
@@ -116,8 +116,20 @@ def fixed_numeric_key(col: Column) -> Column:
     Negative values mirror through ``-key(-x)`` (``sign(x)``); 0 (and
     -0.0) map to 0; +-inf clamp beyond all finite keys; NaN and NULL
     sort last in that order, matching both engines' ORDER BY.
+
+    Accepts a column NAME (preferred — backtick-quoted verbatim) or a
+    simple named Column; complex/aliased Column objects are rejected
+    rather than round-tripped through private JVM stringification.
     """
-    return F.expr(_fixed_key_sql(col._jc.toString()))
+    if isinstance(col, str):
+        return F.expr(_fixed_key_sql(f"`{col}`"))
+    sql = col._jc.toString()
+    if not sql.replace("_", "").isalnum():
+        raise ValueError(
+            "fixed_numeric_key needs a column name or a simple named "
+            f"Column, got expression {sql!r} — pass the name instead"
+        )
+    return F.expr(_fixed_key_sql(f"`{sql}`"))
 
 
 def _tag_bucket(df: DataFrame, first: str, n_buckets: int) -> DataFrame:
@@ -131,22 +143,29 @@ def _tag_bucket(df: DataFrame, first: str, n_buckets: int) -> DataFrame:
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(F.percentile_approx(first, probs, 10_000).alias("_bnds"))
     # Bucket id = number of bounds strictly below the value: a HOF
-    # fold over the broadcast bounds array, fully inside codegen.
-    # NULL values coalesce PAST the last bucket (NULLS LAST); an
-    # all-NULL/empty input (NULL sketch) has no non-null rows to tag.
+    # fold over the broadcast bounds array, fully inside codegen. A
+    # NULL key is tested EXPLICITLY and sent past the last bucket
+    # (NULLS LAST, matching the per-bucket window order) — the fold
+    # itself would yield 0 for NULL (`NULL > b` is false-ish in the
+    # otherwise branch), silently ranking NULLs inside bucket 0; the
+    # coalesce only covers an all-NULL/empty input's NULL sketch.
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
             "_bkt",
-            F.coalesce(
-                F.aggregate(
-                    "_bnds",
-                    F.lit(0),
-                    lambda acc, b: acc
-                    + F.when(F.col(first) > b, 1).otherwise(0),
-                ),
-                F.lit(n_buckets),
-            ).cast("long"),
+            F.when(F.col(first).isNull(), F.lit(n_buckets))
+            .otherwise(
+                F.coalesce(
+                    F.aggregate(
+                        "_bnds",
+                        F.lit(0),
+                        lambda acc, b: acc
+                        + F.when(F.col(first) > b, 1).otherwise(0),
+                    ),
+                    F.lit(n_buckets),
+                )
+            )
+            .cast("long"),
         )
         .drop("_bnds")
     )

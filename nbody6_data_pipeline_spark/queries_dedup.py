@@ -600,28 +600,45 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_oracle_sql() -> str:
-    """Generated DuckDB oracle for the exact-parity k-means IVF: the
-    same quantize -> KM_ITERS x (assign, exact-integer-mean update) ->
-    final assign -> nprobe probe -> cosine top-3 pipeline, with
-    identical fold order and tie-breaks (see
-    operators/similarity.py exact_kmeans_cells)."""
+_KM_DIM = 64
+
+
+def _km_d2(vq: str, cv: str) -> str:
+    """Full-dim squared L2 between a quantized row and a centroid —
+    the DuckDB fold twin of the Spark assignment argmin distance."""
+    d = _KM_DIM
+    return (
+        f"list_reduce(list_transform(range(1, {d + 1}), j -> "
+        f"(CAST({vq}[j] AS DOUBLE) - {cv}[j]) * "
+        f"(CAST({vq}[j] AS DOUBLE) - {cv}[j])), (acc, x) -> acc + x)"
+    )
+
+
+def _km_nrm(v: str) -> str:
+    """L2 norm fold, index-ascending — bit-matches operators/
+    similarity.norm."""
+    d = _KM_DIM
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
+    )
+
+
+def _km_af_prefix() -> str:
+    """Shared WITH-body prefix replaying exact_kmeans_cells: quantized
+    embeddings ``e`` -> seed codebook ``c0`` -> KM_ITERS exact-Lloyd
+    rounds (assign a{i} / integer-sum update m{i} / codebook c{i}) ->
+    final assignment ``af(vec_id, v, nrm, cell)``. ONE generator for
+    every oracle built on the exact k-means cells (IVF k-means ANN,
+    semantic dedup) so a change to the replay recipe cannot
+    desynchronize one of them silently (round-5 review finding)."""
     from nbody6_data_pipeline_spark.operators.similarity import (
         KM_ITERS,
         KM_K,
-        KM_NPROBE,
         KM_QUANT,
     )
 
-    dim = 64
-
-    def d2(vq: str, cv: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), j -> "
-            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j]) * "
-            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j])), (acc, x) -> acc + x)"
-        )
-
+    dim = _KM_DIM
     sums = ", ".join(f"SUM(vq[{j + 1}]) AS s{j}" for j in range(dim))
     means = ", ".join(f"CAST(s{j} AS DOUBLE) / cnt" for j in range(dim))
 
@@ -632,7 +649,7 @@ def _km_oracle_sql() -> str:
       SELECT vec_id, vq, c_id AS cell FROM (
         SELECT e.vec_id, e.vq, c.c_id,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+            ORDER BY {_km_d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
         FROM e, {prev} c)
       WHERE rn = 1
     ),
@@ -646,14 +663,6 @@ def _km_oracle_sql() -> str:
         (SELECT c_id, [{means}] AS cv FROM m{i}) u USING (c_id)
     )"""
 
-    fold_dot = (
-        f"list_reduce(list_transform(range(1, {dim + 1}), "
-        f"i -> qv[i] * (af.v)[i]), (acc, x) -> acc + x)"
-    )
-    nrm = (
-        lambda v: f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
-        f"i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
-    )
     iters = ",".join(iteration(i) for i in range(1, KM_ITERS + 1))
     return f"""
     WITH e AS (
@@ -667,14 +676,36 @@ def _km_oracle_sql() -> str:
       FROM e WHERE vec_id < {KM_K}
     ),{iters},
     af AS (
-      SELECT x.vec_id, e.v, {nrm('(e.v)')} AS nrm, x.cell FROM (
+      SELECT x.vec_id, e.v, {_km_nrm('(e.v)')} AS nrm, x.cell FROM (
         SELECT vec_id, c_id AS cell FROM (
           SELECT e.vec_id, c.c_id,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
+              ORDER BY {_km_d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
           FROM e, c{KM_ITERS} c)
         WHERE rn = 1) x JOIN e USING (vec_id)
-    ),
+    )"""
+
+
+def _km_oracle_sql() -> str:
+    """Generated DuckDB oracle for the exact-parity k-means IVF: the
+    same quantize -> KM_ITERS x (assign, exact-integer-mean update) ->
+    final assign -> nprobe probe -> cosine top-3 pipeline, with
+    identical fold order and tie-breaks (see
+    operators/similarity.py exact_kmeans_cells)."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        KM_ITERS,
+        KM_NPROBE,
+    )
+
+    dim = _KM_DIM
+
+    fold_dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> qv[i] * (af.v)[i]), (acc, x) -> acc + x)"
+    )
+    d2 = _km_d2
+    nrm = _km_nrm
+    return f"""{_km_af_prefix()},
     probes AS (
       SELECT query_id, qv, qnrm, cell FROM (
         SELECT e.vec_id AS query_id, e.v AS qv, {nrm('(e.v)')} AS qnrm,
@@ -1450,80 +1481,18 @@ SEMDEDUP_THETA = 0.30
 
 
 def _semdedup_oracle_sql() -> str:
-    """DuckDB replay of the exact-parity k-means assignment (same CTE
-    recipe as _km_oracle_sql through `af`) followed by the within-cell
+    """DuckDB replay of the exact-parity k-means assignment (the
+    shared ``_km_af_prefix`` chain) followed by the within-cell
     lower-id cosine-duplicate rule. Folds run index-ascending on both
     engines; the dot numerator multiplies (lower, higher) in that
     order and the denominator (lower_nrm * higher_nrm), matching
     operators/similarity.semantic_dedup_cells bit-for-bit."""
-    from nbody6_data_pipeline_spark.operators.similarity import (
-        KM_ITERS,
-        KM_K,
-        KM_QUANT,
-    )
-
-    dim = 64
-
-    def d2(vq: str, cv: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), j -> "
-            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j]) * "
-            f"(CAST({vq}[j] AS DOUBLE) - {cv}[j])), (acc, x) -> acc + x)"
-        )
-
-    sums = ", ".join(f"SUM(vq[{j + 1}]) AS s{j}" for j in range(dim))
-    means = ", ".join(f"CAST(s{j} AS DOUBLE) / cnt" for j in range(dim))
-
-    def iteration(i: int) -> str:
-        prev = f"c{i - 1}"
-        return f"""
-    a{i} AS (
-      SELECT vec_id, vq, c_id AS cell FROM (
-        SELECT e.vec_id, e.vq, c.c_id,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
-        FROM e, {prev} c)
-      WHERE rn = 1
-    ),
-    m{i} AS (
-      SELECT cell AS c_id, COUNT(*) AS cnt, {sums}
-      FROM a{i} GROUP BY cell
-    ),
-    c{i} AS (
-      SELECT p.c_id, COALESCE(u.cv, p.cv) AS cv
-      FROM {prev} p LEFT JOIN
-        (SELECT c_id, [{means}] AS cv FROM m{i}) u USING (c_id)
-    )"""
-
-    nrm = (
-        lambda v: f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
-        f"i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
-    )
+    dim = _KM_DIM
     dot = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         "i -> (lo.v)[i] * (hi.v)[i]), (acc, x) -> acc + x)"
     )
-    iters = ",".join(iteration(i) for i in range(1, KM_ITERS + 1))
-    return f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-        list_transform(embedding::DOUBLE[],
-          x -> CAST(floor(x * {KM_QUANT}.0 + 0.5) AS BIGINT)) AS vq
-      FROM embeddings
-    ),
-    c0 AS (
-      SELECT vec_id AS c_id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS cv
-      FROM e WHERE vec_id < {KM_K}
-    ),{iters},
-    af AS (
-      SELECT x.vec_id, e.v, {nrm('(e.v)')} AS nrm, x.cell FROM (
-        SELECT vec_id, c_id AS cell FROM (
-          SELECT e.vec_id, c.c_id,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              ORDER BY {d2('e.vq', 'c.cv')} ASC, c.c_id ASC) AS rn
-          FROM e, c{KM_ITERS} c)
-        WHERE rn = 1) x JOIN e USING (vec_id)
-    ),
+    return f"""{_km_af_prefix()},
     pairs AS (
       SELECT hi.vec_id AS b_id, hi.cell, lo.vec_id AS a_id,
         {dot} / (lo.nrm * hi.nrm) AS cs

@@ -307,7 +307,8 @@ def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT source, doc_id, n_chars,
              ROW_NUMBER() OVER (
-               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id NULLS LAST) AS rank
       FROM documents
     )
     WHERE rank <= 3
@@ -327,7 +328,11 @@ def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     group sorts locally.
     """
     d = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    # tiebreak NULLS LAST: a NULL-id doc tying on n_chars at the k
+    # boundary must lose the seat on both engines
+    w = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc_nulls_last()
+    )
     return (
         d.select("source", "doc_id", "n_chars")
         .withColumn("rank", F.row_number().over(w))

@@ -332,7 +332,8 @@ SEQ_LEN = 128
     ),
     c AS (
       SELECT source, doc_id, n_tokens,
-        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        SUM(n_tokens) OVER (PARTITION BY source
+                            ORDER BY doc_id NULLS LAST, n_tokens
                             ROWS UNBOUNDED PRECEDING) AS cum_end
       FROM t
     ),
@@ -349,7 +350,7 @@ SEQ_LEN = 128
            - greatest(cum_start, pack_id * {SEQ_LEN}) AS BIGINT)
         AS n_tokens_in_pack
     FROM spans
-    ORDER BY source, doc_id, pack_id
+    ORDER BY source, doc_id NULLS LAST, pack_id, n_tokens_in_pack
     """,
 )
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,9 +366,14 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs independently, so the window never needs a global sort."""
     d = _t(spark, sf_dir, "documents")
     n = F.size(token_array(F.col("text")))
+    # NULLS LAST to match the oracle's window (Spark defaults a NULL
+    # doc_id to FIRST, which would shift every later doc's prefix sum
+    # and pack boundary); n_tokens tiebreak makes the prefix sum
+    # deterministic when several NULL-id docs share a source — docs
+    # agreeing on both keys contribute identical rows either way.
     w = (
         W.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last(), "n_tokens")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     c = (
@@ -401,7 +407,9 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tokens_in_pack"),
         )
-        .transform(ordered, "source", "doc_id", "pack_id")
+        # (source, NULL, pack) collides when several NULL-id docs hit
+        # the same pack — the contributed token count breaks the tie
+        .transform(ordered, "source", "doc_id", "pack_id", "n_tokens_in_pack")
     )
 
 
@@ -517,7 +525,8 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT d.doc_id, d.source,
              row_number() OVER (
                PARTITION BY d.source
-               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)) NULLS LAST,
+                        d.doc_id NULLS LAST) AS rk
       FROM documents d
     )
     SELECT r.source AS source, r.doc_id AS doc_id
@@ -567,9 +576,14 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # NULLS LAST on the rank keys: md5(NULL) is NULL and Spark's
+    # nulls-first default would hand a NULL-id doc rank 1 — inside
+    # every quota — while the oracle ranks it last (the
+    # doc_stratified_sample fix, applied here too).
     rk = F.row_number().over(
         W.partitionBy("source").orderBy(
-            F.md5(F.col("doc_id").cast("string")), "doc_id"
+            F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
         )
     )
     ranked = d.select("doc_id", "source", rk.alias("rk"))

@@ -127,6 +127,32 @@ def test_exact_ntile_with_null_keys_matches_nulls_last_window(spark):
     assert got == want
 
 
+def test_sketch_path_null_keys_rank_last(spark):
+    """The NON-numeric (percentile-sketch) bucket path must also rank
+    NULL keys last: the fold's otherwise(0) would silently drop NULL
+    rows into bucket 0 — before every other bucket — without the
+    explicit isNull dispatch (round-5 review finding)."""
+    import datetime as dt
+
+    rows = [(dt.date(2024, 1, 1 + (i * 7) % 28), i) for i in range(40)]
+    rows += [(None, 100), (None, 101)]
+    df = spark.createDataFrame(rows, "d date, k long")
+    got = {
+        r["k"]: r["rn"]
+        for r in with_global_row_number(df, ["d", "k"], n_buckets=4).collect()
+    }
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select(
+            "k",
+            F.row_number()
+            .over(W.orderBy(F.col("d").asc_nulls_last(), "k"))
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_numeric_ntile_plan_has_no_sketch_job(spark):
     """Numeric first column -> fixed arithmetic bucket key: the plan
     must not contain the percentile_approx bounds subquery (that was

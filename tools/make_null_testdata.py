@@ -39,11 +39,26 @@ TABLES = (
 
 
 def _null_docs(schema: pa.Schema) -> pa.Table:
+    # Two words repeated to exact char lengths for the src7 rows below
+    pack_shifter = ("drift token " * 20).rstrip()          # 239 chars, 40 words
+    tie_a = ("alpha tie " * 60)[:600]                       # 600 chars
+    tie_b = ("bravo tie " * 60)[:600]                       # 600 chars
     # (doc_id, text, lang, source, n_chars); n_chars mirrors len(text)
     rows = [
         # NULL doc_id: md5(NULL) hash keys, NULL shard buckets
         (None, "null id doc alpha words here", "en", "web", 28),
         (None, "null id doc beta", "de", "web", 16),
+        # NULL doc_id rows in a BIG existing source (src7, 25 docs):
+        # window-rank NULL position becomes load-bearing where the
+        # per-source quota cuts INSIDE the source (mixture sample),
+        # where the source spans >1 pack (prefix-sum shift), and where
+        # a NULL-id doc TIES a real doc at the top-k boundary. The
+        # original twin put NULL ids only in a 4-doc source whose
+        # quota kept everything — structurally invisible (round-5
+        # review finding).
+        (None, pack_shifter, "en", "src7", len(pack_shifter)),
+        (None, tie_a, "en", "src7", 600),
+        (90_000_007, tie_b, "fr", "src7", 600),
         # NULL lang: the group key of every per-lang rollup
         (90_000_001, "null lang doc one common words", None, "web", 30),
         (90_000_002, "null lang doc two common words", None, "books", 30),
