@@ -82,6 +82,19 @@ def _node_bound(edges: DataFrame, key: str = "src") -> int:
     return edges.select(key).distinct().count()
 
 
+def _dst_bound(edges: DataFrame, n_edges: int) -> int:
+    """Upper bound on |distinct dst| for the contribs-table broadcast
+    decision. The contribs aggregate is keyed by dst, and on a graph
+    that violates the every-node-is-a-src contract (dangling sinks)
+    |distinct dst| can exceed |distinct src| — so the broadcast
+    decision for contribs must be bounded by the dst domain, not the
+    src domain. |distinct dst| <= |E| proves safety cheaply; the exact
+    distinct count runs only past that."""
+    if n_edges <= BROADCAST_MAX_NODES:
+        return n_edges
+    return edges.select("dst").distinct().count()
+
+
 def _damp(contrib_col: str) -> str:
     return (
         f"(15 * cast({RANK_SCALE} as bigint)"
@@ -154,8 +167,9 @@ def pagerank_fixed(
 
     nodes = ce.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n_nodes = nodes.count()  # free: nodes was just materialized
+    n_dst = _dst_bound(ce, ce.count())  # contribs is dst-keyed
     ranks = nodes.join(
-        _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
+        _state_hint(contribs, n_dst), nodes["node"] == contribs["dst"], "left"
     ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
     for _ in range(iterations - 1):
         contribs = (
@@ -165,7 +179,7 @@ def pagerank_fixed(
             .agg(F.sum("contrib").alias("contrib_sum"))
         )
         ranks = nodes.join(
-            _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
+            _state_hint(contribs, n_dst), nodes["node"] == contribs["dst"], "left"
         ).select("node", F.expr(_damp("contrib_sum")).alias("rank"))
     return ranks
 
@@ -230,8 +244,9 @@ def personalized_pagerank(
         .groupBy("dst")
         .agg(F.sum("contrib").alias("contrib_sum"))
     )
+    n_dst = _dst_bound(ce, ce.count())  # contribs is dst-keyed
     ranks = nodes.join(
-        _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
+        _state_hint(contribs, n_dst), nodes["node"] == contribs["dst"], "left"
     ).select("node", "is_src", F.expr(update).alias("rank"))
     for _ in range(iterations - 1):
         contribs = (
@@ -241,7 +256,7 @@ def personalized_pagerank(
             .agg(F.sum("contrib").alias("contrib_sum"))
         )
         ranks = nodes.join(
-            _state_hint(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
+            _state_hint(contribs, n_dst), nodes["node"] == contribs["dst"], "left"
         ).select("node", "is_src", F.expr(update).alias("rank"))
     return ranks.select("node", "rank")
 

@@ -136,9 +136,21 @@ def _tag_bucket(df: DataFrame, first: str, n_buckets: int) -> DataFrame:
     """Append the range-bucket id ``_bkt``: the fixed arithmetic key
     for numeric first columns (no preparation job), else sketch-based
     bounds (one extra ``percentile_approx`` job)."""
-    if isinstance(df.schema[first].dataType, T.NumericType):
+    dt = df.schema[first].dataType
+    if isinstance(dt, T.NumericType):
         return df.selectExpr(
             "*", f"{_fixed_key_sql(f'`{first}`')} AS _bkt"
+        )
+    if not isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        # percentile_approx (the sketch fallback) only supports
+        # numeric/date/timestamp — fail here with the dispatch story
+        # instead of letting the sketch aggregate raise an opaque
+        # analysis error on e.g. a string first sort column.
+        raise TypeError(
+            f"with_global_row_number needs a numeric, date, or "
+            f"timestamp FIRST sort column for range bucketing; "
+            f"{first!r} is {dt.simpleString()}. Derive a numeric key "
+            "(e.g. a hash or dictionary id) and sort on that first."
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(F.percentile_approx(first, probs, 10_000).alias("_bnds"))

@@ -911,6 +911,12 @@ def exact_kmeans_cells(
         (r["vec_id"], [float(x) for x in r["vq"]])
         for r in e.filter(F.col("vec_id") < k).select("vec_id", "vq").collect()
     )
+    if len(init) != k:
+        raise ValueError(
+            f"exact_kmeans_cells seeds from the rows with {id_col} < "
+            f"k={k} and found {len(init)}; ids must be contiguous from "
+            "0 (dense-rank reindex first) for deterministic seeding"
+        )
     cents = init
     assign_expr = F.expr(f"array_min({_CELL_STRUCTS}).c_id")
     for _ in range(iters):
@@ -1137,6 +1143,14 @@ def exact_pq_train(
         .select("vec_id", vq_col)
         .collect()
     )
+    if len(seed_rows) != k:
+        raise ValueError(
+            f"exact_pq_train seeds the codebook from the rows with "
+            f"vec_id < k={k} and found {len(seed_rows)}; the corpus "
+            "must carry contiguous vec_ids starting at 0 (reindex with "
+            "a dense rank first — sparse or offset ids break the "
+            "deterministic seeding contract)"
+        )
     cb = [
         (j, c, [float(v) for v in row[j * dsub : (j + 1) * dsub]])
         for j in range(m)
@@ -1232,16 +1246,19 @@ def exact_pq_ann(
     k: int = PQ_KSUB,
     iters: int = PQ_ITERS,
     topk: int = 3,
-    query_mod: int = 50,
+    n_queries: int = 40,
 ) -> DataFrame:
     """Product-quantized ANN, exact-parity variant: quantized
     subspace Lloyd codebooks (deterministic function of the data),
     one-pass corpus encoding to m dense codes, ADC top-k with
-    bit-replayable folds. Queries = vec_id % query_mod == 0, scored
-    against the whole encoded corpus (that IS flat PQ — no cells to
-    prune; the cell-pruned variant is exact_ivfpq_ann). The query
-    batch is broadcast; the encoded corpus never shuffles until the
-    final tiny top-k window.
+    bit-replayable folds. Queries = the FIXED set vec_id < n_queries
+    (not a fraction of the corpus: a fractional query set makes flat
+    PQ quadratic in corpus size — a fixed count keeps this
+    correctness-anchor query linear at any scale), scored against the
+    whole encoded corpus (that IS flat PQ — no cells to prune; the
+    cell-pruned variant is exact_ivfpq_ann). The query batch is
+    broadcast; the encoded corpus never shuffles until the final tiny
+    top-k window.
 
     Returns (query_id, cand_id, approx_d2, rank<=topk)."""
     from pyspark.sql import Window as W
@@ -1264,7 +1281,7 @@ def exact_pq_ann(
     )
     cb = exact_pq_train(e, "vq", dim, m, k, iters)
     codes = exact_pq_codes(e, cb, "vq", dim, m)
-    q = e.filter(F.col("vec_id") % query_mod == 0).select(
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.expr("transform(vq, x -> CAST(x AS DOUBLE))").alias("qd"),
     )

@@ -960,7 +960,7 @@ def _pq_oracle_sql() -> str:
     flat AS (SELECT list(cv ORDER BY j, c_id) AS cbflat FROM pb{iters}),
     qs AS (SELECT vec_id AS query_id,
                   list_transform(vq, x -> CAST(x AS DOUBLE)) AS qd
-           FROM e WHERE vec_id % 50 = 0),
+           FROM e WHERE vec_id < 40),
     scored AS (
       SELECT query_id, c.vec_id AS cand_id,
              {_pq_sql_adc('qd', m, k, dsub)} AS approx_d2

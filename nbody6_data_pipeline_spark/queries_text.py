@@ -214,7 +214,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            GROUPING(lang) AS g_lang, GROUPING(source) AS g_source,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY ROLLUP (lang, source)
     ORDER BY g_lang, g_source, lang NULLS LAST, source NULLS LAST
@@ -266,8 +266,8 @@ _SCRUB_RE = "[a-z]{5,}"
     SELECT lang,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE n_hits > 0) AS n_docs_hit,
-           SUM(n_hits) AS total_hits,
-           SUM(chars_removed) AS total_chars_removed
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(SUM(chars_removed) AS BIGINT) AS total_chars_removed
     FROM r
     GROUP BY lang
     ORDER BY lang NULLS LAST

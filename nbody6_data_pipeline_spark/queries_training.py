@@ -715,7 +715,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(hx) AS first_hash,
            MAX(hx) AS last_hash
     FROM h

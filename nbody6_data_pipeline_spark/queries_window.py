@@ -610,7 +610,7 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
     FROM events
@@ -793,7 +793,7 @@ _SESSION_LEN_US = 30 * 60_000_000  # each event covers [us, us + 30min)
     )
     SELECT user_id,
            COUNT(DISTINCT island) AS n_islands,
-           SUM(island_len) AS covered_us
+           CAST(SUM(island_len) AS BIGINT) AS covered_us
     FROM (
       SELECT user_id, island, MAX(e) - MIN(s) AS island_len
       FROM islands GROUP BY user_id, island

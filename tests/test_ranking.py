@@ -96,9 +96,11 @@ def test_fixed_numeric_key_is_monotone(spark):
     assert ordered_finite == sorted(ordered_finite)
     inf_k, ninf_k = keys[len(finite)], keys[len(finite) + 1]
     nan_k, null_k = keys[len(finite) + 2], keys[len(finite) + 3]
-    assert ninf_k < ordered_finite[1] if finite[0] == float("-inf") else True
-    assert ninf_k <= min(ordered_finite)
-    assert inf_k >= max(ordered_finite)
+    # ±inf clamp STRICTLY beyond every finite key (finite holds both
+    # double extremes, so strict bounds prove the clamp is outside the
+    # entire finite range, not merely tied to it)
+    assert ninf_k < min(ordered_finite)
+    assert inf_k > max(ordered_finite)
     assert inf_k < nan_k < null_k
     # equal values share a key (ties must land in one bucket)
     dup = spark.createDataFrame(

@@ -49,7 +49,7 @@ def assert_duckdb_idioms():
         )
 
 
-def duck_run(sql: str, sf_dir: str):
+def duck_run(sql: str, sf_dir: str, want_df=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -57,9 +57,28 @@ def duck_run(sql: str, sf_dir: str):
         )
     rel = con.sql(sql)
     cols = rel.columns
+    if want_df:
+        # .df() is how a pandas-level harness materializes the oracle —
+        # it converts HUGEINT (DuckDB's SUM-over-integer result) and
+        # NULL-bearing integer columns to float64, unlike fetchall().
+        df = rel.df()
+        con.close()
+        return cols, df
     rows = rel.fetchall()
     con.close()
     return cols, rows
+
+
+def pandas_hash(df):
+    """The driver-equivalent value hash: columns sorted by name, rows
+    in returned order, values as pandas renders them (dtype-sensitive
+    for int-vs-float: a DuckDB HUGEINT SUM becomes float64 '99111.0'
+    while Spark's bigint stays '99111' — round-5's five driver-only
+    hash failures were exactly this class). Catch it locally."""
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 
 def normalize(rows, colnames, keep_order=False):
@@ -173,6 +192,27 @@ def main():
             n_fail += 1
             continue
         problems, ok = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        if ok:
+            # driver-equivalent pandas-level hash (dtype-sensitive)
+            try:
+                _, duck_df = duck_run(oracles[name], sf_dir, want_df=True)
+                spark_df = sdf.toPandas()
+                if pandas_hash(spark_df) != pandas_hash(duck_df):
+                    dtypes_s = {c: str(spark_df[c].dtype) for c in spark_df.columns}
+                    dtypes_d = {c: str(duck_df[c].dtype) for c in duck_df.columns}
+                    diff = {
+                        c: (dtypes_s.get(c), dtypes_d.get(c))
+                        for c in dtypes_s
+                        if dtypes_s.get(c) != dtypes_d.get(c)
+                    }
+                    problems = [
+                        "PANDAS-HASH (driver-equivalent) mismatch — "
+                        f"dtype drift: {diff or 'value rendering'}"
+                    ]
+                    ok = False
+            except Exception as e:  # pragma: no cover - diagnostic only
+                problems = [f"pandas-hash leg error: {e}"]
+                ok = False
         record[name] = {
             "rows_match": len(spark_rows) == len(duck_rows),
             "schema_match": sorted(spark_cols) == sorted(duck_cols),
