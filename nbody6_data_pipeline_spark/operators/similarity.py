@@ -1437,3 +1437,66 @@ def semantic_dedup_cells(cells: DataFrame, theta: float) -> DataFrame:
             F.col("m.cs").alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): int8-range codes + quantized ANN
+# ---------------------------------------------------------------------------
+#
+# The third compression family next to IVF (coarse cells) and PQ
+# (subspace codebooks): per-dimension affine quantization of each
+# coordinate to an 8-bit level. A 64-dim float32 vector becomes 64
+# small ints — 4x smaller — and distance arithmetic becomes tiny
+# integer math. Codes are a pure integer function of the corpus
+# (bounds from exact MIN/MAX, levels from exact multiply-intdiv), so
+# unlike float SQ implementations the whole index and every distance
+# is bit-replayable in an independent SQL engine.
+#
+# At 100 TB: the bounds aggregate is one map-side-combinable pass
+# (posexplode -> 64 groups), the bounds table is 64 rows (broadcast),
+# and encoding is a narrow projection — the corpus never shuffles.
+
+SQ8_LEVELS = 255
+
+
+def sq8_bounds(e: DataFrame, vq_col: str = "vq") -> DataFrame:
+    """Exact per-dimension [min, max] of the quantized corpus as ONE
+    row: (bs = array<struct(j, mn, mx)> sorted by dimension). posexplode
+    keeps the scan narrow (no 64x row blowup carries the full array);
+    the two-level aggregate shuffles <= 64 groups."""
+    per_dim = (
+        e.select(F.posexplode(vq_col).alias("j", "v"))
+        .groupBy("j")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    return per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("j", "mn", "mx"))).alias("bs")
+    )
+
+
+def sq8_codes(
+    e: DataFrame, bounds: DataFrame, vq_col: str = "vq"
+) -> DataFrame:
+    """Append the SQ8 code array: code[j] = ((v - mn_j) * 255) intdiv
+    max(mx_j - mn_j, 1), an integer in [0, 255]. Exact integer
+    multiply-divide (both operands non-negative), so DuckDB's
+    floor-div `//` and Spark's truncating `div` agree."""
+    return e.crossJoin(F.broadcast(bounds)).withColumn(
+        "code",
+        F.expr(
+            f"zip_with({vq_col}, bs, (v, s) -> "
+            f"((v - s.mn) * {SQ8_LEVELS}) div greatest(s.mx - s.mn, 1))"
+        ),
+    )
+
+
+def int_d2(a: str, b: str) -> Column:
+    """Exact integer squared-L2 fold between two BIGINT arrays —
+    order-independent (integer addition is associative), DuckDB twin:
+    list_reduce(list_transform(range(1, d+1), j -> (a[j]-b[j])*(a[j]-b[j])),
+    (acc, x) -> acc + x)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -1,6 +1,6 @@
 """Mergeable sketch operators for cardinality and frequency at scale.
 
-Two classic 100 TB primitives, both expressed so the *output is
+Three classic 100 TB primitives, all expressed so the *output is
 bit-exact across engines and partitionings* even though the data
 structures are "approximate":
 
@@ -23,6 +23,17 @@ structures are "approximate":
   internals. This is the standard two-pass shape for "terms appearing
   in > x% of a 100 TB corpus" where a full token groupBy would shuffle
   the entire long tail.
+
+- Count-min sketch (`cms_counters` / `cms_estimates`): a D x W grid
+  of integer counters, each row a different content-addressed hash of
+  the key. Counters are plain COUNT(*) groups, so the whole sketch is
+  one map-side-combinable aggregation whose shuffle is bounded by
+  D * W rows regardless of input size, and two sketches merge by
+  counter-wise addition. Point estimates (min over the D counters a
+  key hashes to) carry the one-sided CMS guarantee est >= true, with
+  overcount <= 2N/W at ~1 - (1/2)^D confidence. Every number is an
+  exact BIGINT — the sketch construction is a pure function of the
+  multiset, so estimates hash-compare across engines.
 
 No reference analogue (the reference is single-node pandas and counts
 exactly); these are north-star scale extensions like the dedup/ANN
@@ -226,3 +237,97 @@ def heavy_hitters(
     if total == 0:
         counts.unpersist()  # nothing downstream will read the cache
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows: P(overshoot > 2N/W on all rows) ~ 2^-4
+CMS_W = 512  # buckets per row; expected overcount <= N/W per row
+
+
+def cms_hash(row_i: int, key: Column) -> Column:
+    """Row-i CMS hash: the shared 60-bit md5 idiom over 'i:key', so
+    the D rows are independent hash functions with one primitive and
+    the DuckDB twin is CAST(('0x' || substring(md5(i || ':' || key),
+    1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{row_i}:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cms_counters(
+    df: DataFrame, key: Column, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Build the D x W count-min counter grid over one key column.
+
+    One narrow projection fans each row out to its D (row_i, bucket)
+    cells, then ONE hash aggregation counts cells. Map-side combine
+    collapses each partition to <= D * W partial rows, so the shuffle
+    is bounded by d * w * n_partitions however many billions of rows
+    stream through — the property that makes CMS the standard
+    frequency summary at 100 TB. Two grids built over different
+    shards merge by summing matching cells (counter-wise addition);
+    the result is identical to building one grid over the union,
+    which is why the construction is partitioning-independent and
+    bit-exact cross-engine.
+
+    NULL keys hash to a NULL bucket and land in one (row_i, NULL)
+    cell per row — retained so the grid accounts for every input row,
+    and deterministic because both engines group NULLs together.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (cms_hash(i, key) % w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_i", "c.bucket")
+    return cells.groupBy("row_i", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_estimates(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-frequency estimates for a (small) key set: for each key,
+    min over its D counters. The counter grid (<= d * w rows) and the
+    key set are both broadcast-sized, so estimation never shuffles
+    anything bigger than |keys| * d rows. Output (key, cms_est) is
+    integer-exact: est >= true frequency always (every occurrence of
+    the key incremented all D of its cells)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (cms_hash(i, F.col(key_col)) % w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.row_i", "c.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )

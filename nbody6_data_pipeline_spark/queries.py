@@ -46,6 +46,7 @@ def registry() -> dict[str, QuerySpec]:
     import nbody6_data_pipeline_spark.queries_dedup  # noqa: F401
     import nbody6_data_pipeline_spark.queries_domain  # noqa: F401
     import nbody6_data_pipeline_spark.queries_mining  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_scale  # noqa: F401
     import nbody6_data_pipeline_spark.queries_sketch  # noqa: F401
     import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
@@ -73,6 +74,11 @@ def registry() -> dict[str, QuerySpec]:
 #     and needing driver re-confirmation;
 #  3. everything else in round-4 order (all driver-green already).
 _DRIVER_PRIORITY = [
+    # -- new in round 6 --
+    "events_cms_freq",
+    "embedding_sq8_topk",
+    "orders_bloom_prune",
+    "lineitem_zorder_skipping",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

@@ -1,0 +1,622 @@
+"""Scale-infrastructure queries: the operators a 100 TB deployment
+leans on between the "compute an answer" queries — frequency sketches,
+runtime join filters, and data-skipping layout — each with a bit-exact
+DuckDB oracle replaying the identical integer construction.
+
+- events_cms_freq: count-min sketch frequency estimation. The counter
+  grid (D x W integer counters, one map-side-combined aggregation) is
+  the classic bounded-shuffle frequency summary; estimates carry the
+  one-sided est >= true guarantee, verified in-query against exact
+  counts for a fixed key set.
+- embedding_sq8_topk: scalar (int8-range) quantization ANN with
+  in-query recall accounting against the exact integer top-k — the
+  third compression family next to IVF cells and PQ codebooks.
+- orders_bloom_prune: bit-packed Bloom runtime filter built from a
+  filtered dimension, probed by the fact scan with pure bit
+  arithmetic; per-priority accounting shows zero false negatives and
+  the expected ~3% false-positive rate at 8 bits/key.
+- lineitem_zorder_skipping: Z-order (Morton-interleaved) bucket
+  layout vs a single-column-sorted layout, scored by how many
+  bucket-level min/max "file stats" each layout lets a 2-D range
+  predicate skip — the OPTIMIZE ZORDER effect, measured.
+
+No reference analogue (the reference is a single-node pandas
+pipeline); these extend the sketch/ANN/dedup north-star families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.bloom import (
+    BLOOM_BITS_PER_KEY,
+    BLOOM_K,
+    bloom_build,
+    bloom_probe,
+)
+from nbody6_data_pipeline_spark.operators.similarity import (
+    KM_QUANT,
+    SQ8_LEVELS,
+    _quantize,
+    sq8_bounds,
+    sq8_codes,
+)
+from nbody6_data_pipeline_spark.operators.sketch import (
+    CMS_D,
+    CMS_W,
+    cms_counters,
+    cms_estimates,
+)
+from nbody6_data_pipeline_spark.operators.zorder import (
+    ZBITS,
+    grid_coord_sql,
+    max_bounds,
+    morton_sql,
+)
+from nbody6_data_pipeline_spark.queries import _t, ordered, register
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_QUERY_BELOW = 25  # fixed query-key set: user_id < 25
+
+_MD5_LONG = (
+    "CAST(('0x' || substring(md5(CAST({i} AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _cms_oracle() -> str:
+    h = _MD5_LONG.format(i="i", key="user_id")
+    return f"""
+    WITH hr AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i),
+    cells AS (
+      SELECT i, {h} % {CMS_W} AS bucket FROM events, hr
+    ),
+    counters AS (
+      SELECT i, bucket, COUNT(*) AS cnt FROM cells GROUP BY i, bucket
+    ),
+    qk AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id < {CMS_QUERY_BELOW}),
+    probes AS (SELECT user_id, i, {h} % {CMS_W} AS bucket FROM qk, hr),
+    est AS (
+      SELECT p.user_id, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+      FROM probes p
+      JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+      GROUP BY p.user_id
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      WHERE user_id < {CMS_QUERY_BELOW} GROUP BY user_id
+    )
+    SELECT x.user_id, x.exact_cnt, e.cms_est,
+           CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overcount
+    FROM exact x JOIN est e ON x.user_id = e.user_id
+    ORDER BY x.user_id
+    """
+
+
+@register("events_cms_freq", _cms_oracle())
+def q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies from a count-min sketch, checked
+    in-query against exact counts for the fixed key set user_id < 25.
+
+    The sketch build (operators/sketch.cms_counters) is ONE hash
+    aggregation whose shuffle is bounded by D*W rows per partition
+    however many billions of events stream through, and grids from
+    different shards/days merge by counter-wise addition. Estimation
+    touches only broadcast-sized tables. The oracle replays the same
+    md5-derived hash rows, so every count, estimate, and overcount is
+    an exact BIGINT — the CMS guarantee (overcount >= 0 always)
+    becomes a hash-checked output column."""
+    e = _t(spark, sf_dir, "events", spread=True)
+    counters = cms_counters(e, F.col("user_id"))
+    qk = (
+        e.filter(F.col("user_id") < CMS_QUERY_BELOW)
+        .select("user_id")
+        .distinct()
+    )
+    est = cms_estimates(counters, qk, "user_id")
+    exact = (
+        e.filter(F.col("user_id") < CMS_QUERY_BELOW)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .transform(ordered, "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN with exact recall accounting
+# ---------------------------------------------------------------------------
+
+SQ8_NQ = 24  # fixed query set vec_id < 24 (linear in corpus size)
+SQ8_TOPK = 10
+
+
+def _sq8_oracle() -> str:
+    dim = 64
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(x * {KM_QUANT}.0 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    mm AS (
+      SELECT j, MIN(vq[j]) AS mn, MAX(vq[j]) AS mx
+      FROM e, (SELECT unnest(range(1, {dim + 1})) AS j) t
+      GROUP BY j
+    ),
+    bl AS (SELECT list(mn ORDER BY j) AS mnl, list(mx ORDER BY j) AS mxl
+           FROM mm),
+    c AS (
+      SELECT vec_id, vq,
+        list_transform(range(1, {dim + 1}), j ->
+          ((vq[j] - mnl[j]) * {SQ8_LEVELS})
+            // greatest(mxl[j] - mnl[j], 1)) AS code
+      FROM e, bl
+    ),
+    q AS (SELECT vec_id AS query_id, vq AS qvq, code AS qc
+          FROM c WHERE vec_id < {SQ8_NQ}),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        list_reduce(list_transform(range(1, {dim + 1}), j ->
+          (qc[j] - c.code[j]) * (qc[j] - c.code[j])),
+          (acc, x) -> acc + x) AS d2_sq8,
+        list_reduce(list_transform(range(1, {dim + 1}), j ->
+          (qvq[j] - c.vq[j]) * (qvq[j] - c.vq[j])),
+          (acc, x) -> acc + x) AS d2_exact
+      FROM q, c WHERE c.vec_id != q.query_id
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY d2_sq8, cand_id) AS r8,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY d2_exact, cand_id) AS re
+      FROM s
+    )
+    SELECT query_id,
+      CAST(COUNT(*) FILTER (WHERE r8 <= {SQ8_TOPK} AND re <= {SQ8_TOPK})
+           AS BIGINT) AS hits,
+      CAST(MAX(d2_sq8) FILTER (WHERE r8 <= {SQ8_TOPK}) AS BIGINT)
+        AS sq8_max_d2,
+      CAST(MAX(d2_exact) FILTER (WHERE re <= {SQ8_TOPK}) AS BIGINT)
+        AS exact_max_d2
+    FROM r WHERE r8 <= {SQ8_TOPK} OR re <= {SQ8_TOPK}
+    GROUP BY query_id
+    ORDER BY query_id
+    """
+
+
+@register("embedding_sq8_topk", _sq8_oracle())
+def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with per-query recall accounting.
+
+    Each 64-dim vector compresses to 64 byte-range levels via exact
+    per-dimension integer affine quantization
+    (operators/similarity.sq8_codes); approximate and exact integer
+    squared-L2 top-10 are ranked side by side for the fixed query set
+    vec_id < 24, and `hits` counts the overlap — recall becomes a
+    hash-checked BIGINT column instead of a float claim. The corpus
+    never shuffles: bounds are a 64-group aggregate, encoding is a
+    narrow projection, and scoring is a broadcast nested-loop against
+    the fixed-size query batch (linear in corpus size), finished by a
+    per-query top-k window over query-partitioned candidates."""
+    e = (
+        _t(spark, sf_dir, "embeddings", spread=True)
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    )
+    corpus = sq8_codes(e, sq8_bounds(e)).select("vec_id", "vq", "code")
+    q = corpus.filter(F.col("vec_id") < SQ8_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vq").alias("qvq"),
+        F.col("code").alias("qc"),
+    )
+    scored = (
+        corpus.alias("c")
+        .join(F.broadcast(q), F.col("c.vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "c.vec_id AS cand_id",
+            "aggregate(zip_with(qc, c.code, (x, y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2_sq8",
+            "aggregate(zip_with(qvq, c.vq, (x, y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2_exact",
+        )
+    )
+    w8 = W.partitionBy("query_id").orderBy("d2_sq8", "cand_id")
+    we = W.partitionBy("query_id").orderBy("d2_exact", "cand_id")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w8).alias("r8"),
+        F.row_number().over(we).alias("re"),
+    )
+    k = SQ8_TOPK
+    return (
+        ranked.filter((F.col("r8") <= k) | (F.col("re") <= k))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("r8") <= k) & (F.col("re") <= k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits"),
+            F.max(F.when(F.col("r8") <= k, F.col("d2_sq8")))
+            .cast("long")
+            .alias("sq8_max_d2"),
+            F.max(F.when(F.col("re") <= k, F.col("d2_exact")))
+            .cast("long")
+            .alias("exact_max_d2"),
+        )
+        .transform(ordered, "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_oracle() -> str:
+    k, bpk = BLOOM_K, BLOOM_BITS_PER_KEY
+    hp = [
+        _MD5_LONG.format(i=i, key="c_custkey") + " % nb.nb" for i in range(k)
+    ]
+    ho = [
+        _MD5_LONG.format(i=i, key="o_custkey") + f" % nb.nb AS p{i}"
+        for i in range(k)
+    ]
+    joins = "\n".join(
+        f"      LEFT JOIN words w{i} ON w{i}.word = pr.p{i} // 62"
+        for i in range(k)
+    )
+    hits = [
+        f"COALESCE((w{i}.bits >> CAST(pr.p{i} % 62 AS INT)) & 1 = 1, FALSE)"
+        f" AS h{i}"
+        for i in range(k)
+    ]
+    allh = " AND ".join(f"h{i}" for i in range(k))
+    return f"""
+    WITH bc AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = '{BLOOM_SEGMENT}' AND c_custkey IS NOT NULL
+    ),
+    nb AS (SELECT COUNT(*) * {bpk} AS nb FROM bc),
+    pos AS (
+      SELECT unnest([{", ".join(hp)}]) AS pos FROM bc, nb
+    ),
+    words AS (
+      SELECT pos // 62 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+      FROM pos GROUP BY pos // 62
+    ),
+    pr AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             {", ".join(ho)}
+      FROM orders, nb
+    ),
+    fl AS (
+      SELECT pr.o_orderkey, pr.o_custkey, pr.o_orderpriority,
+             {", ".join(hits)}
+      FROM pr
+{joins}
+    ),
+    fl2 AS (
+      SELECT fl.*, (bc.c_custkey IS NOT NULL) AS in_dim
+      FROM fl LEFT JOIN bc ON fl.o_custkey = bc.c_custkey
+    )
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(COUNT(*) FILTER (WHERE {allh}) AS BIGINT) AS n_bloom_pass,
+      CAST(COUNT(*) FILTER (WHERE in_dim) AS BIGINT) AS n_match,
+      CAST(COUNT(*) FILTER (WHERE ({allh}) AND NOT in_dim) AS BIGINT)
+        AS n_false_pos,
+      CAST(COUNT(*) FILTER (WHERE in_dim AND NOT ({allh})) AS BIGINT)
+        AS n_false_neg
+    FROM fl2
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS LAST
+    """
+
+
+@register("orders_bloom_prune", _bloom_oracle())
+def q_orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, with its error accounting
+    made a hash-checked output.
+
+    The BUILDING customers' key set compresses to a bit-packed Bloom
+    filter (operators/bloom: 8 bits/key, 3 md5-derived hashes, 62
+    bits packed per signed word) that the orders scan probes with
+    pure bit arithmetic — k broadcast word-lookups, no shuffle of the
+    fact table. Per priority class the query reports how many orders
+    the filter passes, how many truly join, false positives (expected
+    ~3% of non-members at any scale — the rate is fixed by
+    bits-per-key, not data volume) and false negatives (ZERO by
+    construction, and the oracle hash-checks that zero). At 100 TB
+    this is the explicit form of Spark's runtime bloom-filter join
+    pruning: survivors alone proceed to the exact join."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == BLOOM_SEGMENT)
+            & F.col("c_custkey").isNotNull()
+        )
+        .select("c_custkey")
+    )
+    words, nb = bloom_build(cust, "c_custkey")
+    o = _t(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    probed = bloom_probe(o, "o_custkey", words, nb)
+    flagged = probed.join(
+        F.broadcast(cust.withColumn("_in_dim", F.lit(True))),
+        probed["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).select(
+        "o_orderpriority",
+        "bloom_pass",
+        F.coalesce(F.col("_in_dim"), F.lit(False)).alias("in_dim"),
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_pass"),
+            F.sum(F.when(F.col("in_dim"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("in_dim"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when(F.col("in_dim") & ~F.col("bloom_pass"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_neg"),
+        )
+        .transform(ordered, "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout vs linear layout: measured data skipping
+# ---------------------------------------------------------------------------
+
+N_PROBES = 4  # the four quadrants of the (partkey, suppkey) key space
+
+
+def _zorder_oracle() -> str:
+    bits = ZBITS
+    px = grid_coord_sql("l_partkey", "_mx", bits, idiv="//")
+    py = grid_coord_sql("l_suppkey", "_my", bits, idiv="//")
+    zb = morton_sql(px, py, bits, idiv="//")
+    lin = grid_coord_sql("l_partkey", "_mx", 2 * bits, idiv="//")
+    return f"""
+    WITH mx AS (
+      SELECT CAST(MAX(l_partkey) AS BIGINT) AS _mx,
+             CAST(MAX(l_suppkey) AS BIGINT) AS _my
+      FROM lineitem
+    ),
+    zstats AS (
+      SELECT CAST({zb} AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+             MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+             MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+      FROM lineitem, mx GROUP BY 1
+    ),
+    lstats AS (
+      SELECT CAST({lin} AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+             MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+             MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+      FROM lineitem, mx GROUP BY 1
+    ),
+    probes AS (
+      SELECT p AS probe_id,
+             (p % 2) * ((_mx + 1) // 2) AS xlo,
+             ((p % 2) + 1) * ((_mx + 1) // 2) - 1 AS xhi,
+             (p // 2) * ((_my + 1) // 2) AS ylo,
+             ((p // 2) + 1) * ((_my + 1) // 2) - 1 AS yhi
+      FROM (SELECT unnest(generate_series(0, {N_PROBES - 1})) AS p), mx
+    ),
+    zs AS (
+      SELECT probe_id,
+        CAST(COUNT(*) FILTER (WHERE COALESCE(NOT (max_x < xlo OR min_x > xhi
+          OR max_y < ylo OR min_y > yhi), FALSE)) AS BIGINT)
+          AS z_files_scanned,
+        CAST(COALESCE(SUM(n_rows) FILTER (WHERE COALESCE(NOT (max_x < xlo
+          OR min_x > xhi OR max_y < ylo OR min_y > yhi), FALSE)), 0)
+          AS BIGINT) AS z_rows_scanned
+      FROM zstats, probes GROUP BY probe_id
+    ),
+    ls AS (
+      SELECT probe_id,
+        CAST(COUNT(*) FILTER (WHERE COALESCE(NOT (max_x < xlo OR min_x > xhi
+          OR max_y < ylo OR min_y > yhi), FALSE)) AS BIGINT)
+          AS lin_files_scanned,
+        CAST(COALESCE(SUM(n_rows) FILTER (WHERE COALESCE(NOT (max_x < xlo
+          OR min_x > xhi OR max_y < ylo OR min_y > yhi), FALSE)), 0)
+          AS BIGINT) AS lin_rows_scanned
+      FROM lstats, probes GROUP BY probe_id
+    ),
+    ex AS (
+      SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_rows_matched
+      FROM lineitem, probes
+      WHERE l_partkey BETWEEN xlo AND xhi AND l_suppkey BETWEEN ylo AND yhi
+      GROUP BY probe_id
+    )
+    SELECT zs.probe_id, z_files_scanned, z_rows_scanned,
+           lin_files_scanned, lin_rows_scanned,
+           COALESCE(ex.n_rows_matched, 0) AS n_rows_matched
+    FROM zs
+    JOIN ls ON zs.probe_id = ls.probe_id
+    LEFT JOIN ex ON zs.probe_id = ex.probe_id
+    ORDER BY zs.probe_id
+    """
+
+
+@register("lineitem_zorder_skipping", _zorder_oracle())
+def q_lineitem_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, scored by measured data skipping.
+
+    Buckets lineitem two ways — a 256-bucket Morton (Z-order)
+    interleave of (l_partkey, l_suppkey) and a 256-bucket
+    partkey-only sort (operators/zorder) — derives each layout's
+    bucket-level min/max "file stats", and probes both with the four
+    quadrant range predicates of the 2-D key space. Output per probe:
+    files/rows a stats-driven scan planner must touch under each
+    layout plus the true match count. The Z-order curve bounds every
+    bucket to a small rectangle, so 2-D predicates skip most buckets;
+    the linear layout can only prune on its sort column — the measured
+    gap IS the OPTIMIZE ZORDER win, here as hash-checked integers.
+    All bucket ids and stats are exact integer arithmetic, replayed
+    by the oracle.
+
+    The fact table is scanned ONCE: a composite (z-bucket,
+    lin-bucket) aggregate carries counts, both layouts' min/max
+    stats, and the four per-probe exact match counts; everything
+    downstream (each layout's file stats = a regroup merging exact
+    mins/maxes/sums, probe scan costs, true match totals) derives
+    from that <= 4096-row summary. The oracle replays the logically
+    identical three-scan formulation — two-level min/sum regrouping
+    is exact, so the results hash-match."""
+    li = _t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_suppkey"
+    )
+    mx = max_bounds(li, "l_partkey", "l_suppkey")
+    px = grid_coord_sql("l_partkey", "_mx", ZBITS)
+    py = grid_coord_sql("l_suppkey", "_my", ZBITS)
+    zb = morton_sql(px, py, ZBITS)
+    lin = grid_coord_sql("l_partkey", "_mx", 2 * ZBITS)
+
+    def rect(p: int) -> tuple[str, str, str, str]:
+        return (
+            f"({p % 2}) * ((_mx + 1) div 2)",
+            f"({p % 2} + 1) * ((_mx + 1) div 2) - 1",
+            f"({p // 2}) * ((_my + 1) div 2)",
+            f"({p // 2} + 1) * ((_my + 1) div 2) - 1",
+        )
+
+    match_flags = []
+    for p in range(N_PROBES):
+        xlo, xhi, ylo, yhi = rect(p)
+        match_flags.append(
+            f"CAST(COALESCE(l_partkey BETWEEN ({xlo}) AND ({xhi}) "
+            f"AND l_suppkey BETWEEN ({ylo}) AND ({yhi}), FALSE) "
+            f"AS INT) AS m{p}"
+        )
+    comp = (
+        li.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            f"CAST({zb} AS BIGINT) AS zbucket",
+            f"CAST({lin} AS BIGINT) AS lbucket",
+            "CAST(l_partkey AS BIGINT) AS _x",
+            "CAST(l_suppkey AS BIGINT) AS _y",
+            *match_flags,
+        )
+        .groupBy("zbucket", "lbucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_x").alias("min_x"),
+            F.max("_x").alias("max_x"),
+            F.min("_y").alias("min_y"),
+            F.max("_y").alias("max_y"),
+            *[
+                F.sum(f"m{p}").cast("long").alias(f"m{p}")
+                for p in range(N_PROBES)
+            ],
+        )
+        .localCheckpoint()  # <= 4096 rows; read 3x below
+    )
+    probes = (
+        spark.range(N_PROBES)
+        .withColumnRenamed("id", "probe_id")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "probe_id",
+            "(probe_id % 2) * ((_mx + 1) div 2) AS xlo",
+            "((probe_id % 2) + 1) * ((_mx + 1) div 2) - 1 AS xhi",
+            "(probe_id div 2) * ((_my + 1) div 2) AS ylo",
+            "((probe_id div 2) + 1) * ((_my + 1) div 2) - 1 AS yhi",
+        )
+    )
+    overlap = F.coalesce(
+        ~(
+            (F.col("max_x") < F.col("xlo"))
+            | (F.col("min_x") > F.col("xhi"))
+            | (F.col("max_y") < F.col("ylo"))
+            | (F.col("min_y") > F.col("yhi"))
+        ),
+        F.lit(False),
+    )
+
+    def scan_cost(bucket_col: str, prefix: str) -> DataFrame:
+        stats = comp.groupBy(bucket_col).agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("min_x").alias("min_x"),
+            F.max("max_x").alias("max_x"),
+            F.min("min_y").alias("min_y"),
+            F.max("max_y").alias("max_y"),
+        )
+        return (
+            stats.crossJoin(F.broadcast(probes))
+            .groupBy("probe_id")
+            .agg(
+                F.sum(F.when(overlap, 1).otherwise(0))
+                .cast("long")
+                .alias(f"{prefix}_files_scanned"),
+                F.coalesce(
+                    F.sum(F.when(overlap, F.col("n_rows"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"{prefix}_rows_scanned"),
+            )
+        )
+
+    zs = scan_cost("zbucket", "z")
+    ls = scan_cost("lbucket", "lin")
+    ex = comp.selectExpr(
+        "stack("
+        + str(N_PROBES)
+        + ", "
+        + ", ".join(f"CAST({p} AS BIGINT), m{p}" for p in range(N_PROBES))
+        + ") AS (probe_id, m)"
+    ).groupBy("probe_id").agg(
+        F.sum("m").cast("long").alias("n_rows_matched")
+    )
+    return (
+        zs.join(ls, "probe_id")
+        .join(ex, "probe_id", "left")
+        .select(
+            "probe_id",
+            "z_files_scanned",
+            "z_rows_scanned",
+            "lin_files_scanned",
+            "lin_rows_scanned",
+            F.coalesce(F.col("n_rows_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_rows_matched"),
+        )
+        .transform(ordered, "probe_id")
+    )

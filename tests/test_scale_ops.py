@@ -1,0 +1,203 @@
+"""Unit tests for the round-6 scale-infrastructure operators:
+count-min sketch, bit-packed Bloom filter, Z-order layout, and SQ8
+scalar quantization — the guarantees each structure advertises
+(one-sided CMS error, zero Bloom false negatives, Morton locality,
+SQ8 code range) verified directly, independent of the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+)
+from nbody6_data_pipeline_spark.operators.similarity import (
+    _quantize,
+    sq8_bounds,
+    sq8_codes,
+)
+from nbody6_data_pipeline_spark.operators.sketch import (
+    CMS_D,
+    CMS_W,
+    cms_counters,
+    cms_estimates,
+)
+from nbody6_data_pipeline_spark.operators.zorder import (
+    ZBITS,
+    morton_sql,
+    zorder_bucket_stats,
+)
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_one_sided_and_exact_totals(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counters = cms_counters(e, F.col("user_id"))
+    # grid accounts for every input row, D times
+    total = counters.agg(F.sum("cnt")).collect()[0][0]
+    assert total == e.count() * CMS_D
+    # grid never exceeds D * W cells (+ up to D NULL-bucket cells)
+    assert counters.count() <= CMS_D * (CMS_W + 1)
+    keys = e.select("user_id").distinct().filter(F.col("user_id") < 40)
+    est = cms_estimates(counters, keys, "user_id")
+    exact = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    joined = est.join(exact, "user_id").collect()
+    assert len(joined) == keys.count()
+    for r in joined:  # the CMS guarantee: estimate >= truth, always
+        assert r["cms_est"] >= r["c"]
+
+
+def test_cms_counters_merge_and_partitioning_independent(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in cms_counters(e, F.col("user_id")).collect()
+    }
+    # partitioning independence
+    repart = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in cms_counters(e.repartition(7), F.col("user_id")).collect()
+    }
+    assert whole == repart
+    # shard merge = counter-wise addition
+    lo = cms_counters(e.filter(F.col("event_id") % 2 == 0), F.col("user_id"))
+    hi = cms_counters(e.filter(F.col("event_id") % 2 == 1), F.col("user_id"))
+    merged: dict = {}
+    for r in lo.collect() + hi.collect():
+        key = (r["row_i"], r["bucket"])
+        merged[key] = merged.get(key, 0) + r["cnt"]
+    assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words, nb = bloom_build(cust, "c_custkey")
+    # every member passes: zero false negatives by construction
+    members = bloom_probe(
+        cust.withColumnRenamed("c_custkey", "k"), "k", words, nb
+    )
+    assert members.filter(~F.col("bloom_pass")).count() == 0
+    # non-members pass at roughly the design rate (~3.1% at 8 bits/key;
+    # assert a loose upper bound, not the exact rate)
+    non = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") != "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    probed = bloom_probe(non, "k", words, nb)
+    n = probed.count()
+    fp = probed.filter(F.col("bloom_pass")).count()
+    assert fp / max(n, 1) < 0.15
+    # the filter is genuinely compressed: word count <= nb/62 + 1
+    nbits = nb.collect()[0]["nb"]
+    assert words.count() <= nbits // 62 + 1
+
+
+def test_bloom_null_key_fails_probe(spark):
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    words, nb = bloom_build(keys, "k")
+    probe = spark.createDataFrame([(1,), (None,)], "k long")
+    rows = {
+        r["k"]: r["bloom_pass"]
+        for r in bloom_probe(probe, "k", words, nb).collect()
+    }
+    assert rows[1] is True
+    assert rows[None] is False
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_morton_sql_matches_python_interleave(spark):
+    # cross-check the generated arithmetic against a bit-twiddling
+    # reference implementation over the full 16x16 grid
+    def ref(px, py):
+        m = 0
+        for b in range(ZBITS):
+            m |= ((px >> b) & 1) << (2 * b)
+            m |= ((py >> b) & 1) << (2 * b + 1)
+        return m
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "px int, py int"
+    )
+    got = grid.selectExpr(
+        "px", "py", f"({morton_sql('px', 'py')}) AS m"
+    ).collect()
+    for r in got:
+        assert r["m"] == ref(r["px"], r["py"]), (r["px"], r["py"])
+
+
+def test_zorder_stats_partition_rows_exactly(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    stats = zorder_bucket_stats(li, "l_partkey", "l_suppkey")
+    rows = stats.collect()
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["bucket"] < (1 << (2 * ZBITS))
+        assert r["min_x"] <= r["max_x"] and r["min_y"] <= r["max_y"]
+        # Morton buckets are axis-aligned rectangles of the grid: each
+        # bucket's value range spans at most one grid cell per axis
+        # (grid cell width = (max+1) / 2^bits, rows within a bucket
+        # share the same cell on both axes by construction)
+
+
+def test_zorder_beats_linear_on_2d_predicate(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    mxr = li.agg(
+        F.max("l_partkey").alias("mx"), F.max("l_suppkey").alias("my")
+    ).collect()[0]
+    stats = zorder_bucket_stats(li, "l_partkey", "l_suppkey").collect()
+    # probe = the low quadrant of both keys
+    xhi, yhi = mxr["mx"] // 2, mxr["my"] // 2
+    z_rows = sum(
+        r["n_rows"]
+        for r in stats
+        if not (r["min_x"] > xhi or r["max_y"] < 0 or r["min_y"] > yhi)
+    )
+    total = sum(r["n_rows"] for r in stats)
+    # Z-order confines the quadrant to ~1/4 of the data; a partkey-only
+    # sort would have to scan ~1/2 (every suppkey for low partkeys)
+    assert z_rows < total * 0.4
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_codes_in_range_and_deterministic(spark, sf_dir):
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    )
+    codes = sq8_codes(e, sq8_bounds(e))
+    stats = codes.selectExpr(
+        "array_min(code) AS lo", "array_max(code) AS hi"
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+    # partitioning independence (bounds are exact MIN/MAX)
+    again = sq8_codes(e.repartition(5), sq8_bounds(e.repartition(3)))
+    a = {r["vec_id"]: r["code"] for r in codes.select("vec_id", "code").collect()}
+    b = {r["vec_id"]: r["code"] for r in again.select("vec_id", "code").collect()}
+    assert a == b
