@@ -79,6 +79,8 @@ _DRIVER_PRIORITY = [
     "embedding_sq8_topk",
     "orders_bloom_prune",
     "lineitem_zorder_skipping",
+    "lineitem_grid_quantiles",
+    "doc_bm25_topk",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

@@ -19,6 +19,13 @@ DuckDB oracle replaying the identical integer construction.
   layout vs a single-column-sorted layout, scored by how many
   bucket-level min/max "file stats" each layout lets a 2-D range
   predicate skip — the OPTIMIZE ZORDER effect, measured.
+- lineitem_grid_quantiles: mergeable fixed-grid histogram quantiles —
+  the bounded-shuffle alternative to exact percentiles (integer bin
+  counts sum across shards/streams; the quantile bracket is exact
+  integer arithmetic over the cumulative histogram).
+- doc_bm25_topk: BM25 inverted-index retrieval over the corpus with
+  in-plan df/idf/length-normalization statistics and deterministic
+  top-k ranking — the retrieval-side primitive of an LLM data stack.
 
 No reference analogue (the reference is a single-node pandas
 pipeline); these extend the sketch/ANN/dedup north-star families.
@@ -619,4 +626,267 @@ def q_lineitem_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_rows_matched"),
         )
         .transform(ordered, "probe_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable grid-histogram quantiles
+# ---------------------------------------------------------------------------
+
+GRID_BIN = 100  # histogram bin width over l_extendedprice
+GRID_QS = (5000, 9000, 9900)  # quantiles in basis points: p50, p90, p99
+
+
+def _grid_quantile_oracle() -> str:
+    qs = ", ".join(f"({q})" for q in GRID_QS)
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / {GRID_BIN}.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, bin, n,
+             SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    t AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS total
+          FROM h GROUP BY 1),
+    q AS (SELECT * FROM (VALUES {qs}) v(q_bp)),
+    hit AS (
+      SELECT c.l_returnflag, q.q_bp, c.bin, c.cum, t.total,
+        ROW_NUMBER() OVER (PARTITION BY c.l_returnflag, q.q_bp
+          ORDER BY c.bin) AS rn
+      FROM c JOIN t ON c.l_returnflag IS NOT DISTINCT FROM t.l_returnflag, q
+      WHERE c.cum * 10000 >= q.q_bp * t.total
+    )
+    SELECT l_returnflag, CAST(q_bp AS BIGINT) AS q_bp, bin,
+           CAST(bin * {GRID_BIN} AS BIGINT) AS lo,
+           CAST(bin * {GRID_BIN} + {GRID_BIN} - 1 AS BIGINT) AS hi,
+           CAST(cum AS BIGINT) AS cum_n, total AS total_n
+    FROM hit WHERE rn = 1
+    ORDER BY l_returnflag NULLS LAST, q_bp
+    """
+
+
+@register("lineitem_grid_quantiles", _grid_quantile_oracle())
+def q_lineitem_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag p50/p90/p99 price quantiles from a mergeable fixed-grid
+    histogram — the bounded-shuffle quantile shape for 100 TB.
+
+    An exact percentile needs a full sort (or a driver-merged sketch
+    with engine-specific float internals); the grid histogram is ONE
+    map-side-combined aggregation whose group count is bounded by
+    |flags| * |bins| no matter the row count, merges across
+    shards/days/streams by adding bin counts, and answers any
+    quantile afterwards by scanning the cumulative histogram — here
+    with pure integer arithmetic (cum * 10000 >= q_bp * total avoids
+    ceil/rounding entirely). Output is the quantile BRACKET
+    [lo, hi] (bin bounds, exact integers): the true percentile
+    provably lies inside, giving a certified max error of one bin
+    width. tests/test_scale_ops.py asserts the containment against
+    exact percentiles."""
+    li = _t(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    h = li.groupBy(
+        "l_returnflag",
+        F.expr(
+            f"CAST(floor(l_extendedprice / {GRID_BIN}.0) AS BIGINT)"
+        ).alias("bin"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = h.select("*", F.sum("n").over(wcum).alias("cum"))
+    t = h.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    qs = spark.createDataFrame([(q,) for q in GRID_QS], "q_bp long")
+    hit = (
+        c.join(t, ["l_returnflag"])
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 10000 >= F.col("q_bp") * F.col("total"))
+    )
+    wfirst = W.partitionBy("l_returnflag", "q_bp").orderBy("bin")
+    return (
+        hit.select("*", F.row_number().over(wfirst).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("q_bp").cast("long").alias("q_bp"),
+            "bin",
+            (F.col("bin") * GRID_BIN).cast("long").alias("lo"),
+            (F.col("bin") * GRID_BIN + GRID_BIN - 1).cast("long").alias("hi"),
+            F.col("cum").cast("long").alias("cum_n"),
+            F.col("total").alias("total_n"),
+        )
+        .transform(ordered, "l_returnflag", "q_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 inverted-index retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOPK = 10
+BM25_NQ = 3  # three two-term queries from the top-6 corpus terms
+
+# ONE formula template rendered into BOTH engines' SQL so the
+# floating-point expression tree (parenthesization, literal text,
+# operation order) is token-identical — the only non-shared op is ln,
+# absorbed by the final q6 quantization.
+_BM25_TERM_SCORE = (
+    "ln(({N} - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+    " * ({tf} * ({k1} + 1.0))"
+    " / ({tf} + {k1} * (1.0 - {b} + {b} * {dl} / {avgdl}))"
+)
+
+
+def _bm25_oracle() -> str:
+    score = _BM25_TERM_SCORE.format(
+        N="n.n_docs",
+        df="dfs.df",
+        tf="tf.tf",
+        dl="dl.dl",
+        avgdl="(n.sdl / n.n_docs)",
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(text, '\\s+'), x -> x != '')) AS token
+      FROM d
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(dl AS DECIMAL(30,4))) AS DOUBLE) AS sdl
+          FROM dl),
+    dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+            FROM tf GROUP BY 1),
+    top6 AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+      FROM tot QUALIFY rn <= {2 * BM25_NQ}
+    ),
+    qt AS (SELECT (rn - 1) % {BM25_NQ} AS query_id, token FROM top6),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id, {score} AS s
+      FROM qt
+      JOIN tf USING (token)
+      JOIN dfs USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id, n
+    ),
+    agg AS (SELECT query_id, doc_id, SUM(s) AS score
+            FROM sc GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, doc_id,
+             CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_q6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                        doc_id) AS rnk
+      FROM agg
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+           doc_id, score_q6
+    FROM r WHERE rnk <= {BM25_TOPK}
+    ORDER BY query_id, rnk
+    """
+
+
+@register("doc_bm25_topk", _bm25_oracle())
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for three derived two-term queries, fully
+    in-plan: inverted index (tf), document lengths, df/idf and the
+    exact-decimal average document length are each one hash
+    aggregation; queries are the corpus' top-6 terms paired 1+4 / 2+5
+    / 3+6 (deterministic: ties break on the token), so the whole
+    run — index build, query selection, scoring, ranking — is a pure
+    function of the corpus replayed by the oracle. Scoring shares a
+    single formula template with the DuckDB SQL (same literal text,
+    same parenthesization) so every IEEE multiply/divide matches
+    bitwise; the ln() idf is the one libm-sensitive op, absorbed by
+    q6 fixed-point quantization of the final score. At 100 TB the
+    shuffles are the standard retrieval shapes: tf keyed by (doc,
+    term), postings joined only for the |queries| * df matching rows,
+    top-k per query via a bounded window."""
+    from nbody6_data_pipeline_spark.operators.text import token_array
+
+    d = (
+        _t(spark, sf_dir, "documents", spread=True)
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    toks = d.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    # localCheckpoint: tf feeds four branches (dl via toks is separate,
+    # dfs, tot/top6, and the scoring join) — cut the re-tokenization
+    tf = tf.localCheckpoint()
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(30,4)")).cast("double").alias("sdl"),
+    )
+    dfs = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    tot = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cnt"))
+    wtop = W.orderBy(F.col("cnt").desc(), "token")
+    qt = (
+        tot.select("token", F.row_number().over(wtop).alias("rn"))
+        .filter(F.col("rn") <= 2 * BM25_NQ)
+        .select(
+            ((F.col("rn") - 1) % BM25_NQ).cast("long").alias("query_id"),
+            "token",
+        )
+    )
+    score = _BM25_TERM_SCORE.format(
+        N="n_docs",
+        df="df",
+        tf="tf",
+        dl="dl",
+        avgdl="(sdl / n_docs)",
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+    sc = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfs.join(F.broadcast(qt), "token").select("token", "df")), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("query_id", "doc_id", f"{score} AS s")
+    )
+    agg = sc.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    wrnk = W.partitionBy("query_id").orderBy(
+        F.expr("CAST(floor(score * 1000000 + 0.5) AS BIGINT)").desc(),
+        "doc_id",
+    )
+    return (
+        agg.select(
+            "query_id",
+            "doc_id",
+            F.expr("CAST(floor(score * 1000000 + 0.5) AS BIGINT)").alias(
+                "score_q6"
+            ),
+            F.row_number().over(wrnk).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "query_id", F.col("rnk").cast("long").alias("rnk"),
+            "doc_id", "score_q6",
+        )
+        .transform(ordered, "query_id", "rnk")
     )

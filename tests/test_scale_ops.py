@@ -201,3 +201,82 @@ def test_sq8_codes_in_range_and_deterministic(spark, sf_dir):
     a = {r["vec_id"]: r["code"] for r in codes.select("vec_id", "code").collect()}
     b = {r["vec_id"]: r["code"] for r in again.select("vec_id", "code").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Grid-histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_grid_quantile_bracket_contains_exact_percentile(spark, sf_dir):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["lineitem_grid_quantiles"]["spark"](
+        spark, sf_dir
+    ).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    import math
+
+    for r in rows:
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(
+                F.col("l_returnflag") == r["l_returnflag"]
+            ).collect()
+            if x["l_extendedprice"] is not None
+        )
+        # the bracket must contain the exact lower-interpolation
+        # percentile: first value v with rank >= ceil(q * n)
+        idx = max(math.ceil(r["q_bp"] / 10000 * len(vals)) - 1, 0)
+        exact = vals[idx]
+        assert r["lo"] <= exact <= r["hi"] + 1, (r, exact)
+        assert r["cum_n"] >= math.ceil(r["q_bp"] / 10000 * r["total_n"])
+
+
+def test_grid_histogram_merges_across_shards(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+
+    def hist(df):
+        return {
+            (r["l_returnflag"], r["bin"]): r["n"]
+            for r in df.groupBy(
+                "l_returnflag",
+                F.expr(
+                    "CAST(floor(l_extendedprice / 100.0) AS BIGINT)"
+                ).alias("bin"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    whole = hist(li)
+    lo = hist(li.filter(F.col("l_orderkey") % 2 == 0))
+    hi = hist(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged: dict = {}
+    for k, v in list(lo.items()) + list(hi.items()):
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_are_dense_and_scores_monotone(spark, sf_dir):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["doc_bm25_topk"]["spark"](spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_q6"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # top-k docs are distinct
+        assert len({r["doc_id"] for r in rs}) == len(rs)
