@@ -20,6 +20,13 @@ No reference analogue (single-node pandas has no file layout); this is
 a north-star scale extension: at 100 TB the bucket id is the column to
 ``repartitionByRange`` / write-partition on, and the emitted per-bucket
 stats ARE the skipping index a scan planner consults.
+
+Relationship to ``plans/layout.write_zordered``: that module is the
+WRITER (float min-max normalization is fine when the key only orders a
+range shuffle, and tests verify pruning via input_file_name); this
+module is the cross-engine AUDIT — all-integer bucket math so the
+layout decision itself is hash-checkable against an independent SQL
+engine, which a float normalize cannot guarantee bitwise.
 """
 
 from __future__ import annotations

@@ -81,6 +81,8 @@ _DRIVER_PRIORITY = [
     "lineitem_zorder_skipping",
     "lineitem_grid_quantiles",
     "doc_bm25_topk",
+    "streaming_cms_freq",
+    "doc_minhash_jaccard_estimate",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

@@ -1526,3 +1526,97 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_cells(cells, SEMDEDUP_THETA).transform(
         ordered, "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash similarity ESTIMATION vs exact Jaccard (sketch calibration)
+# ---------------------------------------------------------------------------
+
+
+def _mh_est_oracle() -> str:
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        MINHASH_A,
+        NUM_HASHES,
+    )
+
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(len(MINHASH_A))
+    )
+    # This oracle references sig 6x (4 band branches x 2 join sides of
+    # the pair expansion, plus sa/sb): force one evaluation — DuckDB
+    # 1.0 inlines plain CTEs, re-running the shingle minhash per
+    # reference (measured 52 s -> ~4 s at sf0.1). Derived from the
+    # SHARED _DD_SIG prefix by a marker rewrite so the construction
+    # cannot drift from the other minhash oracles.
+    sig_materialized = _DD_SIG.replace("sig AS (", "sig AS MATERIALIZED (")
+    assert sig_materialized != _DD_SIG
+    return f"""
+    WITH {sig_materialized},
+    {_DD_PAIRS},
+    shing AS MATERIALIZED (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           CAST({agree} AS BIGINT) AS sig_agree,
+           CAST({agree} AS DOUBLE) / {NUM_HASHES}.0 AS est_jaccard,
+           CAST(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(ha.shingles, hb.shingles)))
+             AS jaccard
+    FROM pairs p
+    JOIN sig sa ON p.doc_a = sa.doc
+    JOIN sig sb ON p.doc_b = sb.doc
+    JOIN shing ha ON p.doc_a = ha.doc_id
+    JOIN shing hb ON p.doc_b = hb.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("doc_minhash_jaccard_estimate", _mh_est_oracle())
+def q_doc_minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of agreeing signature
+    components — the unbiased estimator the banding scheme's
+    collision probabilities derive from) side by side with the exact
+    shingle Jaccard. This is the measurement that justifies replacing
+    exact pairwise verification with signature agreement at 100 TB
+    (12 longs per doc vs the full shingle sets): the sketch-estimate
+    column costs one tiny join of (id, 12 longs) rows while the exact
+    column needs the verify-stage shingle arrays. All arithmetic is
+    either integer (agreement count) or a single IEEE division —
+    bit-exact cross-engine without quantization."""
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        NUM_HASHES,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, F.col("text"), "doc_id")
+    pairs = lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id"))
+    agree = sum(
+        F.when(F.col(f"a.mh_{j}") == F.col(f"b.mh_{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+    est = (
+        pairs.join(sig.alias("a"), F.col("doc_a") == F.col("a.doc"))
+        .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("long").alias("sig_agree"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.col("sig_agree").cast("double") / F.lit(float(NUM_HASHES)),
+        )
+    )
+    exact = jaccard_verify(pairs, d, F.col("text"), "doc_id")
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "sig_agree", "est_jaccard", "jaccard")
+        .transform(ordered, "doc_a", "doc_b")
+    )

@@ -834,9 +834,11 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").cast("long").alias("tf")
     )
-    # localCheckpoint: tf feeds four branches (dl via toks is separate,
-    # dfs, tot/top6, and the scoring join) — cut the re-tokenization
-    tf = tf.localCheckpoint()
+    # tf feeds three branches (dfs, top6 terms, scoring join); the
+    # repeated tokenize+count is cheaper than a localCheckpoint
+    # materialization barrier (measured 2.9 s vs 6.5 s first-run at
+    # sf0.1 — the barrier also blocks AQE from coalescing the probe
+    # side). At 100 TB persist(DISK_ONLY) on tf would be the knob.
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     n = dl.agg(
         F.count("*").cast("long").alias("n_docs"),

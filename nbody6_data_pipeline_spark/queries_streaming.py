@@ -416,3 +416,146 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "window_start_us", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed count-min sketch maintained as a stream
+# ---------------------------------------------------------------------------
+
+_CMS_STREAM_QK = 8  # fixed query keys: user_id < 8
+
+_CMS_MD5 = (
+    "CAST(('0x' || substring(md5(CAST({i} AS VARCHAR) || ':' || "
+    "CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _streaming_cms_oracle() -> str:
+    from nbody6_data_pipeline_spark.operators.sketch import CMS_D, CMS_W
+
+    h = _CMS_MD5.format(i="i")
+    return f"""
+    WITH hr AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i),
+    cells AS (
+      SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS wus,
+             i, {h} % {CMS_W} AS bucket
+      FROM events, hr
+    ),
+    counters AS (
+      SELECT wus, i, bucket, COUNT(*) AS cnt
+      FROM cells GROUP BY wus, i, bucket
+    ),
+    qk AS (
+      SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS wus,
+             user_id, COUNT(*) AS exact_cnt
+      FROM events WHERE user_id < {_CMS_STREAM_QK}
+      GROUP BY wus, user_id
+    ),
+    probes AS (
+      SELECT wus, user_id, exact_cnt, i, {h} % {CMS_W} AS bucket
+      FROM qk, hr
+    ),
+    est AS (
+      SELECT p.wus, p.user_id, p.exact_cnt,
+             CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+      FROM probes p
+      JOIN counters c
+        ON p.wus = c.wus AND p.i = c.i AND p.bucket = c.bucket
+      GROUP BY p.wus, p.user_id, p.exact_cnt
+    )
+    SELECT wus AS window_start_us, user_id, exact_cnt, cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY window_start_us, user_id
+    """
+
+
+@register("streaming_cms_freq", _streaming_cms_oracle())
+def q_streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window count-min sketch maintained AS A STREAM: the
+    stateful operator is an ordinary watermarked COUNT keyed on
+    (window, hash_row, bucket) — CMS cells are counters, so streaming
+    state is bounded at D * W small integers per window however many
+    events flow through, and late events merge by increment (the
+    counter-addition mergeability of the sketch is exactly
+    micro-batch semantics). The streaming complement of the batch
+    `events_cms_freq`: the sink's counter grid feeds per-window
+    frequency estimates for the fixed key set user_id < 8, joined
+    against exact per-window counts — the one-sided CMS guarantee
+    (overcount >= 0) holds per window and is hash-checked by the
+    batch SQL replay."""
+    from nbody6_data_pipeline_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_hash,
+    )
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    cells = stream.withWatermark("event_time", "365 days").select(
+        F.window("event_time", "6 hours").alias("w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (cms_hash(i, F.col("user_id")) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    )
+    counters = cells.groupBy("w", "c.row_i", "c.bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    out = run_stream_to_memory(spark, counters, name=_unique_sink())
+    grid = out.select(
+        F.unix_micros(F.col("w.start")).alias("wus"), "row_i", "bucket", "cnt"
+    )
+    from nbody6_data_pipeline_spark.queries import event_us
+
+    ev = _t(spark, sf_dir, "events")
+    qk = (
+        ev.filter(F.col("user_id") < _CMS_STREAM_QK)
+        .select("user_id", event_us(ev).alias("us"))
+        .groupBy(
+            F.expr(f"(us div {_WINDOW_US}) * {_WINDOW_US}").alias("wus"),
+            "user_id",
+        )
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    probes = qk.select(
+        "wus",
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (cms_hash(i, F.col("user_id")) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("wus", "user_id", "exact_cnt", "c.row_i", "c.bucket")
+    return (
+        probes.join(F.broadcast(grid), ["wus", "row_i", "bucket"])
+        .groupBy("wus", "user_id", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .select(
+            F.col("wus").alias("window_start_us"),
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .transform(ordered, "window_start_us", "user_id")
+    )

@@ -280,3 +280,35 @@ def test_bm25_ranks_are_dense_and_scores_monotone(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         # top-k docs are distinct
         assert len({r["doc_id"] for r in rs}) == len(rs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS + MinHash estimation guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_overcount_one_sided_per_window(spark, sf_dir):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["streaming_cms_freq"]["spark"](spark, sf_dir).collect()
+    assert rows, "no windows produced"
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"] >= 1, r
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_minhash_estimate_bounds_and_columns(spark, sf_dir):
+    from nbody6_data_pipeline_spark.operators.dedup import NUM_HASHES
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["doc_minhash_jaccard_estimate"]["spark"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "no candidate pairs at sf0.001"
+    for r in rows:
+        assert 0 <= r["sig_agree"] <= NUM_HASHES
+        assert abs(r["est_jaccard"] - r["sig_agree"] / NUM_HASHES) == 0.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        # LSH candidates here are near-dup shaped: the sketch estimate
+        # should be informative, not random — within 0.5 of truth
+        assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.5, r
