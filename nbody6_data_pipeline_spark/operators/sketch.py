@@ -1,8 +1,9 @@
 """Mergeable sketch operators for cardinality and frequency at scale.
 
-Three classic 100 TB primitives, all expressed so the *output is
+Four classic 100 TB primitives, all expressed so the *output is
 bit-exact across engines and partitionings* even though the data
-structures are "approximate":
+structures are "approximate" (KMV, the fourth, is defined at the
+bottom of this module):
 
 - HyperLogLog register construction (`hll_registers` /
   `hll_register_stats`): the registers themselves are deterministic
@@ -331,3 +332,93 @@ def cms_estimates(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+#
+# The distinct sketch that supports SET ALGEBRA, which HLL registers
+# cannot: keep the k smallest distinct hash values per set. Union =
+# k smallest of the merged sketches; Jaccard = fraction of the
+# union-k values present in both input sketches; intersection =
+# Jaccard x union estimate. Every retained value is an exact integer
+# (a content-addressed hash), so sketch CONTENTS are hash-comparable
+# cross-engine; only the final cardinality estimates are floats,
+# derived from the integer sufficient statistics.
+
+KMV_K = 128
+KMV_HASH_SPACE = 1 << 60  # the md5-long idiom yields 60-bit hashes
+
+
+def kmv_partition_prune(k: int = KMV_K):
+    """mapInPandas stage: per partition, keep the k smallest DISTINCT
+    hashes per group — the bounded-memory pre-aggregation that makes a
+    KMV build scale (the global k smallest of per-partition k-smallest
+    unions IS the global k smallest; duplicates of non-kept values are
+    >= the kept maximum and can never enter the global sketch).
+    Output is <= |groups| * k rows per partition however many rows
+    stream through. Expects columns (grp string, hv long)."""
+    import heapq
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kept: dict[str, list[int]] = {}  # grp -> max-heap (negated)
+        members: dict[str, set[int]] = {}
+        for pdf in batches:
+            for grp, hv in zip(pdf["grp"], pdf["hv"]):
+                if hv is None or pd.isna(hv):
+                    continue
+                hv = int(hv)
+                heap = kept.setdefault(grp, [])
+                mem = members.setdefault(grp, set())
+                if hv in mem:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -hv)
+                    mem.add(hv)
+                elif hv < -heap[0]:
+                    out = -heapq.heappushpop(heap, -hv)
+                    mem.discard(out)
+                    mem.add(hv)
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, hs in kept.items() for _ in hs],
+                "hv": [-h for hs in kept.values() for h in hs],
+            }
+        )
+
+    return run
+
+
+def kmv_sketches(
+    pairs: DataFrame, grp_col: str, hv_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(grp, hv, rn<=k) sketch rows: the k smallest distinct hashes
+    per group. Pipeline: per-partition bounded prune (mapInPandas) ->
+    distinct (now <= |groups| * k * n_partitions rows) -> one window
+    for the global rank. The big input never shuffles; only pruned
+    candidates do."""
+    from pyspark.sql import Window as W
+
+    pre = pairs.select(
+        F.col(grp_col).cast("string").alias("grp"),
+        F.col(hv_col).cast("long").alias("hv"),
+    ).mapInPandas(kmv_partition_prune(k), schema="grp string, hv long")
+    wk = W.partitionBy("grp").orderBy("hv")
+    return (
+        pre.distinct()
+        .select("grp", "hv", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(n_kept: int, kth_hash: int, k: int) -> float:
+    """Driver-side distinct-count estimate from the integer stats:
+    (k - 1) * HASH_SPACE / kth_hash when the sketch is full, else the
+    exact kept count (sketch holds the whole set)."""
+    if n_kept < k:
+        return float(n_kept)
+    return (k - 1) * KMV_HASH_SPACE / kth_hash

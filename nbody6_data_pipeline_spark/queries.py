@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "doc_bm25_topk",
     "streaming_cms_freq",
     "doc_minhash_jaccard_estimate",
+    "events_kmv_setops",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

@@ -892,3 +892,261 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_AKEY = "user_id * 4096 + ((us div 86400000000) % 4096)"  # user-day activity
+_AKEY_SQL = "user_id * 4096 + ((epoch_us(ts) // 86400000000) % 4096)"
+
+
+def _kmv_oracle() -> str:
+    from nbody6_data_pipeline_spark.operators.sketch import KMV_K
+
+    h = (
+        "CAST(('0x' || substring(md5(CAST(akey AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT event_type, {_AKEY_SQL} AS akey
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    hv AS (SELECT DISTINCT event_type, {h} AS hv FROM base),
+    sk AS (
+      SELECT event_type, hv,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM hv QUALIFY rn <= {KMV_K}
+    ),
+    tp AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM base) a
+      JOIN (SELECT DISTINCT event_type FROM base) b
+        ON a.event_type < b.event_type
+    ),
+    mu AS (
+      SELECT DISTINCT ta, tb, hv FROM (
+        SELECT tp.ta, tp.tb, s.hv FROM tp JOIN sk s ON s.event_type = tp.ta
+        UNION ALL
+        SELECT tp.ta, tp.tb, s.hv FROM tp JOIN sk s ON s.event_type = tp.tb
+      )
+    ),
+    uk AS (
+      SELECT ta, tb, hv,
+        ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM mu QUALIFY rn <= {KMV_K}
+    ),
+    mem AS (
+      SELECT uk.ta, uk.tb, uk.hv,
+        COALESCE(sa.hv IS NOT NULL, FALSE) AS in_a,
+        COALESCE(sb.hv IS NOT NULL, FALSE) AS in_b
+      FROM uk
+      LEFT JOIN sk sa ON sa.event_type = uk.ta AND sa.hv = uk.hv
+      LEFT JOIN sk sb ON sb.event_type = uk.tb AND sb.hv = uk.hv
+    ),
+    sks AS (
+      SELECT ta AS type_a, tb AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS n_union_k,
+        CAST(MAX(hv) AS BIGINT) AS kth_union_hv,
+        CAST(COUNT(*) FILTER (WHERE in_a AND in_b) AS BIGINT) AS n_both
+      FROM mem GROUP BY ta, tb
+    ),
+    ex AS (SELECT event_type, COUNT(*) AS exact_n FROM base GROUP BY 1),
+    exi AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+      FROM base a JOIN base b
+        ON a.akey = b.akey AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b, CAST({KMV_K} AS BIGINT) AS kmv_k,
+           s.n_union_k, s.kth_union_hv, s.n_both,
+           xa.exact_n AS exact_a, xb.exact_n AS exact_b,
+           COALESCE(xi.n, 0) AS exact_common
+    FROM sks s
+    JOIN ex xa ON xa.event_type = s.type_a
+    JOIN ex xb ON xb.event_type = s.type_b
+    LEFT JOIN exi xi ON xi.ta = s.type_a AND xi.tb = s.type_b
+    ORDER BY s.type_a, s.type_b
+    """
+
+
+@register("events_kmv_setops", _kmv_oracle())
+def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches over per-type user-day
+    activity sets, with SET OPERATIONS — the algebra HLL registers
+    cannot do. For every event-type pair: the union sketch (k smallest
+    of the merged k-minima), its kth hash (the union cardinality's
+    sufficient statistic), and the count of union-k values present in
+    BOTH input sketches (the Jaccard numerator; intersection estimate
+    = (n_both/k) x union estimate). Exact distinct counts ride along
+    for calibration.
+
+    Scale shape (operators/sketch.kmv_sketches): a bounded-memory
+    per-partition prune (k smallest distinct per group via
+    mapInPandas — the global k-minima of per-partition k-minima ARE
+    the global k-minima) means the raw event stream never shuffles;
+    only <= |types| * k * n_partitions candidate rows do. All sketch
+    contents are exact integer hashes, so the whole construction
+    hash-matches the SQL replay; float estimates derive driver-side
+    (kmv_estimate) and are accuracy-tested in test_scale_ops.py."""
+    from nbody6_data_pipeline_spark.operators.sketch import (
+        KMV_K,
+        hll_hash,
+        kmv_sketches,
+    )
+    from nbody6_data_pipeline_spark.queries import event_us
+
+    ev = _t(spark, sf_dir, "events", spread=True)
+    filt = (
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    withus = ev.filter(filt).select(
+        "event_type", event_us(ev).alias("us"), "user_id"
+    )
+    keyed = withus.selectExpr("event_type", f"{_AKEY} AS akey")
+    sk = kmv_sketches(
+        keyed.select("event_type", hll_hash(F.col("akey")).alias("hv")),
+        "event_type",
+        "hv",
+    ).withColumnRenamed("grp", "event_type")
+    types = keyed.select("event_type").distinct()
+    tp = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    mu = (
+        tp.join(
+            sk.alias("s"), F.col("s.event_type") == F.col("ta")
+        ).select("ta", "tb", "hv")
+        .unionByName(
+            tp.join(
+                sk.alias("s"), F.col("s.event_type") == F.col("tb")
+            ).select("ta", "tb", "hv")
+        )
+        .distinct()
+    )
+    wuk = W.partitionBy("ta", "tb").orderBy("hv")
+    uk = (
+        mu.select("ta", "tb", "hv", F.row_number().over(wuk).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    mem = (
+        uk.join(
+            F.broadcast(
+                sk.select(
+                    F.col("event_type").alias("ta"),
+                    F.col("hv").alias("hv"),
+                    F.lit(True).alias("_ina"),
+                )
+            ),
+            ["ta", "hv"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                sk.select(
+                    F.col("event_type").alias("tb"),
+                    F.col("hv").alias("hv"),
+                    F.lit(True).alias("_inb"),
+                )
+            ),
+            ["tb", "hv"],
+            "left",
+        )
+        .select(
+            "ta",
+            "tb",
+            "hv",
+            F.coalesce(F.col("_ina"), F.lit(False)).alias("in_a"),
+            F.coalesce(F.col("_inb"), F.lit(False)).alias("in_b"),
+        )
+    )
+    sks = mem.groupBy("ta", "tb").agg(
+        F.count("*").cast("long").alias("n_union_k"),
+        F.max("hv").cast("long").alias("kth_union_hv"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+    )
+    base = keyed.distinct()
+    ex = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    exi = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.akey") == F.col("b.akey"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        sks.select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.lit(KMV_K).cast("long").alias("kmv_k"),
+            "n_union_k",
+            "kth_union_hv",
+            "n_both",
+        )
+        .join(
+            F.broadcast(
+                ex.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("exact_n").alias("exact_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                ex.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("exact_n").alias("exact_b"),
+                )
+            ),
+            "type_b",
+        )
+        .join(
+            exi.select(
+                F.col("ta").alias("type_a"),
+                F.col("tb").alias("type_b"),
+                F.col("n").alias("exact_common"),
+            ),
+            ["type_a", "type_b"],
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "kmv_k",
+            "n_union_k",
+            "kth_union_hv",
+            "n_both",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("exact_common"), F.lit(0))
+            .cast("long")
+            .alias("exact_common"),
+        )
+        .transform(ordered, "type_a", "type_b")
+    )

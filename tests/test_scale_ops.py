@@ -312,3 +312,46 @@ def test_minhash_estimate_bounds_and_columns(spark, sf_dir):
         # LSH candidates here are near-dup shaped: the sketch estimate
         # should be informative, not random — within 0.5 of truth
         assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.5, r
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_partition_prune_equals_global_kmin(spark):
+    from nbody6_data_pipeline_spark.operators.sketch import kmv_sketches
+
+    rows = [(g, (h * 2654435761) % 1_000_003) for g in "ab" for h in range(500)]
+    df = spark.createDataFrame(rows, "grp string, hv long").repartition(7)
+    got = {
+        (r["grp"], r["rn"]): r["hv"]
+        for r in kmv_sketches(df, "grp", "hv", k=32).collect()
+    }
+    import itertools
+
+    for g in "ab":
+        expect = sorted({h for gg, h in rows if gg == g})[:32]
+        assert [got[(g, i + 1)] for i in range(32)] == expect
+
+
+def test_kmv_estimates_calibrated(spark, sf_dir):
+    from nbody6_data_pipeline_spark.operators.sketch import (
+        KMV_K,
+        kmv_estimate,
+    )
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["events_kmv_setops"]["spark"](spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 choose 2 type pairs
+    for r in rows:
+        true_union = r["exact_a"] + r["exact_b"] - r["exact_common"]
+        if r["n_union_k"] < KMV_K:
+            # sketch holds the whole union: exact by construction
+            assert r["n_union_k"] == true_union
+            continue
+        est_u = kmv_estimate(r["n_union_k"], r["kth_union_hv"], KMV_K)
+        assert abs(est_u - true_union) / true_union < 0.35, r
+        jac = r["n_both"] / KMV_K
+        true_jac = r["exact_common"] / true_union
+        assert abs(jac - true_jac) < 0.25, r

@@ -51,6 +51,10 @@ HEAVY = [
     "doc_bpe_learn",
     "doc_bpe_encode",
     "embedding_semantic_dedup",
+    # round 6
+    "doc_bm25_topk",
+    "doc_minhash_jaccard_estimate",
+    "embedding_sq8_topk",
 ]
 
 
