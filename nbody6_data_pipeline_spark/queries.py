@@ -84,6 +84,8 @@ _DRIVER_PRIORITY = [
     "streaming_cms_freq",
     "doc_minhash_jaccard_estimate",
     "events_kmv_setops",
+    "lineitem_cms_join_estimate",
+    "events_hll_rolling_distinct",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

@@ -1150,3 +1150,184 @@ def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: join-cardinality estimation from sketches
+# ---------------------------------------------------------------------------
+
+
+def _cms_join_oracle() -> str:
+    ho = _MD5_LONG.format(i="i", key="o_orderkey")
+    hl = _MD5_LONG.format(i="i", key="l_orderkey")
+    return f"""
+    WITH hr AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i),
+    co AS (
+      SELECT i, bucket, COUNT(*) AS cnt FROM (
+        SELECT i, {ho} % {CMS_W} AS bucket FROM orders, hr)
+      GROUP BY i, bucket
+    ),
+    cl AS (
+      SELECT i, bucket, COUNT(*) AS cnt FROM (
+        SELECT i, {hl} % {CMS_W} AS bucket FROM lineitem, hr)
+      GROUP BY i, bucket
+    ),
+    ip AS (
+      SELECT co.i, CAST(SUM(co.cnt * cl.cnt) AS BIGINT) AS dot
+      FROM co JOIN cl ON co.i = cl.i AND co.bucket = cl.bucket
+      GROUP BY co.i
+    ),
+    ex AS (
+      SELECT COUNT(*) AS true_join_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST({CMS_D} AS BIGINT) AS cms_d, CAST({CMS_W} AS BIGINT) AS cms_w,
+           CAST(MIN(ip.dot) AS BIGINT) AS est_join_rows,
+           CAST(MAX(ex.true_join_rows) AS BIGINT) AS true_join_rows,
+           CAST(MIN(ip.dot) - MAX(ex.true_join_rows) AS BIGINT) AS overcount
+    FROM ip, ex
+    """
+
+
+@register("lineitem_cms_join_estimate", _cms_join_oracle())
+def q_lineitem_cms_join_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the
+    optimizer-style primitive: |A join B on k| is estimated as the
+    CMS INNER PRODUCT min_i sum_b cntA[i][b] * cntB[i][b], computed
+    from two D x W counter grids without touching the join itself.
+    The estimate is one-sided (>= true size: every true match pair
+    collides in every hash row; extra collisions only add), integer
+    throughout, and costs two bounded-shuffle grid builds plus a
+    D*W-row join — vs actually executing a 100 TB fact-fact join to
+    learn its size. The exact join count rides along as calibration,
+    and overcount >= 0 is hash-checked by the oracle replay."""
+    o = _t(spark, sf_dir, "orders", spread=True)
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    co = cms_counters(o, F.col("o_orderkey"))
+    cl = cms_counters(li, F.col("l_orderkey"))
+    ip = (
+        co.join(cl.withColumnRenamed("cnt", "cnt_b"), ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("long").alias("dot"))
+    )
+    ex = o.join(li, o["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count("*").cast("long").alias("true_join_rows")
+    )
+    return (
+        ip.agg(F.min("dot").cast("long").alias("est_join_rows"))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(CMS_D).cast("long").alias("cms_d"),
+            F.lit(CMS_W).cast("long").alias("cms_w"),
+            "est_join_rows",
+            "true_join_rows",
+            (F.col("est_join_rows") - F.col("true_join_rows"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window HLL: sketch MERGE across daily sketches
+# ---------------------------------------------------------------------------
+
+HLL_ROLL_DAYS = 7
+
+
+def _hll_rolling_oracle() -> str:
+    from nbody6_data_pipeline_spark.operators.sketch import HLL_M
+
+    return f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    daily AS (
+      SELECT day, hv % {HLL_M} AS bucket,
+        MAX(CASE WHEN hv // {HLL_M} = 0 THEN 52
+                 ELSE strpos(lpad(bin(hv // {HLL_M}), 51, '0'), '1') END)
+          AS reg
+      FROM h GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    merged AS (
+      SELECT d.day, r.bucket, MAX(r.reg) AS reg
+      FROM days d
+      JOIN daily r ON r.day BETWEEN d.day - {HLL_ROLL_DAYS - 1} AND d.day
+      GROUP BY d.day, r.bucket
+    )
+    SELECT day,
+      CAST(COUNT(*) AS BIGINT) AS used_registers,
+      CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers,
+      CAST(SUM(reg) AS BIGINT) AS sum_rank
+    FROM merged GROUP BY day
+    ORDER BY day
+    """
+
+
+@register("events_hll_rolling_distinct", _hll_rolling_oracle())
+def q_events_hll_rolling_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed by MERGING
+    daily HLL sketches — the operation mergeable sketches exist for:
+    daily register tables are built once (one bounded aggregation,
+    state <= 512 ints per day), and ANY trailing window then derives
+    by register-wise MAX over the window's days — no re-scan of the
+    raw events, no 7x fan-out of the event stream. At 100 TB this is
+    the difference between storing tiny daily sketches and re-running
+    COUNT(DISTINCT) over a week of raw data per report day. The
+    register merge is a ~|days| x 512-row join, exact integers,
+    hash-checked against the SQL replay; the float estimate derives
+    driver-side (hll_estimate_from_registers) as for the other HLL
+    queries."""
+    from nbody6_data_pipeline_spark.operators.sketch import (
+        HLL_M,
+        hll_bucket_rank,
+    )
+    from nbody6_data_pipeline_spark.queries import event_us
+
+    ev = _t(spark, sf_dir, "events", spread=True)
+    filt = F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    bucket, rank = hll_bucket_rank(F.col("user_id"))
+    daily = (
+        ev.filter(filt)
+        .select(
+            event_us(ev).alias("us"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .select(
+            F.expr(f"us div {_DAY_US}").alias("day"), "bucket", "rank"
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    days = daily.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            daily.alias("r"),
+            F.col("r.day").between(
+                F.col("d.day") - (HLL_ROLL_DAYS - 1), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket"))
+        .agg(F.max("reg").alias("reg"))
+    )
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("used_registers"),
+            (F.lit(HLL_M) - F.count("*")).cast("long").alias(
+                "zero_registers"
+            ),
+            F.sum("reg").cast("long").alias("sum_rank"),
+        )
+        .transform(ordered, "day")
+    )

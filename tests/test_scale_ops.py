@@ -355,3 +355,60 @@ def test_kmv_estimates_calibrated(spark, sf_dir):
         jac = r["n_both"] / KMV_K
         true_jac = r["exact_common"] / true_union
         assert abs(jac - true_jac) < 0.25, r
+
+
+# ---------------------------------------------------------------------------
+# CMS join estimate + rolling HLL merge
+# ---------------------------------------------------------------------------
+
+
+def test_cms_join_estimate_one_sided_and_close(spark, sf_dir):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    r = registry()["lineitem_cms_join_estimate"]["spark"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r["overcount"] >= 0  # inner product >= true join size, always
+    assert r["est_join_rows"] >= r["true_join_rows"] > 0
+    # expected collision mass per hash row is Na * Nl / W; the min over
+    # D rows should stay within a small factor of that theory bound
+    na = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    nl = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    expected_overcount = na * nl / r["cms_w"]
+    assert r["overcount"] < 3 * expected_overcount
+
+
+def test_hll_rolling_merge_estimates_trailing_distinct(spark, sf_dir):
+    from nbody6_data_pipeline_spark.operators.sketch import (
+        HLL_M,
+    )
+    from nbody6_data_pipeline_spark.queries import event_us, registry
+
+    rows = registry()["events_hll_rolling_distinct"]["spark"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select("user_id", event_us(ev).alias("us")).filter(
+        F.col("user_id").isNotNull() & F.col("us").isNotNull()
+    )
+    import math
+
+    day_us = 86_400_000_000
+    for r in rows[:5] + rows[-3:]:
+        d = r["day"]
+        true = (
+            ev.filter(
+                (F.col("us") >= (d - 6) * day_us)
+                & (F.col("us") < (d + 1) * day_us)
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        # linear-counting estimate from the integer stats (small-range
+        # regime: plenty of zero registers at test scale)
+        zeros = r["zero_registers"]
+        assert 0 < zeros < HLL_M
+        est = HLL_M * math.log(HLL_M / zeros)
+        assert abs(est - true) / max(true, 1) < 0.15, (r, true, est)
