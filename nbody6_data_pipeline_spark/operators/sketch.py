@@ -368,6 +368,17 @@ def kmv_partition_prune(k: int = KMV_K):
         kept: dict[str, list[int]] = {}  # grp -> max-heap (negated)
         members: dict[str, set[int]] = {}
         for pdf in batches:
+            # A NULL in the Arrow batch converts the whole int64
+            # column to float64, silently rounding 60-bit hashes
+            # (> 2^53) — refuse loudly instead of corrupting the
+            # sketch. kmv_sketches filters NULLs upstream, so a
+            # float column here means a contract violation.
+            if pdf["hv"].dtype.kind == "f":
+                raise TypeError(
+                    "kmv_partition_prune received a float hv column "
+                    "(NULLs upstream?); 60-bit hashes do not survive "
+                    "float64 — filter hv IS NOT NULL before the prune"
+                )
             for grp, hv in zip(pdf["grp"], pdf["hv"]):
                 if hv is None or pd.isna(hv):
                     continue
@@ -403,10 +414,16 @@ def kmv_sketches(
     candidates do."""
     from pyspark.sql import Window as W
 
-    pre = pairs.select(
-        F.col(grp_col).cast("string").alias("grp"),
-        F.col(hv_col).cast("long").alias("hv"),
-    ).mapInPandas(kmv_partition_prune(k), schema="grp string, hv long")
+    pre = (
+        pairs.select(
+            F.col(grp_col).cast("string").alias("grp"),
+            F.col(hv_col).cast("long").alias("hv"),
+        )
+        # NULL hashes carry no distinct value AND would flip the Arrow
+        # batch to float64 (see kmv_partition_prune) — drop them here
+        .filter(F.col("hv").isNotNull())
+        .mapInPandas(kmv_partition_prune(k), schema="grp string, hv long")
+    )
     wk = W.partitionBy("grp").orderBy("hv")
     return (
         pre.distinct()

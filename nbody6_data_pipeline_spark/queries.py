@@ -65,14 +65,15 @@ def registry() -> dict[str, QuerySpec]:
 
 
 # Front of the driver's ~50-query sampling prefix, least-evidence
-# first (VERDICT round 4, asks #2-#4):
-#  1. the 11 queries never sampled by ANY round's driver gate (they
-#     sat just past the 50-prefix and every prepend pushed them
-#     further — round 5 puts them first);
-#  2. the 5 entries that scored red in CORRECTNESS_r04.json, re-fixed
-#     this round (NULL-safe final ordering / new exact-parity oracles)
-#     and needing driver re-confirmation;
-#  3. everything else in round-4 order (all driver-green already).
+# first:
+#  1. the 11 round-6 additions (never driver-sampled);
+#  2. round-5 additions plus the queries whose round-5 driver rows
+#     were hash-red (doc_shuffle_shards / doc_pattern_scrub /
+#     doc_rollup_stats / events_interval_coverage /
+#     events_json_extract — re-fixed this round with BIGINT casts on
+#     integer SUM oracles, the DuckDB-HUGEINT→float64 rendering
+#     class) needing driver re-confirmation;
+#  3. everything else in round-5 order (all driver-green already).
 _DRIVER_PRIORITY = [
     # -- new in round 6 --
     "events_cms_freq",

@@ -1546,7 +1546,8 @@ def _mh_est_oracle() -> str:
     # This oracle references sig 6x (4 band branches x 2 join sides of
     # the pair expansion, plus sa/sb): force one evaluation — DuckDB
     # 1.0 inlines plain CTEs, re-running the shingle minhash per
-    # reference (measured 52 s -> ~4 s at sf0.1). Derived from the
+    # reference (measured 52 s -> 24 s at sf0.1; the remaining 24 s
+    # is the one unavoidable sig construction). Derived from the
     # SHARED _DD_SIG prefix by a marker rewrite so the construction
     # cannot drift from the other minhash oracles.
     sig_materialized = _DD_SIG.replace("sig AS (", "sig AS MATERIALIZED (")

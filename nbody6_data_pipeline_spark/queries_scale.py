@@ -708,8 +708,16 @@ def q_lineitem_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total")
     )
     qs = spark.createDataFrame([(q,) for q in GRID_QS], "q_bp long")
+    # eqNullSafe: a NULL return-flag group must survive the
+    # histogram-to-total join exactly like the oracle's
+    # IS NOT DISTINCT FROM (a plain equi-join would drop it and
+    # diverge on NULL-bearing data)
     hit = (
-        c.join(t, ["l_returnflag"])
+        c.join(
+            t.withColumnRenamed("l_returnflag", "_tf"),
+            F.col("l_returnflag").eqNullSafe(F.col("_tf")),
+        )
+        .drop("_tf")
         .crossJoin(F.broadcast(qs))
         .filter(F.col("cum") * 10000 >= F.col("q_bp") * F.col("total"))
     )
@@ -844,16 +852,27 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.col("dl").cast("decimal(30,4)")).cast("double").alias("sdl"),
     )
-    dfs = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     tot = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cnt"))
+    # deterministic top-6 terms WITHOUT a global single-partition
+    # window over the vocabulary: orderBy().limit() is a distributed
+    # take-ordered; the rank window then runs on 6 rows
     wtop = W.orderBy(F.col("cnt").desc(), "token")
     qt = (
-        tot.select("token", F.row_number().over(wtop).alias("rn"))
-        .filter(F.col("rn") <= 2 * BM25_NQ)
+        tot.orderBy(F.col("cnt").desc(), "token")
+        .limit(2 * BM25_NQ)
+        .select("token", F.row_number().over(wtop).alias("rn"))
         .select(
             ((F.col("rn") - 1) % BM25_NQ).cast("long").alias("query_id"),
             "token",
         )
+    )
+    # df only for the 6 query terms: semi-reduce the postings FIRST so
+    # the df aggregation never shuffles the full vocabulary (tot above
+    # already pays the one unavoidable whole-vocab pass)
+    dfs = (
+        tf.join(F.broadcast(qt.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
     )
     score = _BM25_TERM_SCORE.format(
         N="n_docs",

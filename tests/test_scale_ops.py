@@ -412,3 +412,43 @@ def test_hll_rolling_merge_estimates_trailing_distinct(spark, sf_dir):
         assert 0 < zeros < HLL_M
         est = HLL_M * math.log(HLL_M / zeros)
         assert abs(est - true) / max(true, 1) < 0.15, (r, true, est)
+
+
+def test_grid_quantiles_parity_with_null_returnflag(spark, sf_dir, tmp_path):
+    """The driver may regenerate data outside the TPC-H NOT NULL spec;
+    a NULL l_returnflag group must survive the histogram-to-totals
+    join exactly as in the oracle (eqNullSafe vs IS NOT DISTINCT
+    FROM — a plain equi-join drops the NULL partition)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.check_oracle import compare, duck_run
+    from nbody6_data_pipeline_spark.queries import registry
+
+    out = tmp_path / "sf_null_li"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", out / f"{t}.parquet")
+    base = pq.read_table(out / "lineitem.parquet")
+    row = base.slice(0, 4).to_pydict()
+    row["l_returnflag"] = [None] * 4
+    row["l_extendedprice"] = [1234.5, 2345.6, 99999.9, 50000.0]
+    pq.write_table(
+        pa.concat_tables(
+            [base, pa.Table.from_pydict(row, schema=base.schema)]
+        ),
+        out / "lineitem.parquet",
+    )
+    spec = registry()["lineitem_grid_quantiles"]
+    sdf = spec["spark"](spark, str(out))
+    rows = [tuple(r) for r in sdf.collect()]
+    duck_cols, duck_rows = duck_run(spec["oracle"], str(out))
+    problems, ok = compare(rows, sdf.columns, duck_rows, duck_cols)
+    assert ok, problems
+    # the NULL-flag group is present with 3 quantile rows
+    assert sum(1 for r in rows if r[0] is None) == 3
