@@ -958,6 +958,11 @@ def exact_kmeans_cells(
     # `cells` is consumed more than once downstream (posting lists +
     # probe side); persist makes the final assignment compute once.
     # `e` stays cached until then — it backs the lazy `cells` plan.
+    # Callers that finish with the frames (e.g. an index BUILD, which
+    # only writes and reports) can release both via this handle —
+    # otherwise every build pins two corpus-sized caches for the
+    # session lifetime.
+    cells._cached_deps = (e, cells)
     return cents, cells
 
 

@@ -16,10 +16,13 @@ Layout choice: one directory per cell mirrors the posting-list
 structure; at 100 TB each cell directory holds its own file set and
 the balance across cells follows the k-means balance (the build
 reports per-cell row counts so a skewed codebook is visible at write
-time). Index maintenance composes with the existing pieces:
-`operators/similarity.ivf_upsert` appends postings for new vectors
-(same cells), and `plans/layout.compact_small_files` compacts a cell
-directory after many small appends.
+time). Maintenance: appends must carry THIS layout's schema —
+(vec_id, vq) assigned with the same exact `_CELL_STRUCTS` argmin
+(`operators/similarity.ivf_upsert` shows the assignment flow, but its
+in-memory postings are float-typed and numpy-assigned — re-encode
+before appending here, or the bit-exact d2 contract breaks); after
+many small appends, `plans/layout.compact_small_files` compacts a
+cell directory in place.
 
 Determinism: the index derives from `exact_kmeans_cells` (integer-
 quantized Lloyd), so rebuilding from the same corpus yields
@@ -72,14 +75,26 @@ def build_vector_index(
     # postings land in one task, so each cell directory holds one
     # file instead of one-per-shuffle-partition (a 32-task write
     # otherwise scatters ~32 small files into every cell — the
-    # small-file problem at birth)
-    postings.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(out_dir, POSTINGS))
+    # small-file problem at birth). sortWithinPartitions fixes the
+    # intra-file row order: shuffle blocks arrive in nondeterministic
+    # fetch order on a real cluster, so without the sort two builds
+    # of the same corpus produce value-identical but byte-different
+    # files — breaking the byte-level reproducibility this layout
+    # advertises.
+    postings.repartition("cell").sortWithinPartitions(
+        "vec_id"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, POSTINGS)
+    )
     spark.createDataFrame(cents, _CENT_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, CENTROIDS))
     sizes = postings.groupBy("cell").count().collect()
+    # the build only writes and reports: release the corpus-sized
+    # caches exact_kmeans_cells pinned (repeated retrains otherwise
+    # accumulate cached copies for the session lifetime)
+    for dep in getattr(cells, "_cached_deps", ()):
+        dep.unpersist()
     return {
         "n_vectors": sum(r["count"] for r in sizes),
         "n_cells": len(sizes),
@@ -95,6 +110,7 @@ def ann_query_pruned(
     vec_col: str = "embedding",
     nprobe: int = 2,
     topk: int = 3,
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k ANN against the persisted index with partition pruning.
 
@@ -134,15 +150,31 @@ def ann_query_pruned(
             F.col("vq").alias("qv"),
             F.explode(F.expr(probe_expr)).alias("cell"),
         )
+        # |queries| * nprobe rows: checkpoint so the probe assignment
+        # (quantize + centroid fold) evaluates ONCE — it is read twice
+        # below (cell collect + the scoring join)
+        .localCheckpoint()
     )
-    # |queries| * nprobe cell ids — bounded driver collect, and the
-    # price of turning the probe into a PLANNING-time partition filter
+    # bounded driver collect — the price of turning the probe into a
+    # PLANNING-time partition filter
     probe_cells = sorted(
         {r["cell"] for r in q.select("cell").distinct().collect()}
     )
-    postings = spark.read.parquet(os.path.join(index_dir, POSTINGS)).filter(
-        F.col("cell").isin(probe_cells)
-    )
+    postings = spark.read.parquet(os.path.join(index_dir, POSTINGS))
+    if prune:
+        postings = postings.filter(F.col("cell").isin(probe_cells))
+    else:
+        # verification path: same candidate set via a JOIN on the
+        # probed cells (no partition-prunable predicate), so tests can
+        # prove pruned == unpruned bit-for-bit
+        postings = postings.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(c,) for c in probe_cells], "cell long"
+                )
+            ),
+            "cell",
+        )
     scored = (
         postings.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

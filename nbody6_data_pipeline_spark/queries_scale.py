@@ -885,7 +885,7 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sc = (
         tf.join(F.broadcast(qt), "token")
-        .join(F.broadcast(dfs.join(F.broadcast(qt), "token").select("token", "df")), "token")
+        .join(F.broadcast(dfs), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
         .selectExpr("query_id", "doc_id", f"{score} AS s")

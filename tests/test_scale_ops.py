@@ -424,15 +424,12 @@ def test_grid_quantiles_parity_with_null_returnflag(spark, sf_dir, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from tools.check_oracle import compare, duck_run
+    from tools.check_oracle import TABLES, compare, duck_run
     from nbody6_data_pipeline_spark.queries import registry
 
     out = tmp_path / "sf_null_li"
     out.mkdir()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
+    for t in TABLES:
         shutil.copyfile(f"{sf_dir}/{t}.parquet", out / f"{t}.parquet")
     base = pq.read_table(out / "lineitem.parquet")
     row = base.slice(0, 4).to_pydict()

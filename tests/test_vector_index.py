@@ -41,71 +41,40 @@ def test_probe_prunes_cell_directories(spark, sf_dir, index_dir):
     total_files = post.select(F.input_file_name()).distinct().count()
     cells = sorted(r["cell"] for r in post.select("cell").distinct().collect())
     probe = cells[:2]
-    touched = (
-        post.filter(F.col("cell").isin(probe))
-        .select(F.input_file_name())
-        .distinct()
-        .count()
+    pruned = post.filter(F.col("cell").isin(probe))
+    # PLAN-level proof: the cell predicate must land in the scan's
+    # PartitionFilters (resolved before reading), not a row Filter —
+    # input_file_name over surviving rows would look identical under
+    # a broken full-scan-then-filter plan, so inspect the plan itself
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
     )
-    # partition pruning: only the probed cell directories are read
+    assert "cell" in pf_line and pf_line.split("PartitionFilters")[1] != ": []"
+    touched = pruned.select(F.input_file_name()).distinct().count()
     assert touched == len(probe) < total_files
 
 
 def test_pruned_query_equals_full_scan(spark, sf_dir, index_dir):
-    from pyspark.sql import Window as W
-
-    from nbody6_data_pipeline_spark.operators.similarity import _quantize
-
+    """The COMPLETE pruned top-k (candidates, distances, AND ranks)
+    must equal the same search executed without the partition-prunable
+    predicate (prune=False joins the full posting scan to the same
+    probe cells) — catching ranking bugs, not just distance bugs."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = vecs.filter(F.col("vec_id") < 6)
-    got = {
+    pruned = {
         (r["query_id"], r["rank"]): (r["cand_id"], r["d2"])
         for r in ann_query_pruned(spark, index_dir, q).collect()
     }
-    assert got, "no results"
-    # recompute WITHOUT pruning: full posting read, same probe cells
-    # (derived here from the pruned result's candidates' cells would
-    # be circular — instead verify each (query, rank) candidate is the
-    # true argmin over the candidate's whole cell set)
-    post = spark.read.parquet(os.path.join(index_dir, POSTINGS))
-    qq = q.select(
-        F.col("vec_id").alias("query_id"),
-        _quantize(F.col("embedding")).alias("qv"),
-    )
-    # the pruned result must be reproducible from a FULL scan joined to
-    # the same probed cells: compare against brute force within the
-    # cells that appear among each query's results
-    probe_cells = (
-        post.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(c,) for (_, _), (c, _) in got.items()], "vec_id long"
-                ).distinct()
-            ),
-            "vec_id",
-        )
-        .select("cell")
-        .distinct()
-    )
-    full = (
-        post.join(F.broadcast(probe_cells), "cell")
-        .join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            F.expr(
-                "aggregate(zip_with(qv, vq, (x, y) -> (x-y)*(x-y)), "
-                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("d2"),
-        )
-    )
-    for (qid, rank), (cand, d2) in got.items():
-        # every reported candidate's distance matches the full-scan
-        # recomputation bit-for-bit
-        chk = full.filter(
-            (F.col("query_id") == qid) & (F.col("cand_id") == cand)
+    full = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["d2"])
+        for r in ann_query_pruned(
+            spark, index_dir, q, prune=False
         ).collect()
-        assert chk and chk[0]["d2"] == d2
+    }
+    assert pruned, "no results"
+    assert pruned == full
 
 
 def test_rebuild_is_byte_identical(spark, sf_dir, tmp_path):
