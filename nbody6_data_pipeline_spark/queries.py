@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = [
     "events_kmv_setops",
     "lineitem_cms_join_estimate",
     "events_hll_rolling_distinct",
+    "orders_psi_drift",
+    "lineitem_ks_drift",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

@@ -1350,3 +1350,219 @@ def q_events_hll_rolling_distinct(
         )
         .transform(ordered, "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitoring: PSI and a two-sample KS test
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT_US = 883_612_800_000_000  # 1998-01-01 UTC
+_PSI_BIN = 5000  # o_totalprice bin width
+_KS_BIN = 100  # l_extendedprice bin width
+
+# ONE smoothed-PSI formula template rendered into both engines so the
+# float expression tree matches token-for-token (ln absorbed by q6):
+# p = (c_early+1)/(n_early+B), q = (c_late+1)/(n_late+B), Laplace
+# smoothing over the B union bins keeps empty bins finite.
+_PSI_P = "(CAST({c} + 1 AS DOUBLE) / ({n} + {nb}))"
+_PSI_TERM = "((({p}) - ({q})) * ln(({p}) / ({q})))"
+
+
+def _psi_term_sql(nb: str) -> str:
+    p = _PSI_P.format(c="c_early", n="n_early", nb=nb)
+    q = _PSI_P.format(c="c_late", n="n_late", nb=nb)
+    return _PSI_TERM.format(p=p, q=q)
+
+
+def _psi_oracle() -> str:
+    term = _psi_term_sql("nb")
+    return f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / {_PSI_BIN}.0) AS BIGINT) AS bin,
+             epoch_us(o_orderdate) < {_DRIFT_SPLIT_US} AS early
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ),
+    g AS (
+      SELECT bin,
+        CAST(COUNT(*) FILTER (WHERE early) AS BIGINT) AS c_early,
+        CAST(COUNT(*) FILTER (WHERE NOT early) AS BIGINT) AS c_late
+      FROM b GROUP BY bin
+    ),
+    n AS (
+      SELECT CAST(SUM(c_early) AS BIGINT) AS n_early,
+             CAST(SUM(c_late) AS BIGINT) AS n_late,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM g
+    )
+    SELECT bin, c_early, c_late,
+           CAST(floor({term} * 1000000 + 0.5) AS BIGINT) AS psi_term_q6
+    FROM g, n
+    ORDER BY bin
+    """
+
+
+@register("orders_psi_drift", _psi_oracle())
+def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the pre/post-1998 order
+    populations over total-price bins — the drift monitor a training
+    pipeline runs between snapshot N and N+1 before trusting a
+    refreshed corpus. One map-side-combined conditional aggregation
+    builds both histograms in a single scan (bounded by |bins|
+    groups); the Laplace-smoothed per-bin PSI terms are rendered from
+    ONE formula template into both engines (the BM25 recipe), so
+    every divide/subtract matches bitwise and only ln() needs the q6
+    fixed-point absorber. Sum of psi_term_q6/1e6 over bins IS the PSI
+    (> 0.25 conventionally = major drift); the per-bin terms localize
+    WHERE the distribution moved."""
+    from nbody6_data_pipeline_spark.queries import event_us
+
+    o = _t(spark, sf_dir, "orders", spread=True)
+    b = (
+        o.filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.expr(
+                f"CAST(floor(o_totalprice / {_PSI_BIN}.0) AS BIGINT)"
+            ).alias("bin"),
+            (event_us(o, "o_orderdate") < _DRIFT_SPLIT_US).alias("early"),
+        )
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_early"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_late"),
+    )
+    n = g.agg(
+        F.sum("c_early").cast("long").alias("n_early"),
+        F.sum("c_late").cast("long").alias("n_late"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    term = _psi_term_sql("nb")
+    return (
+        g.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "bin",
+            "c_early",
+            "c_late",
+            f"CAST(floor({term} * 1000000 + 0.5) AS BIGINT) AS psi_term_q6",
+        )
+        .transform(ordered, "bin")
+    )
+
+
+def _ks_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / {_KS_BIN}.0) AS BIGINT) AS bin,
+             epoch_us(l_shipdate) < {_DRIFT_SPLIT_US} AS early
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+    ),
+    g AS (
+      SELECT bin,
+        CAST(COUNT(*) FILTER (WHERE early) AS BIGINT) AS c_early,
+        CAST(COUNT(*) FILTER (WHERE NOT early) AS BIGINT) AS c_late
+      FROM b GROUP BY bin
+    ),
+    c AS (
+      SELECT bin,
+        SUM(c_early) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e,
+        SUM(c_late) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_l
+      FROM g
+    ),
+    n AS (
+      SELECT CAST(SUM(c_early) AS BIGINT) AS n_early,
+             CAST(SUM(c_late) AS BIGINT) AS n_late
+      FROM g
+    ),
+    d AS (
+      SELECT bin, abs(cum_e * n_late - cum_l * n_early) AS d_num,
+        ROW_NUMBER() OVER (
+          ORDER BY abs(cum_e * n_late - cum_l * n_early) DESC, bin) AS rn
+      FROM c, n
+    )
+    SELECT n.n_early, n.n_late,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           d.bin AS d_bin,
+           CAST(d.d_num AS DOUBLE) / (n.n_early * n.n_late) AS ks_stat
+    FROM d, n WHERE d.rn = 1
+    """
+
+
+@register("lineitem_ks_drift", _ks_oracle())
+def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between pre/post-1998
+    shipment price distributions, computed EXACTLY in integers: the
+    KS supremum over binned CDFs is max_b |cum_early[b] * n_late -
+    cum_late[b] * n_early| — cross-multiplication replaces the two
+    float CDF divisions, so the argmax bin and numerator are exact
+    BIGINTs in both engines and only the final reported statistic is
+    one IEEE division (bit-exact). One conditional-aggregation scan
+    builds both histograms; the cumulative pass runs over |bins| rows.
+    The drift complement to orders_psi_drift: KS gives the single
+    worst CDF gap and its location, PSI the per-bin decomposition."""
+    from nbody6_data_pipeline_spark.queries import event_us
+
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    b = (
+        li.filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.expr(
+                f"CAST(floor(l_extendedprice / {_KS_BIN}.0) AS BIGINT)"
+            ).alias("bin"),
+            (event_us(li, "l_shipdate") < _DRIFT_SPLIT_US).alias("early"),
+        )
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_early"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_late"),
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "bin",
+        F.sum("c_early").over(wcum).alias("cum_e"),
+        F.sum("c_late").over(wcum).alias("cum_l"),
+    )
+    n = g.agg(
+        F.sum("c_early").cast("long").alias("n_early"),
+        F.sum("c_late").cast("long").alias("n_late"),
+    )
+    d = c.crossJoin(F.broadcast(n)).select(
+        "bin",
+        "n_early",
+        "n_late",
+        F.abs(
+            F.col("cum_e") * F.col("n_late")
+            - F.col("cum_l") * F.col("n_early")
+        ).alias("d_num"),
+    )
+    wr = W.orderBy(F.col("d_num").desc(), "bin")
+    return (
+        d.select("*", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_early",
+            "n_late",
+            F.col("d_num").cast("long").alias("d_num"),
+            F.col("bin").alias("d_bin"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_early") * F.col("n_late"))
+            ).alias("ks_stat"),
+        )
+    )

@@ -449,3 +449,64 @@ def test_grid_quantiles_parity_with_null_returnflag(spark, sf_dir, tmp_path):
     assert ok, problems
     # the NULL-flag group is present with 3 quantile rows
     assert sum(1 for r in rows if r[0] is None) == 3
+
+
+# ---------------------------------------------------------------------------
+# Drift monitoring: PSI + KS
+# ---------------------------------------------------------------------------
+
+
+def test_psi_terms_finite_and_population_complete(spark, sf_dir):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["orders_psi_drift"]["spark"](spark, sf_dir).collect()
+    assert rows
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_total = o.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).count()
+    assert sum(r["c_early"] + r["c_late"] for r in rows) == n_total
+    # smoothing keeps every term finite; PSI total is a sane magnitude
+    psi = sum(r["psi_term_q6"] for r in rows) / 1e6
+    assert 0.0 <= psi < 10.0
+
+
+def test_ks_stat_matches_python_recomputation(spark, sf_dir):
+    from nbody6_data_pipeline_spark.queries import event_us, registry
+
+    r = registry()["lineitem_ks_drift"]["spark"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["d_num"] == round(r["ks_stat"] * r["n_early"] * r["n_late"])
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = (
+        li.filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.expr(
+                "CAST(floor(l_extendedprice / 100.0) AS BIGINT)"
+            ).alias("bin"),
+            (event_us(li, "l_shipdate") < 883_612_800_000_000).alias(
+                "early"
+            ),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    ce: Counter = Counter()
+    cl: Counter = Counter()
+    for x in rows:
+        (ce if x["early"] else cl)[x["bin"]] += 1
+    n1, n2 = sum(ce.values()), sum(cl.values())
+    assert (n1, n2) == (r["n_early"], r["n_late"])
+    cum1 = cum2 = 0
+    best = (0, None)
+    for b in sorted(set(ce) | set(cl)):
+        cum1 += ce[b]
+        cum2 += cl[b]
+        d = abs(cum1 * n2 - cum2 * n1)
+        if d > best[0]:
+            best = (d, b)
+    assert best == (r["d_num"], r["d_bin"])
