@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = [
     "events_hll_rolling_distinct",
     "orders_psi_drift",
     "lineitem_ks_drift",
+    "events_scd2_intervals",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

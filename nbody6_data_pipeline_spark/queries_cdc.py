@@ -282,3 +282,103 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2: validity intervals from a change stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        LAG(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    b AS (
+      SELECT *, CASE WHEN prev IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    r AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM b
+    ),
+    runs AS (
+      SELECT user_id, run_id, MIN(event_type) AS event_type,
+             CAST(MIN(us) AS BIGINT) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           valid_from_us,
+           CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
+             ORDER BY run_id) AS BIGINT) AS valid_to_us,
+           n_events,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+             ORDER BY run_id) IS NULL AS is_current
+    FROM runs
+    ORDER BY user_id, run_id
+    """,
+)
+def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: each user's
+    event-type sequence collapses into VALIDITY INTERVALS — one row
+    per consecutive run of the same type, with valid_from/valid_to
+    epoch-us bounds (NULL-open for the current state) and is_current.
+    This is the other half of CDC next to events_latest_per_key's
+    SCD-1 compaction: history preserved as intervals, the shape every
+    warehouse dimension-with-history table takes.
+
+    One user-keyed shuffle carries all three window passes (lag ->
+    run-id cumsum -> lead over runs); run breaks use IS DISTINCT FROM
+    so NULL-typed events form their own runs identically in both
+    engines, and ties on the event timestamp break on event_id. At
+    100 TB this partitions perfectly by the dimension key — state
+    never crosses users."""
+    ev = _t(spark, sf_dir, "events")
+    e = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_type", event_us(ev).alias("us"), "event_id"
+        )
+    )
+    wseq = W.partitionBy("user_id").orderBy("us", "event_id")
+    b = e.select(
+        "*", F.lag("event_type").over(wseq).alias("prev")
+    ).withColumn(
+        "brk",
+        F.expr(
+            "CASE WHEN prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END"
+        ),
+    )
+    r = b.select(
+        "*",
+        F.sum("brk")
+        .over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    runs = r.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").cast("long").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wrun = W.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_us").over(wrun)
+    return (
+        runs.select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "event_type",
+            "valid_from_us",
+            nxt.cast("long").alias("valid_to_us"),
+            "n_events",
+            nxt.isNull().alias("is_current"),
+        )
+        .transform(ordered, "user_id", "run_id")
+    )
