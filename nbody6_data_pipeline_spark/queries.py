@@ -66,7 +66,9 @@ def registry() -> dict[str, QuerySpec]:
 
 # Front of the driver's ~50-query sampling prefix, least-evidence
 # first:
-#  1. the 11 round-6 additions (never driver-sampled);
+#  1. the 14 round-6 additions (never driver-sampled), newest first
+#     within the block (later additions have the least local soak
+#     time, so they claim the safest sampling positions);
 #  2. round-5 additions plus the queries whose round-5 driver rows
 #     were hash-red (doc_shuffle_shards / doc_pattern_scrub /
 #     doc_rollup_stats / events_interval_coverage /
@@ -75,21 +77,21 @@ def registry() -> dict[str, QuerySpec]:
 #     class) needing driver re-confirmation;
 #  3. everything else in round-5 order (all driver-green already).
 _DRIVER_PRIORITY = [
-    # -- new in round 6 --
-    "events_cms_freq",
-    "embedding_sq8_topk",
-    "orders_bloom_prune",
-    "lineitem_zorder_skipping",
-    "lineitem_grid_quantiles",
-    "doc_bm25_topk",
-    "streaming_cms_freq",
-    "doc_minhash_jaccard_estimate",
-    "events_kmv_setops",
-    "lineitem_cms_join_estimate",
-    "events_hll_rolling_distinct",
-    "orders_psi_drift",
-    "lineitem_ks_drift",
+    # -- new in round 6, newest first --
     "events_scd2_intervals",
+    "lineitem_ks_drift",
+    "orders_psi_drift",
+    "events_hll_rolling_distinct",
+    "lineitem_cms_join_estimate",
+    "events_kmv_setops",
+    "doc_minhash_jaccard_estimate",
+    "streaming_cms_freq",
+    "doc_bm25_topk",
+    "lineitem_grid_quantiles",
+    "lineitem_zorder_skipping",
+    "orders_bloom_prune",
+    "embedding_sq8_topk",
+    "events_cms_freq",
     # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",

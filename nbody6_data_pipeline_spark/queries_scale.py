@@ -1484,15 +1484,25 @@ def _ks_oracle() -> str:
       FROM g
     ),
     d AS (
-      SELECT bin, abs(cum_e * n_late - cum_l * n_early) AS d_num,
+      -- HUGEINT cross-multiply: the numerator is bounded by
+      -- n_early * n_late, which exceeds int64 once both sides pass
+      -- ~3.1e9 rows — 128-bit arithmetic keeps the supremum and its
+      -- argmax exact at any scale (Spark side: DECIMAL(38,0))
+      SELECT bin,
+        abs(CAST(cum_e AS HUGEINT) * n_late
+            - CAST(cum_l AS HUGEINT) * n_early) AS d_num,
         ROW_NUMBER() OVER (
-          ORDER BY abs(cum_e * n_late - cum_l * n_early) DESC, bin) AS rn
+          ORDER BY abs(CAST(cum_e AS HUGEINT) * n_late
+                       - CAST(cum_l AS HUGEINT) * n_early) DESC,
+                   bin) AS rn
       FROM c, n
     )
     SELECT n.n_early, n.n_late,
-           CAST(d.d_num AS BIGINT) AS d_num,
+           CAST(d.d_num AS DOUBLE) AS d_num,
            d.bin AS d_bin,
-           CAST(d.d_num AS DOUBLE) / (n.n_early * n.n_late) AS ks_stat
+           CAST(d.d_num AS DOUBLE)
+             / (CAST(n.n_early AS DOUBLE) * CAST(n.n_late AS DOUBLE))
+             AS ks_stat
     FROM d, n WHERE d.rn = 1
     """
 
@@ -1503,12 +1513,16 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipment price distributions, computed EXACTLY in integers: the
     KS supremum over binned CDFs is max_b |cum_early[b] * n_late -
     cum_late[b] * n_early| — cross-multiplication replaces the two
-    float CDF divisions, so the argmax bin and numerator are exact
-    BIGINTs in both engines and only the final reported statistic is
-    one IEEE division (bit-exact). One conditional-aggregation scan
-    builds both histograms; the cumulative pass runs over |bins| rows.
-    The drift complement to orders_psi_drift: KS gives the single
-    worst CDF gap and its location, PSI the per-bin decomposition."""
+    float CDF divisions. The cross-products are computed in 128-bit
+    integer arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT — the
+    numerator is bounded by n_early * n_late, past int64 once both
+    sides exceed ~3.1e9 rows), so the argmax bin stays exact at any
+    scale; the reported d_num/ks_stat are correctly-rounded doubles
+    of those exact integers (identical bits in both engines). One
+    conditional-aggregation scan builds both histograms; the
+    cumulative pass runs over |bins| rows. The drift complement to
+    orders_psi_drift: KS gives the single worst CDF gap and its
+    location, PSI the per-bin decomposition."""
     from nbody6_data_pipeline_spark.queries import event_us
 
     li = _t(spark, sf_dir, "lineitem", spread=True)
@@ -1547,8 +1561,8 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_early",
         "n_late",
         F.abs(
-            F.col("cum_e") * F.col("n_late")
-            - F.col("cum_l") * F.col("n_early")
+            F.col("cum_e").cast("decimal(38,0)") * F.col("n_late")
+            - F.col("cum_l").cast("decimal(38,0)") * F.col("n_early")
         ).alias("d_num"),
     )
     wr = W.orderBy(F.col("d_num").desc(), "bin")
@@ -1558,11 +1572,14 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_early",
             "n_late",
-            F.col("d_num").cast("long").alias("d_num"),
+            F.col("d_num").cast("double").alias("d_num"),
             F.col("bin").alias("d_bin"),
             (
                 F.col("d_num").cast("double")
-                / (F.col("n_early") * F.col("n_late"))
+                / (
+                    F.col("n_early").cast("double")
+                    * F.col("n_late").cast("double")
+                )
             ).alias("ks_stat"),
         )
     )

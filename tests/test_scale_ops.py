@@ -476,7 +476,7 @@ def test_ks_stat_matches_python_recomputation(spark, sf_dir):
 
     r = registry()["lineitem_ks_drift"]["spark"](spark, sf_dir).collect()[0]
     assert 0.0 <= r["ks_stat"] <= 1.0
-    assert r["d_num"] == round(r["ks_stat"] * r["n_early"] * r["n_late"])
+    assert r["d_num"] == r["ks_stat"] * r["n_early"] * r["n_late"]
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rows = (
         li.filter(
@@ -502,7 +502,9 @@ def test_ks_stat_matches_python_recomputation(spark, sf_dir):
     n1, n2 = sum(ce.values()), sum(cl.values())
     assert (n1, n2) == (r["n_early"], r["n_late"])
     cum1 = cum2 = 0
-    best = (0, None)
+    # best starts at -1 so a zero-drift dataset (d == 0 everywhere)
+    # still selects the smallest bin, matching the query's tiebreak
+    best = (-1, None)
     for b in sorted(set(ce) | set(cl)):
         cum1 += ce[b]
         cum2 += cl[b]
