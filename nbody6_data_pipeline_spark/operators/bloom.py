@@ -69,8 +69,17 @@ def bloom_build(
     bit_or aggregation — map-side combinable, shuffle bounded by
     |words| * n_partitions.
     """
+    # greatest(.., 1): an empty (or all-NULL) key set otherwise yields
+    # nb = 0 and every probe position becomes NULL via `% 0` — Spark
+    # happens to degrade that to all-false bloom_pass, but resting on
+    # engine-specific modulo-by-zero NULL semantics is fragile. With
+    # nb = 1 the single word is simply absent from `words`, so every
+    # probe fails the bit test explicitly: same all-false contract,
+    # no NULL arithmetic involved.
     nb = keys.agg(
-        (F.count(key_col) * F.lit(bits_per_key)).cast("long").alias("nb")
+        F.greatest(
+            F.count(key_col) * F.lit(bits_per_key), F.lit(1)
+        ).cast("long").alias("nb")
     )
     pos = (
         keys.crossJoin(F.broadcast(nb))

@@ -312,7 +312,13 @@ def cms_estimates(
     key set are both broadcast-sized, so estimation never shuffles
     anything bigger than |keys| * d rows. Output (key, cms_est) is
     integer-exact: est >= true frequency always (every occurrence of
-    the key incremented all D of its cells)."""
+    the key incremented all D of its cells).
+
+    Keys need NOT come from the sketched corpus: the counter grid
+    stores only non-empty cells, so each probe LEFT-joins and treats
+    a missing cell as count 0 — an unseen key whose d cells are all
+    empty correctly estimates 0 instead of being dropped or taking
+    min over only its populated (collision) cells."""
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -328,7 +334,8 @@ def cms_estimates(
         ).alias("c"),
     ).select(key_col, "c.row_i", "c.bucket")
     return (
-        probes.join(F.broadcast(counters), ["row_i", "bucket"])
+        probes.join(F.broadcast(counters), ["row_i", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("cms_est"))
     )

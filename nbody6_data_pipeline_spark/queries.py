@@ -64,20 +64,119 @@ def registry() -> dict[str, QuerySpec]:
     return ordered
 
 
-# Front of the driver's ~50-query sampling prefix, least-evidence
-# first:
-#  1. the 14 round-6 additions (never driver-sampled), newest first
-#     within the block (later additions have the least local soak
-#     time, so they claim the safest sampling positions);
-#  2. round-5 additions plus the queries whose round-5 driver rows
-#     were hash-red (doc_shuffle_shards / doc_pattern_scrub /
-#     doc_rollup_stats / events_interval_coverage /
-#     events_json_extract — re-fixed this round with BIGINT casts on
-#     integer SUM oracles, the DuckDB-HUGEINT→float64 rendering
-#     class) needing driver re-confirmation;
-#  3. everything else in round-5 order (all driver-green already).
+# Driver sampling prefix, rotated for round 7: the driver samples ~50
+# queries from the FRONT of this list each round, so order by
+# least-recently-driver-sampled first (computed from CORRECTNESS_r0*.json).
+# All 148 are cumulatively driver-green; the goal now is evidence
+# FRESHNESS — the 84 queries last sampled in rounds 1-4 predate the
+# round-5 NULL-ordering change to the shared ordered() helper and the
+# round-6 spread_scan/_t changes, so they re-confirm first.  The 14
+# round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
-    # -- new in round 6, newest first --
+    # -- last driver-sampled in round 1 (9 queries) --
+    "half_mass_cutoff",
+    "timestamp_summary",
+    "ntile_binning",
+    "dense_rank_factorize",
+    "sessionization",
+    "asof_join_prior_view",
+    "grid_interpolation",
+    "bulk_velocity_subtraction",
+    "dissolution_cut",
+    # -- last driver-sampled in round 2 (11 queries) --
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_language_id",
+    "doc_fingerprint",
+    "doc_bpe_tokens",
+    "doc_deterministic_sample",
+    "doc_chunk_overlap",
+    "doc_tfidf_topterms",
+    "doc_repetition_filter",
+    "events_rolling_1h",
+    "doc_pack_sequences",
+    # -- last driver-sampled in round 3 (50 queries) --
+    "pricing_summary",
+    "scoped_descriptive_stats",
+    "annular_histogram",
+    "join_enrichment",
+    "anti_join_missing",
+    "semi_join_membership",
+    "dedup_exact",
+    "distinct_combination_count",
+    "top_k_orders",
+    "union_by_name",
+    "unpivot_components",
+    "weighted_center_of_mass",
+    "cube_order_stats",
+    "lineitem_corr",
+    "orders_profile",
+    "events_latest_per_key",
+    "orders_upsert_merge",
+    "salted_join_revenue",
+    "events_incremental_rollup",
+    "minhash_lsh_pairs",
+    "minhash_lsh_verified",
+    "simhash_clusters",
+    "exact_dup_clusters",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "embedding_ann_bucketed",
+    "embedding_cosine_neardup",
+    "embedding_neardup_components",
+    "ngram_jaccard_neardup",
+    "embedding_ivf_kmeans",
+    "embedding_ivf_ann",
+    "doc_neardup_keep_best",
+    "embedding_norm_stats",
+    "doc_fuzzy_match",
+    "doc_fuzzy_match_multikey",
+    "kepler_semi_major_axis",
+    "log_sum_exp_luminosity",
+    "orbital_inclination",
+    "hierarchy_pair_labels",
+    "group_collect_sorted",
+    "subset_containment",
+    "histogram_pivot",
+    "nearest_timestamp",
+    "format_run_labels",
+    "null_safe_ratios",
+    "streaming_windowed_counts",
+    "streaming_sessionization",
+    "streaming_first_event_dedup",
+    "multimodal_features",
+    "streaming_enriched_counts",
+    # -- last driver-sampled in round 4 (14 queries) --
+    "table_expectations",
+    "local_supplier_volume",
+    "part_triangle_count",
+    "session_top_paths",
+    "graph_kcore_peel",
+    "embedding_hard_negatives",
+    "shipping_priority",
+    "events_user_trend",
+    "events_key_skew_profile",
+    "doc_filter_funnel",
+    "asof_join_tables",
+    "doc_benchmark_contamination",
+    "doc_length_winsorize",
+    "doc_mixture_sample",
+    # -- last driver-sampled in round 5 (14 queries) --
+    "idle_rich_customers",
+    "streaming_interval_join",
+    "customer_order_distribution",
+    "supplier_revenue_share",
+    "events_hll_distinct",
+    "streaming_hll_distinct",
+    "doc_heavy_hitters",
+    "graph_pagerank",
+    "doc_tokenset_dedup",
+    "part_affinity_lift",
+    "doc_boilerplate_shingles",
+    "events_hourly_anomaly",
+    "events_decayed_value",
+    "embedding_label_centroids",
+    # -- last driver-sampled in round 6 (50 queries) --
     "events_scd2_intervals",
     "lineitem_ks_drift",
     "orders_psi_drift",
@@ -92,11 +191,9 @@ _DRIVER_PRIORITY = [
     "orders_bloom_prune",
     "embedding_sq8_topk",
     "events_cms_freq",
-    # -- new in round 5 --
     "doc_bpe_learn",
     "doc_bpe_encode",
     "embedding_semantic_dedup",
-    # -- never driver-sampled (rounds 1-4) --
     "doc_stratified_sample",
     "doc_topk_per_source",
     "events_funnel",
@@ -108,13 +205,11 @@ _DRIVER_PRIORITY = [
     "lineitem_mad",
     "orders_priority_mode",
     "range_join_incidents",
-    # -- red in r4, fixed in r5 --
     "doc_shuffle_shards",
     "doc_pattern_scrub",
     "doc_rollup_stats",
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
-    # -- driver-green history --
     "forecast_revenue_change",
     "min_cost_regional_supplier",
     "product_line_profit",
@@ -132,34 +227,6 @@ _DRIVER_PRIORITY = [
     "promo_revenue_share",
     "late_shipment_priority",
     "discounted_part_revenue",
-    "idle_rich_customers",
-    "streaming_interval_join",
-    "customer_order_distribution",
-    "supplier_revenue_share",
-    "events_hll_distinct",
-    "streaming_hll_distinct",
-    "doc_heavy_hitters",
-    "graph_pagerank",
-    "doc_tokenset_dedup",
-    "part_affinity_lift",
-    "doc_boilerplate_shingles",
-    "events_hourly_anomaly",
-    "events_decayed_value",
-    "embedding_label_centroids",
-    "table_expectations",
-    "local_supplier_volume",
-    "part_triangle_count",
-    "session_top_paths",
-    "graph_kcore_peel",
-    "embedding_hard_negatives",
-    "shipping_priority",
-    "events_user_trend",
-    "events_key_skew_profile",
-    "doc_filter_funnel",
-    "asof_join_tables",
-    "doc_benchmark_contamination",
-    "doc_length_winsorize",
-    "doc_mixture_sample",
 ]
 
 

@@ -665,7 +665,7 @@ def _grid_quantile_oracle() -> str:
     )
     SELECT l_returnflag, CAST(q_bp AS BIGINT) AS q_bp, bin,
            CAST(bin * {GRID_BIN} AS BIGINT) AS lo,
-           CAST(bin * {GRID_BIN} + {GRID_BIN} - 1 AS BIGINT) AS hi,
+           CAST((bin + 1) * {GRID_BIN} AS BIGINT) AS hi_excl,
            CAST(cum AS BIGINT) AS cum_n, total AS total_n
     FROM hit WHERE rn = 1
     ORDER BY l_returnflag NULLS LAST, q_bp
@@ -684,11 +684,11 @@ def q_lineitem_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards/days/streams by adding bin counts, and answers any
     quantile afterwards by scanning the cumulative histogram — here
     with pure integer arithmetic (cum * 10000 >= q_bp * total avoids
-    ceil/rounding entirely). Output is the quantile BRACKET
-    [lo, hi] (bin bounds, exact integers): the true percentile
-    provably lies inside, giving a certified max error of one bin
-    width. tests/test_scale_ops.py asserts the containment against
-    exact percentiles."""
+    ceil/rounding entirely). Output is the half-open quantile BRACKET
+    [lo, hi_excl) (bin boundaries, exact integers): the true —
+    possibly fractional — percentile provably lies inside, giving a
+    certified max error of one bin width. tests/test_scale_ops.py
+    asserts the containment against exact percentiles."""
     li = _t(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_extendedprice").isNotNull()
     )
@@ -730,7 +730,7 @@ def q_lineitem_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_bp").cast("long").alias("q_bp"),
             "bin",
             (F.col("bin") * GRID_BIN).cast("long").alias("lo"),
-            (F.col("bin") * GRID_BIN + GRID_BIN - 1).cast("long").alias("hi"),
+            ((F.col("bin") + 1) * GRID_BIN).cast("long").alias("hi_excl"),
             F.col("cum").cast("long").alias("cum_n"),
             F.col("total").alias("total_n"),
         )
@@ -1546,6 +1546,11 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c_late"),
     )
+    # Global (partition-less) window is SAFE here: it runs over the
+    # aggregated bin table `g`, whose row count is bounded by the
+    # VALUE RANGE of l_extendedprice / _KS_BIN (a few hundred bins),
+    # not by input size — at 100 TB this window still sees the same
+    # handful of rows. Do not lift it onto unreduced input.
     wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     c = g.select(
         "bin",
@@ -1565,6 +1570,9 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cum_l").cast("decimal(38,0)") * F.col("n_early")
         ).alias("d_num"),
     )
+    # Same bounded-|bins| argument as wcum above: `d` has one row per
+    # price bin, so this global rank touches O(|bins|) rows regardless
+    # of data scale.
     wr = W.orderBy(F.col("d_num").desc(), "bin")
     return (
         d.select("*", F.row_number().over(wr).alias("rn"))

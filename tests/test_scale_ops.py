@@ -225,11 +225,12 @@ def test_grid_quantile_bracket_contains_exact_percentile(spark, sf_dir):
             ).collect()
             if x["l_extendedprice"] is not None
         )
-        # the bracket must contain the exact lower-interpolation
-        # percentile: first value v with rank >= ceil(q * n)
+        # the half-open bracket [lo, hi_excl) must contain the exact
+        # lower-interpolation percentile: first value v with
+        # rank >= ceil(q * n)
         idx = max(math.ceil(r["q_bp"] / 10000 * len(vals)) - 1, 0)
         exact = vals[idx]
-        assert r["lo"] <= exact <= r["hi"] + 1, (r, exact)
+        assert r["lo"] <= exact < r["hi_excl"], (r, exact)
         assert r["cum_n"] >= math.ceil(r["q_bp"] / 10000 * r["total_n"])
 
 

@@ -78,18 +78,35 @@ def test_pruned_query_equals_full_scan(spark, sf_dir, index_dir):
 
 
 def test_rebuild_is_byte_identical(spark, sf_dir, tmp_path):
+    """Two builds from the same input must produce BYTE-identical
+    parquet postings per cell directory — the reproducibility that
+    build_vector_index's sortWithinPartitions exists to guarantee
+    (value-identical but byte-shuffled files would let a re-build
+    invalidate downstream content-addressed caches)."""
+    import glob
     import hashlib
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    digests = []
+
+    def file_digests(out: str) -> dict[str, str]:
+        # one digest per cell directory, over the concatenated bytes of
+        # its parquet files in name-sorted order (one file per cell by
+        # construction, but stay robust to multi-file cells)
+        digests = {}
+        for cell_dir in sorted(
+            glob.glob(os.path.join(out, POSTINGS, "cell=*"))
+        ):
+            h = hashlib.md5()
+            for p in sorted(glob.glob(os.path.join(cell_dir, "*.parquet"))):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            digests[os.path.basename(cell_dir)] = h.hexdigest()
+        return digests
+
+    results = []
     for d in ("a", "b"):
         out = str(tmp_path / d)
         build_vector_index(spark, vecs, out)
-        rows = sorted(
-            tuple(r)
-            for r in spark.read.parquet(os.path.join(out, POSTINGS))
-            .select("cell", "vec_id", "vq")
-            .collect()
-        )
-        digests.append(hashlib.md5(str(rows).encode()).hexdigest())
-    assert digests[0] == digests[1]
+        results.append(file_digests(out))
+    assert results[0], "no cell directories written"
+    assert results[0] == results[1]

@@ -166,7 +166,10 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
+            # persist so the (often expensive) Spark plan executes ONCE
+            # and both comparison legs — collect here, toPandas in the
+            # driver-equivalent hash leg below — read the cached rows
+            sdf = fn(spark, sf_dir).persist()
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
@@ -174,6 +177,7 @@ def main():
             record[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "err": f"spark: {e}"[:300]}
             n_fail += 1
+            spark.catalog.clearCache()  # drop the orphaned persist()
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spark_rows)} rows, "
@@ -182,6 +186,7 @@ def main():
                             "schema_match": None, "hash_match": None,
                             "spark_rows": len(spark_rows), "err": None,
                             "note": "rows-only (no oracle)"}
+            sdf.unpersist()
             continue
         try:
             duck_cols, duck_rows = duck_run(oracles[name], sf_dir)
@@ -190,10 +195,17 @@ def main():
             record[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "err": f"duckdb: {e}"[:300]}
             n_fail += 1
+            sdf.unpersist()
             continue
         problems, ok = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         if ok:
-            # driver-equivalent pandas-level hash (dtype-sensitive)
+            # driver-equivalent pandas-level hash (dtype-sensitive).
+            # DuckDB deliberately executes a second time here: fetchall
+            # (exact Python ints, HUGEINT-safe) and .df() (float64
+            # HUGEINT rendering — the driver's view) are DIFFERENT value
+            # paths, and collapsing one into the other would blind this
+            # leg to exactly the dtype-drift class it exists to catch.
+            # The Spark side is served from the persist() above.
             try:
                 _, duck_df = duck_run(oracles[name], sf_dir, want_df=True)
                 spark_df = sdf.toPandas()
@@ -213,6 +225,7 @@ def main():
             except Exception as e:  # pragma: no cover - diagnostic only
                 problems = [f"pandas-hash leg error: {e}"]
                 ok = False
+        sdf.unpersist()
         record[name] = {
             "rows_match": len(spark_rows) == len(duck_rows),
             "schema_match": sorted(spark_cols) == sorted(duck_cols),
