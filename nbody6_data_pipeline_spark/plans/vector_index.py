@@ -37,9 +37,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import math
+
 from nbody6_data_pipeline_spark.operators.similarity import (
     _CELL_STRUCTS,
     _CENT_SCHEMA,
+    _kmeans_fit,
     _quantize,
     _with_cents,
     exact_kmeans_cells,
@@ -47,6 +50,60 @@ from nbody6_data_pipeline_spark.operators.similarity import (
 
 POSTINGS = "postings"
 CENTROIDS = "centroids"
+
+_ASSIGN_EXPR = f"array_min({_CELL_STRUCTS}).c_id"
+
+
+def train_production_codebook(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    sample_cap: int = 20_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """The PRODUCTION coarse quantizer for this layout: k ~ sqrt(N)
+    cells trained by driver-side Lloyd on a bounded sample — the
+    build_ivf_index recipe (operators/similarity.py), retargeted at
+    the persisted layout's QUANTIZED coordinate space so the trained
+    centroids drop into the same centroid table, `_CELL_STRUCTS`
+    assignment fold, and `ann_query_pruned` probe path as the
+    exact-parity codebook (one layout, two trainers).
+
+    Driver cost is O(sample_cap * k * iters) regardless of corpus
+    size; the returned codebook is seed-deterministic for a fixed
+    input (df.sample is seed-stable per partition split)."""
+    n = vectors.count()
+    if k is None:
+        k = max(4, min(4096, math.isqrt(max(n, 1))))
+    frac = min(1.0, sample_cap / max(n, 1))
+    q = vectors.select(_quantize(F.col(vec_col)).alias("q"))
+    sample = [list(r["q"]) for r in q.sample(fraction=frac, seed=seed).collect()]
+    if len(sample) < k:  # tiny corpora: every vector is the sample
+        sample = [list(r["q"]) for r in q.collect()]
+    fitted = _kmeans_fit(sample, k=min(k, len(sample)), iters=iters, seed=seed)
+    return [(i, [float(x) for x in row]) for i, row in enumerate(fitted)]
+
+
+def _assign_cells(
+    spark: SparkSession,
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, vq, cell) for every vector: one broadcast-centroid
+    argmin projection — the exact `_CELL_STRUCTS` fold every probe
+    uses, so build-time and query-time assignment can never drift."""
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _quantize(F.col(vec_col)).alias("vq"),
+    )
+    return (
+        _with_cents(e, spark, cents)
+        .withColumn("cell", F.expr(_ASSIGN_EXPR))
+        .select("vec_id", "vq", "cell")
+    )
 
 
 def build_vector_index(
@@ -56,6 +113,7 @@ def build_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> dict:
     """Train the coarse quantizer and persist the index:
 
@@ -63,13 +121,22 @@ def build_vector_index(
       hive-partitioned by cell — the pruning unit.
     - ``<out>/centroids/``: the k-row codebook.
 
+    ``cents=None`` (default) trains the exact-parity codebook
+    (`exact_kmeans_cells`, pinned k — DuckDB-replayable). Pass an
+    explicit codebook — e.g. `train_production_codebook`'s k~sqrt(N)
+    sampled trainer — for the production path: SAME layout, same
+    assignment fold, same probe code, different trainer.
+
     Returns a small build report {n_vectors, n_cells, max_cell_rows}
     so codebook skew is visible at write time (a cell holding half
     the corpus means probes degenerate to scans — retrain with a
     larger k before shipping such an index)."""
-    cents, cells = exact_kmeans_cells(
-        vectors, id_col=id_col, vec_col=vec_col, dim=dim
-    )
+    if cents is None:
+        cents, cells = exact_kmeans_cells(
+            vectors, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    else:
+        cells = _assign_cells(spark, vectors, cents, id_col, vec_col)
     postings = cells.select("vec_id", "vq", "cell")
     # repartition BY CELL before the partitioned write: every cell's
     # postings land in one task, so each cell directory holds one
@@ -89,17 +156,63 @@ def build_vector_index(
     spark.createDataFrame(cents, _CENT_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, CENTROIDS))
-    sizes = postings.groupBy("cell").count().collect()
     # the build only writes and reports: release the corpus-sized
     # caches exact_kmeans_cells pinned (repeated retrains otherwise
     # accumulate cached copies for the session lifetime)
     for dep in getattr(cells, "_cached_deps", ()):
         dep.unpersist()
+    return _cell_report(spark, out_dir)
+
+
+def _cell_report(spark: SparkSession, out_dir: str) -> dict:
+    # count from the WRITTEN postings (metadata-cheap scan of the
+    # partition column + row counts), not the build plan — one source
+    # of truth for both the trainer paths and post-upsert states
+    sizes = (
+        spark.read.parquet(os.path.join(out_dir, POSTINGS))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
     return {
         "n_vectors": sum(r["count"] for r in sizes),
         "n_cells": len(sizes),
         "max_cell_rows": max((r["count"] for r in sizes), default=0),
     }
+
+
+def upsert_vector_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to a persisted index WITHOUT
+    retraining or rewriting existing postings: read the k-row codebook,
+    assign the new vectors with the same `_CELL_STRUCTS` argmin the
+    build used, and APPEND one file per touched cell directory — the
+    on-disk analogue of operators/similarity.ivf_upsert. Untouched
+    cell directories are not opened, so upsert cost scales with the
+    delta, not the index. Probes see the union immediately (the
+    posting scan lists each cell directory's files at plan time).
+
+    After many small deltas a cell accumulates one file per upsert —
+    compact with plans/layout.compact_small_files when the per-cell
+    file count hurts scan startup.
+
+    Returns the post-upsert cell report (same shape as the build's)."""
+    cents = [
+        (r["c_id"], list(r["cv"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, CENTROIDS)
+        ).collect()
+    ]
+    cells = _assign_cells(spark, new_vectors, cents, id_col, vec_col)
+    cells.repartition("cell").sortWithinPartitions("vec_id").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, POSTINGS))
+    return _cell_report(spark, index_dir)
 
 
 def ann_query_pruned(

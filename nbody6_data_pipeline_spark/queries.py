@@ -73,6 +73,8 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 spread_scan/_t changes, so they re-confirm first.  The 14
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
+    # -- new in round 7: never driver-sampled --
+    "streaming_late_data",
     # -- last driver-sampled in round 1 (9 queries) --
     "half_mass_cutoff",
     "timestamp_summary",

@@ -559,3 +559,145 @@ def q_streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "window_start_us", "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Late-data / watermark semantics, oracle-checked
+# --------------------------------------------------------------------------
+#
+# Spark's EXACT late-drop contract, pinned empirically (see
+# tests/test_streaming_late_data.py) and replayed by the batch oracle:
+#
+#  * watermark value: wm_us = (floor(max_event_us / 1000) - delay_ms)
+#    * 1000 — EventTimeWatermarkExec tracks event-time stats in
+#    MILLISECONDS (us // 1000), so the watermark is ms-truncated even
+#    though event times carry microseconds;
+#  * drop predicate: a row is dropped iff its WINDOW END <= watermark
+#    (inclusive; the raw event time is NOT compared — a row whose
+#    event_time is behind the watermark but whose window is still
+#    open is kept);
+#  * one-batch lag: the late-event filter of batch N uses the
+#    watermark in effect DURING batch N-1 (watermarkForLateEvents,
+#    the two-watermark split introduced for multi-stateful-operator
+#    support) — which is why the staging layout below inserts an
+#    EMPTY heartbeat file between the on-time and late batches: it
+#    commits the on-time batch's watermark so the late batch filters
+#    against it.
+
+_LATE_DELAY_MS = 3_600_000  # 1 hour watermark delay
+_LATE_BUCKETS = 10
+_LATE_CUT = 8  # md5 buckets < 8 arrive on time; >= 8 arrive late
+
+
+def _late_data_oracle() -> str:
+    w = _WINDOW_US
+    return f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) AS us, event_type, value,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_LATE_BUCKETS} AS b
+      FROM events
+    ),
+    b0 AS (SELECT * FROM ev WHERE b < {_LATE_CUT}),
+    wm AS (
+      SELECT ((MAX(us) // 1000) - {_LATE_DELAY_MS}) * 1000 AS wm_us FROM b0
+    ),
+    kept AS (
+      SELECT us, event_type, value FROM b0
+      UNION ALL
+      SELECT us, event_type, value
+      FROM ev, wm
+      WHERE b >= {_LATE_CUT} AND ((us // {w}) + 1) * {w} > wm_us
+    )
+    SELECT (us // {w}) * {w} AS window_start_us, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM kept
+    GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type NULLS LAST
+    """
+
+
+def stage_late_arrival_files(spark: SparkSession, sf_dir: str) -> str:
+    """Carve the events table into a deterministic 3-file arrival
+    order under a fresh staging directory: 000 = the on-time bulk
+    (md5 bucket < 8), 001 = an EMPTY heartbeat (commits the on-time
+    watermark — see the module comment on the one-batch filter lag),
+    002 = the remaining rows REPLAYED LATE. File-source ordering is
+    by modification time, pinned with fixed utimes. Raw schema is
+    preserved byte-for-byte (the slices are copies of the source
+    scan), so read_event_stream normalizes timestamps identically to
+    a direct read."""
+    import os
+    import shutil
+    import tempfile
+
+    from nbody6_data_pipeline_spark.queries import md5_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    b = md5_bucket(F.col("event_id"), _LATE_BUCKETS)
+    staging = tempfile.mkdtemp(prefix="late_stage_")
+    slices = [
+        ("000.parquet", ev.filter(b < _LATE_CUT), 1_000_000_000),
+        ("001.parquet", ev.limit(0), 1_000_000_060),
+        ("002.parquet", ev.filter(b >= _LATE_CUT), 1_000_000_120),
+    ]
+    for name, df, mtime in slices:
+        tmp = tempfile.mkdtemp(prefix="late_slice_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(staging, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return staging
+
+
+@register("streaming_late_data", _late_data_oracle())
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked late-data handling executed AS A STREAM and checked
+    against a batch replay of Spark's exact drop rule. 20% of events
+    (content-addressed buckets) arrive one batch AFTER the rest; the
+    6-hour windowed aggregation runs with a 1-hour watermark in UPDATE
+    mode, so late rows whose window closed before the on-time
+    watermark are DROPPED by the engine — and the oracle reproduces
+    precisely which (window_end <= ms-truncated watermark; module
+    comment has the full pinned contract). The value sum is
+    decimal-exact inside the streaming state, so the kept-row totals
+    hash-match the batch SQL bitwise."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    staging = stage_late_arrival_files(spark, sf_dir)
+    try:
+        stream = read_event_stream(
+            spark, staging, max_files_per_trigger=1
+        ).withColumn("value", F.col("value").cast("decimal(30,6)"))
+        agg = windowed_event_counts(
+            stream, window="6 hours", watermark="1 hour"
+        )
+        out = run_stream_to_memory(
+            spark, agg, name=_unique_sink(), output_mode="update"
+        )
+        # UPDATE mode appends one row per (key, updating trigger);
+        # a key's count strictly grows across its updates, so the
+        # final state of each key is its max-count row
+        wlast = W.partitionBy("window_start", "event_type").orderBy(
+            F.col("n_events").desc()
+        )
+        return (
+            out.withColumn("rn", F.row_number().over(wlast))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.unix_micros("window_start").alias("window_start_us"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("total_value").cast("double").alias("total_value"),
+            )
+            .transform(ordered, "window_start_us", "event_type")
+        )
+    finally:
+        # the memory sink holds the results; the staging files are
+        # dead weight once processAllAvailable returned
+        shutil.rmtree(staging, ignore_errors=True)

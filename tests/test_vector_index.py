@@ -12,6 +12,8 @@ from nbody6_data_pipeline_spark.plans.vector_index import (
     POSTINGS,
     ann_query_pruned,
     build_vector_index,
+    train_production_codebook,
+    upsert_vector_index,
 )
 
 
@@ -110,3 +112,82 @@ def test_rebuild_is_byte_identical(spark, sf_dir, tmp_path):
         results.append(file_digests(out))
     assert results[0], "no cell directories written"
     assert results[0] == results[1]
+
+
+def _topk(spark, index_dir, q, **kw):
+    return {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["d2"])
+        for r in ann_query_pruned(spark, index_dir, q, **kw).collect()
+    }
+
+
+def test_production_codebook_build_prunes_identically(
+    spark, sf_dir, tmp_path
+):
+    """The k~sqrt(N) production trainer must drop into the SAME layout
+    and probe path as the exact-parity codebook: partition pruning
+    fires at plan level, and the pruned top-k equals the full-scan
+    top-k bit-for-bit — proving the two trainers share one search
+    implementation rather than parallel code paths."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_production_codebook(vecs)
+    # k ~ sqrt(N), not the pinned exact-parity k
+    import math
+
+    n = vecs.count()
+    assert len(cents) == max(4, min(4096, math.isqrt(n)))
+    out = str(tmp_path / "prod")
+    report = build_vector_index(spark, vecs, out, cents=cents)
+    assert report["n_vectors"] == n
+
+    post = spark.read.parquet(os.path.join(out, POSTINGS))
+    probe = sorted(r["cell"] for r in post.select("cell").distinct().collect())[:2]
+    plan = (
+        post.filter(F.col("cell").isin(probe))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "cell" in pf_line and pf_line.split("PartitionFilters")[1] != ": []"
+
+    q = vecs.filter(F.col("vec_id") < 6)
+    pruned = _topk(spark, out, q)
+    full = _topk(spark, out, q, prune=False)
+    assert pruned and pruned == full
+
+
+def test_upsert_equals_rebuild_on_persisted_layout(spark, sf_dir, tmp_path):
+    """Appending a delta through upsert_vector_index must yield the
+    same index CONTENT as one build of the full corpus under the same
+    codebook: identical (cell, vec_id, vq) posting sets and identical
+    probe results. (Byte identity is a single-build property — an
+    upserted cell holds two files by design.)"""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = vecs.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    base, delta = (
+        vecs.filter(F.col("vec_id") <= cut),
+        vecs.filter(F.col("vec_id") > cut),
+    )
+    cents = train_production_codebook(base)
+
+    up_dir = str(tmp_path / "up")
+    build_vector_index(spark, base, up_dir, cents=cents)
+    up_report = upsert_vector_index(spark, delta, up_dir)
+
+    rb_dir = str(tmp_path / "rb")
+    rb_report = build_vector_index(spark, vecs, rb_dir, cents=cents)
+    assert up_report == rb_report
+
+    def postings_set(d):
+        return {
+            (r["cell"], r["vec_id"], tuple(r["vq"]))
+            for r in spark.read.parquet(os.path.join(d, POSTINGS)).collect()
+        }
+
+    assert postings_set(up_dir) == postings_set(rb_dir)
+
+    q = vecs.filter(F.col("vec_id") % 97 == 3)
+    assert _topk(spark, up_dir, q) == _topk(spark, rb_dir, q)

@@ -94,29 +94,82 @@ def execution_rollup(spark, from_id: int) -> dict:
     return agg
 
 
+def measure_query(spark, fn, sf_dir: str) -> dict:
+    """Run one registry callable and return its physical-metric
+    rollup (exchanges, shuffle/spill bytes, broadcasts) scoped to the
+    executions this call spawned — usable from both the CLI and the
+    pytest budget gate."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    spark.catalog.clearCache()
+    next_id = (
+        store.executionsList().apply(store.executionsList().size() - 1).executionId() + 1
+        if store.executionsList().size() > 0
+        else 0
+    )
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    wall = time.perf_counter() - t0
+    rec = {"wall_sec": round(wall, 3)}
+    rec.update(execution_rollup(spark, next_id))
+    return rec
+
+
+# Floor under every committed budget: at sf0.01 many queries shuffle
+# only a few KiB, where a one-partition AQE coalescing difference or a
+# metrics-rendering rounding step is a large RELATIVE change with no
+# scale meaning. Absolute growth past 256 KiB at sf0.01 is a real
+# plan change regardless.
+BUDGET_FLOOR_BYTES = 256 * 1024
+BUDGET_HEADROOM = 1.5
+
+
+def write_budgets(records: list[dict], path: str) -> None:
+    budgets = {
+        r["query"]: max(
+            int(r["shuffle_bytes"] * BUDGET_HEADROOM), BUDGET_FLOOR_BYTES
+        )
+        for r in records
+    }
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "_method": (
+                    "max(shuffle_bytes * 1.5, 256 KiB) per query, measured "
+                    "by tools/query_metrics.py at sf0.01; regenerate with "
+                    "--budgets after an INTENTIONAL plan change"
+                ),
+                "budgets": budgets,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
 def main() -> None:
     from nbody6_data_pipeline_spark.queries import registry
     from nbody6_data_pipeline_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = list(sys.argv[1:])
+    budgets_out = None
+    if "--budgets" in args:
+        i = args.index("--budgets")
+        budgets_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("query_metrics")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
-    names = sys.argv[2:] or list(reg)
-    store = spark._jsparkSession.sharedState().statusStore()
+    names = args[1:] or list(reg)
+    records = []
     for name in names:
-        spark.catalog.clearCache()
-        next_id = (
-            store.executionsList().apply(store.executionsList().size() - 1).executionId() + 1
-            if store.executionsList().size() > 0
-            else 0
-        )
-        t0 = time.perf_counter()
-        reg[name]["spark"](spark, sf_dir).collect()
-        wall = time.perf_counter() - t0
-        rec = {"query": name, "wall_sec": round(wall, 3)}
-        rec.update(execution_rollup(spark, next_id))
+        rec = {"query": name}
+        rec.update(measure_query(spark, reg[name]["spark"], sf_dir))
+        records.append(rec)
         print(json.dumps(rec), flush=True)
+    if budgets_out:
+        write_budgets(records, budgets_out)
+        print(f"wrote {budgets_out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
