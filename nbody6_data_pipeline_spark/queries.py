@@ -74,6 +74,8 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
     # -- new in round 7: never driver-sampled --
+    "lineitem_table_stats",
+    "events_scd2_lookup",
     "streaming_late_data",
     # -- last driver-sampled in round 1 (9 queries) --
     "half_mass_cutoff",

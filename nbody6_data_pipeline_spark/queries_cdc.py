@@ -289,10 +289,11 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_scd2_intervals",
-    """
-    WITH o AS (
+# Shared SCD2 interval chain (the dimension BUILD), rendered into both
+# the intervals query and the point-in-time lookup oracle so the two
+# can never drift.
+_SCD2_CTES = """
+    o AS (
       SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
         LAG(event_type) OVER (PARTITION BY user_id
           ORDER BY epoch_us(ts), event_id) AS prev
@@ -314,15 +315,27 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MIN(us) AS BIGINT) AS valid_from_us,
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM r GROUP BY user_id, run_id
+    ),
+    iv AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+             valid_from_us,
+             CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
+               ORDER BY run_id) AS BIGINT) AS valid_to_us,
+             n_events,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id
+               ORDER BY run_id) IS NULL AS is_current
+      FROM runs
     )
-    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
-           valid_from_us,
-           CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
-             ORDER BY run_id) AS BIGINT) AS valid_to_us,
-           n_events,
-           LEAD(valid_from_us) OVER (PARTITION BY user_id
-             ORDER BY run_id) IS NULL AS is_current
-    FROM runs
+"""
+
+
+@register(
+    "events_scd2_intervals",
+    f"""
+    WITH {_SCD2_CTES}
+    SELECT user_id, run_id, event_type, valid_from_us, valid_to_us,
+           n_events, is_current
+    FROM iv
     ORDER BY user_id, run_id
     """,
 )
@@ -341,6 +354,15 @@ def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and ties on the event timestamp break on event_id. At
     100 TB this partitions perfectly by the dimension key — state
     never crosses users."""
+    return scd2_intervals(spark, sf_dir).transform(
+        ordered, "user_id", "run_id"
+    )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension BUILD shared by the intervals query and the
+    point-in-time lookup (un-ordered; callers sort). Mirrors
+    _SCD2_CTES exactly — change them together."""
     ev = _t(spark, sf_dir, "events")
     e = (
         ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -370,15 +392,81 @@ def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrun = W.partitionBy("user_id").orderBy("run_id")
     nxt = F.lead("valid_from_us").over(wrun)
+    return runs.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        "event_type",
+        "valid_from_us",
+        nxt.cast("long").alias("valid_to_us"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_scd2_lookup",
+    f"""
+    WITH {_SCD2_CTES},
+    probes AS (
+      SELECT event_id, user_id, epoch_us(ts) AS probe_us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 7 = 3
+    )
+    SELECT p.event_id, p.user_id, p.probe_us,
+           i.event_type AS state, i.valid_from_us, i.is_current
+    FROM probes p
+    JOIN iv i
+      ON p.user_id = i.user_id
+     AND i.valid_from_us <= p.probe_us
+     AND (i.valid_to_us IS NULL OR p.probe_us < i.valid_to_us)
+    ORDER BY p.event_id
+    """,
+)
+def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) lookup against the SCD2
+    dimension — the join every fact-to-dimension-with-history
+    enrichment runs: for a deterministic probe set (1/7th of events by
+    content hash), find the dimension interval in force at the probe's
+    own timestamp: valid_from <= t < valid_to, NULL-open current rows
+    matching everything from their start. Because intervals are
+    half-open and partition the timeline per user, each probe matches
+    EXACTLY one row (a zero-length run [t, t) — two state changes at
+    the same timestamp — matches nothing and is skipped, the standard
+    temporal-table rule).
+
+    Scale shape: ONE user-keyed equi-join (the range condition is a
+    post-join filter with per-user interval counts as the bounded
+    amplification) sharing the same user_id partitioning the build's
+    windows already created — on a cluster the dimension-build shuffle
+    output feeds the lookup with no extra exchange. Both engines
+    render the SAME interval chain (_SCD2_CTES / scd2_intervals)."""
+    from nbody6_data_pipeline_spark.queries import md5_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    probes = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .filter(md5_bucket(F.col("event_id"), 7) == 3)
+        .select("event_id", "user_id", event_us(ev).alias("probe_us"))
+    )
+    iv = scd2_intervals(spark, sf_dir)
     return (
-        runs.select(
-            "user_id",
-            F.col("run_id").cast("long").alias("run_id"),
-            "event_type",
-            "valid_from_us",
-            nxt.cast("long").alias("valid_to_us"),
-            "n_events",
-            nxt.isNull().alias("is_current"),
+        probes.join(iv, "user_id")
+        .filter(
+            (F.col("valid_from_us") <= F.col("probe_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("probe_us") < F.col("valid_to_us"))
+            )
         )
-        .transform(ordered, "user_id", "run_id")
+        .select(
+            "event_id",
+            "user_id",
+            "probe_us",
+            F.col("event_type").alias("state"),
+            "valid_from_us",
+            "is_current",
+        )
+        .transform(ordered, "event_id")
     )

@@ -1591,3 +1591,109 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table statistics (optimizer/CBO stats collection)
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _table_stats_oracle() -> str:
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {c} AS val FROM lineitem"
+        for c in _STATS_COLS
+    )
+    return f"""
+    WITH dist AS MATERIALIZED (
+      SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({unions})
+      GROUP BY col_name, val
+    ),
+    s AS (
+      SELECT col_name,
+        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        CAST(COALESCE(SUM(cnt) FILTER (WHERE val IS NULL), 0) AS BIGINT)
+          AS n_null,
+        CAST(COUNT(val) AS BIGINT) AS ndv,
+        MIN(val) AS min_val,
+        MAX(val) AS max_val,
+        CAST(MAX(cnt) FILTER (WHERE val IS NOT NULL) AS BIGINT) AS mcv_freq
+      FROM dist GROUP BY col_name
+    ),
+    mcv AS (
+      SELECT d.col_name, MIN(d.val) AS mcv_val
+      FROM dist d JOIN s ON d.col_name = s.col_name
+      WHERE d.val IS NOT NULL AND d.cnt = s.mcv_freq
+      GROUP BY d.col_name
+    )
+    SELECT s.col_name, s.n_rows, s.n_null, s.ndv, s.min_val, s.max_val,
+           m.mcv_val, s.mcv_freq
+    FROM s JOIN mcv m ON s.col_name = m.col_name
+    ORDER BY s.col_name
+    """
+
+
+@register("lineitem_table_stats", _table_stats_oracle())
+def q_lineitem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics — the stats a cost-based
+    optimizer (or a data-quality profiler) collects per column: row
+    count, null count, exact NDV, min/max, and the most common value
+    with its frequency (deterministic MCV tie-break: smallest value at
+    the max frequency).
+
+    One wide scan feeds a stacked (col_name, val) projection into ONE
+    map-side-combinable value-distribution aggregate — the classic
+    exact-ANALYZE plan; every statistic then derives from that bounded
+    distribution table (|dist| = sum of per-column NDVs), including
+    the MCV via a rank window rather than an engine-specific argmax
+    (arg_max tie order is unspecified in both engines). At 100 TB the
+    exact path is what ANALYZE runs per partition; the approximate
+    complements already exist in this engine (HLL registers for NDV,
+    CMS/Misra-Gries for frequency) when a single pass over dist rows
+    is itself too large. min/max/mcv are stored doubles copied
+    bit-for-bit, so the cross-engine hash needs no float idiom."""
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    stack_expr = ", ".join(f"'{c}', {c}" for c in _STATS_COLS)
+    pairs = li.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack_expr}) AS (col_name, val)"
+    )
+    dist = (
+        pairs.groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # |dist| is bounded by the per-column NDV sum; both consumers
+        # below (summary agg + MCV rank) reuse this one aggregation
+        .localCheckpoint()
+    )
+    s = dist.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("n_null"),
+        F.count("val").cast("long").alias("ndv"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.max(F.when(F.col("val").isNotNull(), F.col("cnt")))
+        .cast("long")
+        .alias("mcv_freq"),
+    )
+    wmcv = W.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    mcv = (
+        dist.filter(F.col("val").isNotNull())
+        .select(
+            "col_name", "val", F.row_number().over(wmcv).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("val").alias("mcv_val"))
+    )
+    return (
+        s.join(F.broadcast(mcv), "col_name")
+        .select(
+            "col_name", "n_rows", "n_null", "ndv", "min_val", "max_val",
+            "mcv_val", "mcv_freq",
+        )
+        .transform(ordered, "col_name")
+    )

@@ -7,7 +7,7 @@ queries, matching how the driver's gate executes them — with views
 over the sf parquet tables; wall-clock covers execution + full
 fetchall materialization (the driver collects every result).
 
-Usage: python tools/bench_duckdb_baseline.py [sf_dir] [--json out.json]
+Usage: python tools/bench_duckdb_baseline.py [sf_dir] [query ...] [--json out.json]
 
 Prints one JSON object: {"total_sec", "n_queries", "sf_dir",
 "duckdb_version", "queries": {name: sec}} — the BASELINE.md table's
@@ -52,12 +52,13 @@ def main() -> None:
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
     oracles = entrymod.oracle_sql()
     timings: dict[str, float] = {}
-    for name in sorted(oracles):
+    for name in sorted(only or oracles):
         try:
             timings[name] = round(time_query(oracles[name], sf_dir), 3)
             print(f"{name}: {timings[name]}s", file=sys.stderr)
