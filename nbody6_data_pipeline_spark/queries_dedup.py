@@ -1621,3 +1621,120 @@ def q_doc_minhash_jaccard_estimate(
         .select("doc_a", "doc_b", "sig_agree", "est_jaccard", "jaccard")
         .transform(ordered, "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality audit over the exact k-means cells (index health
+# telemetry: is the codebook still fit for the corpus it serves?)
+# ---------------------------------------------------------------------------
+
+_D2_OWN = (
+    "aggregate(zip_with(vq, cv, (x, y) -> "
+    "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+_D2_CC = (
+    "aggregate(zip_with(cv_a, cv_b, (x, y) -> (x - y) * (x - y)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+
+
+def _cluster_quality_oracle() -> str:
+    from nbody6_data_pipeline_spark.operators.similarity import KM_ITERS
+
+    d = _KM_DIM
+    cc = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        "j -> (a.cv[j] - b.cv[j]) * (a.cv[j] - b.cv[j])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""{_km_af_prefix()},
+    assigned AS (
+      SELECT af.cell, {_km_d2('e.vq', 'c.cv')} AS d2
+      FROM af JOIN e USING (vec_id)
+      JOIN c{KM_ITERS} c ON af.cell = c.c_id
+    ),
+    sep AS (
+      SELECT a.c_id AS cell, MIN({cc}) AS min_other_d2
+      FROM c{KM_ITERS} a, c{KM_ITERS} b
+      WHERE a.c_id != b.c_id
+      GROUP BY a.c_id
+    ),
+    g AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(floor(d2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_d2_i
+      FROM assigned GROUP BY cell
+    )
+    SELECT g.cell, g.n_vectors, g.sum_d2_i, s.min_other_d2,
+           ROUND(CAST(g.sum_d2_i AS DOUBLE)
+                 / (g.n_vectors * s.min_other_d2), 6)
+             AS dispersion_ratio
+    FROM g JOIN sep s ON g.cell = s.cell
+    ORDER BY g.cell
+    """
+
+
+@register("embedding_cluster_quality", _cluster_quality_oracle())
+def q_embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin-style cluster-quality audit of the exact k-means
+    codebook — the health telemetry an IVF index owner watches to
+    decide WHEN to retrain: per cell, the population, the exact sum of
+    squared distances to the own centroid, the squared distance to the
+    nearest OTHER centroid, and their dispersion ratio (mean within /
+    nearest-between; a ratio drifting toward 1 means cells blur into
+    neighbors and probes stop pruning).
+
+    Cross-engine exactness: the within-cell d2 uses the SAME fold as
+    the assignment argmin (_CELL_STRUCTS / _km_d2) so each row's
+    distance is the number the index was built from; each d2 rounds
+    to an integer via the floor(x+0.5) idiom BEFORE summing (a
+    decimal-scale-4 sum was tried first and hash-FAILED: at ~1e13
+    magnitudes an 18-digit decimal exceeds double precision, so the
+    decimal->double conversion rounds differently per engine — exact
+    INTEGERS are the only safe carrier past 2^53 / 10^scale); the
+    centroid-separation min is over k x k identical double folds; the
+    final ratio is one closed-form double expression on identical
+    operands. One corpus aggregation + a k^2 centroid table — nothing
+    data-sized crosses the wire."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        _CENT_SCHEMA,
+        exact_kmeans_cells,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents, cells = exact_kmeans_cells(e)
+    cdf = spark.createDataFrame(cents, _CENT_SCHEMA)
+    assigned = (
+        cells.join(
+            F.broadcast(cdf.withColumnRenamed("c_id", "cell")), "cell"
+        )
+        .selectExpr("cell", f"{_D2_OWN} AS d2")
+    )
+    a = cdf.select(F.col("c_id").alias("cell"), F.col("cv").alias("cv_a"))
+    b = cdf.select(F.col("c_id").alias("cell_b"), F.col("cv").alias("cv_b"))
+    sep = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("cell") != F.col("cell_b"))
+        .selectExpr("cell", f"{_D2_CC} AS cc_d2")
+        .groupBy("cell")
+        .agg(F.min("cc_d2").alias("min_other_d2"))
+    )
+    g = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.expr("CAST(floor(d2 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("sum_d2_i"),
+    )
+    return (
+        g.join(F.broadcast(sep), "cell")
+        .selectExpr(
+            "cell",
+            "n_vectors",
+            "sum_d2_i",
+            "min_other_d2",
+            "ROUND(CAST(sum_d2_i AS DOUBLE) / (n_vectors * min_other_d2), 6)"
+            " AS dispersion_ratio",
+        )
+        .transform(ordered, "cell")
+    )

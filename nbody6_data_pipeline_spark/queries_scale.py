@@ -1697,3 +1697,84 @@ def q_lineitem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS linear fit from exact sufficient statistics (distributed training
+# of a linear model as ONE aggregation — the moment-sum recipe of
+# lineitem_corr extended to slope/intercept/R^2)
+# ---------------------------------------------------------------------------
+
+# ONE formula template rendered into both engines (the BM25/PSI
+# recipe): identical double operands + identical operation structure
+# => bit-identical floats, no q6 needed.
+_OLS_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_OLS_INTERCEPT = f"((sy - {_OLS_SLOPE} * sx) / n)"
+_OLS_R2 = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy) / "
+    "((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+)
+
+
+def _ols_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+          AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4)))
+          AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4)))
+          AS DOUBLE) AS sxy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND({_OLS_SLOPE}, 6) AS slope,
+           ROUND({_OLS_INTERCEPT}, 6) AS intercept,
+           ROUND({_OLS_R2}, 6) AS r2
+    FROM s
+    ORDER BY l_returnflag NULLS LAST
+    """
+
+
+@register("lineitem_ols_fit", _ols_oracle())
+def q_lineitem_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (price ~ quantity) from
+    exact decimal moment sums — distributed model training as ONE
+    map-side-combinable aggregation. The five sufficient statistics
+    (sx, sy, sxx, syy, sxy) are exact decimals cast to double, and
+    slope/intercept/R^2 derive from ONE closed-form template rendered
+    into both engines, so every float is bit-identical by construction
+    (lineitem_corr's recipe, extended to the full fit). This is the
+    100 TB shape for linear models: no gradient iterations, no second
+    pass, shuffle bounded by |groups| x 6 numbers — and the same
+    moments merge across shards/days by addition."""
+    li = _t(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dmom(col, alias):
+        return F.sum(col.cast("decimal(38,4)")).cast("double").alias(alias)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dmom(x, "sx"),
+        dmom(y, "sy"),
+        dmom(x * x, "sxx"),
+        dmom(y * y, "syy"),
+        dmom(x * y, "sxy"),
+    )
+    return s.selectExpr(
+        "l_returnflag",
+        "n",
+        f"ROUND({_OLS_SLOPE}, 6) AS slope",
+        f"ROUND({_OLS_INTERCEPT}, 6) AS intercept",
+        f"ROUND({_OLS_R2}, 6) AS r2",
+    ).transform(ordered, "l_returnflag")
