@@ -60,9 +60,10 @@ def bloom_build(
     Returns ``(words, nb)``: ``words`` has one row per non-empty
     62-bit word — (word BIGINT, bits BIGINT with bit j set iff some
     key hashed to position word*62+j) — and ``nb`` is a 1-row frame
-    carrying the filter size in bits (``nb = bits_per_key * count``),
-    which the probe side must reuse so both sides reduce positions
-    modulo the same size. Both frames are broadcast-sized: |words| <=
+    carrying the filter size in bits
+    (``nb = greatest(bits_per_key * count, 1)`` — see the sizing
+    comment below), which the probe side must reuse so both sides
+    reduce positions modulo the same size. Both frames are broadcast-sized: |words| <=
     nb/62 regardless of fact-table volume.
 
     The build is one fan-out projection (k positions per key) plus one

@@ -842,6 +842,13 @@ _CELL_STRUCTS = (
     "0.0D, (acc, x) -> acc + x) AS d2, c.c_id AS c_id))"
 )
 
+# THE cell-assignment rule (nearest centroid, ties on c_id). Exported
+# so every assigner — the Lloyd loop below AND the persisted-index
+# build/upsert in plans/vector_index — compiles the same string; two
+# copies could silently drift a tie-break and desynchronize upserted
+# postings from built ones.
+CELL_ASSIGN_EXPR = f"array_min({_CELL_STRUCTS}).c_id"
+
 
 def _with_cents(df: DataFrame, spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Attach the centroid table to every row as ONE broadcast
@@ -918,7 +925,7 @@ def exact_kmeans_cells(
             "0 (dense-rank reindex first) for deterministic seeding"
         )
     cents = init
-    assign_expr = F.expr(f"array_min({_CELL_STRUCTS}).c_id")
+    assign_expr = F.expr(CELL_ASSIGN_EXPR)
     for _ in range(iters):
         assigned = (
             _with_cents(e, spark, cents)

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 import math
 
 from nbody6_data_pipeline_spark.operators.similarity import (
+    CELL_ASSIGN_EXPR,
     _CELL_STRUCTS,
     _CENT_SCHEMA,
     _kmeans_fit,
@@ -50,8 +51,6 @@ from nbody6_data_pipeline_spark.operators.similarity import (
 
 POSTINGS = "postings"
 CENTROIDS = "centroids"
-
-_ASSIGN_EXPR = f"array_min({_CELL_STRUCTS}).c_id"
 
 
 def train_production_codebook(
@@ -101,7 +100,7 @@ def _assign_cells(
     )
     return (
         _with_cents(e, spark, cents)
-        .withColumn("cell", F.expr(_ASSIGN_EXPR))
+        .withColumn("cell", F.expr(CELL_ASSIGN_EXPR))
         .select("vec_id", "vq", "cell")
     )
 

@@ -124,12 +124,29 @@ BUDGET_HEADROOM = 1.5
 
 
 def write_budgets(records: list[dict], path: str) -> None:
-    budgets = {
-        r["query"]: max(
-            int(r["shuffle_bytes"] * BUDGET_HEADROOM), BUDGET_FLOOR_BYTES
-        )
-        for r in records
-    }
+    """MERGE the measured budgets into ``path``: a partial run (one
+    query named on the CLI after an intentional plan change) updates
+    only that query's entry instead of silently discarding the other
+    ~150 committed budgets. Stale entries for queries that no longer
+    exist are dropped against the current registry."""
+    import os
+
+    budgets: dict[str, int] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            budgets = json.load(f).get("budgets", {})
+        from nbody6_data_pipeline_spark.queries import registry
+
+        live = set(registry())
+        budgets = {k: v for k, v in budgets.items() if k in live}
+    budgets.update(
+        {
+            r["query"]: max(
+                int(r["shuffle_bytes"] * BUDGET_HEADROOM), BUDGET_FLOOR_BYTES
+            )
+            for r in records
+        }
+    )
     with open(path, "w") as f:
         json.dump(
             {
