@@ -1778,3 +1778,105 @@ def q_lineitem_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_OLS_INTERCEPT}, 6) AS intercept",
         f"ROUND({_OLS_R2}, 6) AS r2",
     ).transform(ordered, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square homogeneity drift test (categorical complement of the
+# numeric PSI/KS drift monitors: did the event-type MIX change?)
+# ---------------------------------------------------------------------------
+
+_CHISQ_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00 UTC
+
+# ONE per-category term template rendered into both engines.  The
+# (c_e*N_l - c_l*N_e)^2 numerator is exact 128-bit integer arithmetic
+# (DECIMAL(38,0) / HUGEINT — bigint*bigint would wrap silently past
+# 2^63 in non-ANSI Spark, the KS-drift lesson); the denominator
+# N_e*N_l*(c_e+c_l) stays within bigint; the single division runs in
+# double on identical operands and lands in q6 fixed point.  The
+# denom=0 guard matters cross-engine: Spark renders x/0.0 as NULL,
+# DuckDB as inf — never let that division happen.
+_CHISQ_TERM = (
+    "CASE WHEN n_early * n_late * (c_early + c_late) = 0 THEN 0 "
+    "ELSE CAST(floor("
+    "CAST(n_early + n_late AS DOUBLE) * ("
+    "CAST(CAST(c_early AS DECIMAL(38,0)) * n_late "
+    "- CAST(c_late AS DECIMAL(38,0)) * n_early AS DOUBLE) "
+    "* CAST(CAST(c_early AS DECIMAL(38,0)) * n_late "
+    "- CAST(c_late AS DECIMAL(38,0)) * n_early AS DOUBLE)) "
+    "/ (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE) "
+    "* CAST(c_early + c_late AS DOUBLE)) "
+    "* 1000000 + 0.5) AS BIGINT) END"
+)
+
+
+def _chisq_oracle() -> str:
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+        CAST(COUNT(*) FILTER (WHERE epoch_us(ts) < {_CHISQ_SPLIT_US})
+             AS BIGINT) AS c_early,
+        CAST(COUNT(*) FILTER (WHERE epoch_us(ts) >= {_CHISQ_SPLIT_US})
+             AS BIGINT) AS c_late
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY event_type
+    ),
+    n AS (
+      SELECT CAST(SUM(c_early) AS BIGINT) AS n_early,
+             CAST(SUM(c_late) AS BIGINT) AS n_late
+      FROM g
+    )
+    SELECT event_type, c_early, c_late,
+           {_CHISQ_TERM} AS chisq_term_q6
+    FROM g, n
+    ORDER BY event_type NULLS LAST
+    """
+
+
+@register("events_chisq_drift", _chisq_oracle())
+def q_events_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity test on the event-type mix
+    before/after a fixed cut — the CATEGORICAL drift monitor next to
+    the numeric PSI (binned totals) and KS (CDF supremum): PSI/KS see
+    a price distribution slide, this sees the class balance of a
+    labeled corpus rotate. Sum of chisq_term_q6/1e6 over rows is the
+    X^2 statistic (compare against chi-square critical values at
+    |types|-1 DOF); per-type terms localize WHICH class drifted.
+
+    ONE map-side-combined conditional aggregation builds both
+    histograms in a single scan, bounded by |event_type| groups; the
+    totals broadcast back. Exactness: 128-bit integer cross products
+    (the KS recipe — bigint*bigint wraps SILENTLY in non-ANSI Spark),
+    one double division on identical operands, q6 fixed point; the
+    denominator-zero guard is load-bearing cross-engine (Spark x/0.0
+    -> NULL, DuckDB -> inf). NULL event_type forms its own category
+    in both engines."""
+    from nbody6_data_pipeline_spark.queries import event_us
+
+    ev = _t(spark, sf_dir, "events", spread=True)
+    e = ev.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        (event_us(ev) < _CHISQ_SPLIT_US).alias("early"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_early"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_late"),
+    )
+    n = g.agg(
+        F.sum("c_early").cast("long").alias("n_early"),
+        F.sum("c_late").cast("long").alias("n_late"),
+    )
+    return (
+        g.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "event_type",
+            "c_early",
+            "c_late",
+            f"{_CHISQ_TERM} AS chisq_term_q6",
+        )
+        .transform(ordered, "event_type")
+    )

@@ -701,3 +701,149 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the memory sink holds the results; the staging files are
         # dead weight once processAllAvailable returned
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: NULL-emission semantics,
+# oracle-checked
+# --------------------------------------------------------------------------
+#
+# The outer complement of streaming_interval_join. Spark emits the
+# NULL row for an unmatched left row only when the GLOBAL watermark
+# (the MIN over both sides' watermarks, each ms-truncated per the
+# late-data module comment) passes the last instant a match could
+# still arrive. Pinned empirically (tests/test_streaming_late_data.py
+# has the late-data pins; the outer-join pin lives in
+# test_streaming_outer_join.py):
+#   * NULL-emit iff click_time + join_window < wm_global — STRICT: a
+#     row whose match deadline equals the watermark stays in state;
+#   * emission needs a subsequent batch after the watermark advance
+#     (the staged layout appends TWO empty heartbeat files);
+#   * rows that never cross the threshold (the stream's trailing
+#     window + delay) stay in state and do NOT appear — the oracle
+#     reproduces exactly that censoring.
+
+_OJ_WINDOW_US = 3_600_000_000  # 1 hour match window
+_OJ_DELAY_MS = 3_600_000  # 1 hour watermark delay (both sides)
+
+
+def _oj_oracle() -> str:
+    w, d = _OJ_WINDOW_US, _OJ_DELAY_MS
+    return f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT LEAST(
+        (SELECT ((MAX(us) // 1000) - {d}) * 1000 FROM c),
+        (SELECT ((MAX(us) // 1000) - {d}) * 1000 FROM p)) AS wm_us
+    ),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id, p.us - c.us AS lag_us
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.us BETWEEN c.us AND c.us + {w}
+    ),
+    nulls AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS lag_us
+      FROM c, wm
+      WHERE c.us + {w} < wm.wm_us
+        AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.us BETWEEN c.us AND c.us + {w})
+    )
+    SELECT user_id, click_id, purchase_id, lag_us FROM matched
+    UNION ALL
+    SELECT user_id, click_id, purchase_id, lag_us FROM nulls
+    ORDER BY click_id, purchase_id NULLS LAST
+    """
+
+
+@register("streaming_left_outer_join", _oj_oracle())
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join executed as a real
+    stream: every click joined to same-user purchases within the
+    following hour, and clicks whose match window EXPIRED under the
+    watermark emit a NULL row — the attribution shape where
+    'no conversion' is itself the signal. The batch oracle replays
+    Spark's exact censoring rule (module comment: strict inequality
+    against the min-of-both-sides ms-truncated global watermark), so
+    which unmatched clicks appear — and which stay censored in state —
+    is value-checked, not assumed. NULL-keyed clicks never equi-match
+    (both engines) and flush like any unmatched row once old enough."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    staging = tempfile.mkdtemp(prefix="oj_stage_")
+    try:
+        slices = [
+            ("000.parquet", ev, 1_000_000_000),
+            ("001.parquet", ev.limit(0), 1_000_000_060),
+            ("002.parquet", ev.limit(0), 1_000_000_120),
+        ]
+        for name, df, mtime in slices:
+            tmp = tempfile.mkdtemp(prefix="oj_slice_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(staging, name)
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        stream = read_event_stream(spark, staging, max_files_per_trigger=1)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("event_time").alias("click_time"),
+                F.col("ts_us").alias("click_us"),
+            )
+            .withWatermark("click_time", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("event_time").alias("purchase_time"),
+                F.col("ts_us").alias("purchase_us"),
+            )
+            .withWatermark("purchase_time", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_time") >= F.col("click_time"))
+            & (
+                F.col("purchase_time")
+                <= F.col("click_time") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "leftOuter",
+        )
+        out = run_stream_to_memory(
+            spark, joined, name=_unique_sink(), output_mode="append"
+        )
+        return (
+            out.select(
+                "user_id",
+                "click_id",
+                F.col("purchase_id").cast("long").alias("purchase_id"),
+                (F.col("purchase_us") - F.col("click_us"))
+                .cast("long")
+                .alias("lag_us"),
+            )
+            .transform(ordered, "click_id", "purchase_id")
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

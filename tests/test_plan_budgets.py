@@ -71,3 +71,9 @@ def test_shuffle_bytes_within_budget(spark, name):
         f"budget {budget:,} — a quiet plan regression (or an "
         "intentional change needing a budget regen + review)"
     )
+    # sf0.01 on a 128 GiB box must never spill: any nonzero spill here
+    # means an operator materializes something data-sized per task —
+    # a certain OOM/spill storm at production scale
+    assert rec["spill_bytes"] == 0, (
+        f"{name} spilled {rec['spill_bytes']:,} bytes at sf0.01"
+    )

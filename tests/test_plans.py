@@ -47,3 +47,41 @@ def test_metric_size_parser():
     assert parse_bytes("0.0 B") == 0
     assert parse_bytes("no size here") == 0
     assert parse_bytes("1,234.5 MiB") == int(1234.5 * 2**20)
+
+
+# Positive plan-quality evidence: per-group top-k queries must compile
+# with WindowGroupLimit — Spark's partial top-k pushdown that filters
+# each partition to its local top-k BEFORE the rank window's shuffle.
+# Without it, a rank()<=k filter still shuffles and sorts EVERY row of
+# every group; at 100 TB that is the difference between moving k rows
+# per group and moving the corpus.
+_GROUP_TOPK_QUERIES = [
+    "doc_bm25_topk",
+    "session_top_paths",
+    "embedding_cosine_topk",
+    # embedding_sq8_topk is deliberately absent: its filter is a
+    # DISJUNCTION of two different rank columns (r8 <= k OR re <= k —
+    # recall measurement needs both rankings), which WindowGroupLimit
+    # cannot push; each side alone would qualify.
+]
+
+
+@pytest.mark.parametrize("name", _GROUP_TOPK_QUERIES)
+def test_group_topk_plans_use_window_group_limit(spark, sf_dir, name):
+    from nbody6_data_pipeline_spark.queries import registry
+
+    df = registry()[name]["spark"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, (
+        f"{name}: rank<=k filter did not push down to WindowGroupLimit"
+    )
+
+
+def test_global_topk_plan_uses_take_ordered(spark, sf_dir):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), not a full sort."""
+    from nbody6_data_pipeline_spark.queries import registry
+
+    df = registry()["top_k_orders"]["spark"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
