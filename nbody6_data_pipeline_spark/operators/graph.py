@@ -303,3 +303,45 @@ def kcore_peel(
             .localCheckpoint()
         )
     return out
+
+
+def bfs_layers(
+    edges: DataFrame, seeds: DataFrame, max_depth: int
+) -> DataFrame:
+    """Breadth-first min-distance from a seed set, bounded depth:
+    returns (node, dist) with dist = length of the shortest path from
+    any seed (seeds at 0), for dist <= max_depth. ``edges`` is the
+    directed edge list (src, dst) — symmetrize first for undirected
+    reach; ``seeds`` one column ``node``.
+
+    Frontier expansion, one join+distinct+anti-join shuffle per level
+    — the textbook distributed BFS: the frontier only carries
+    newly-discovered nodes, the anti-join against the visited set
+    guarantees each node is emitted at its MINIMUM distance exactly
+    once (the same semantics as a depth-bounded recursive-CTE UNION
+    followed by MIN(dist) — the DuckDB oracle shape). Each level's
+    frontier and visited set are localCheckpointed: they are re-read
+    by every later level, and without the cut the lineage re-derives
+    all previous levels per round (the kcore_peel lesson). At 100 TB
+    the joins shuffle on node id; visited never exceeds the node
+    count and the frontier usually SHRINKS after the graph's
+    effective diameter."""
+    visited = seeds.select("node").distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(depth).cast("long").alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -74,6 +74,8 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
     # -- new in round 7: never driver-sampled --
+    "graph_bfs_layers",
+    "doc_priority_sample",
     "streaming_left_outer_join",
     "events_chisq_drift",
     "embedding_cluster_quality",

@@ -543,3 +543,82 @@ def q_doc_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-bounded BFS layers from a seed set (reachability / blast-radius
+# analysis over the fulfilment graph)
+# ---------------------------------------------------------------------------
+
+BFS_DEPTH = 3
+BFS_SEED_NATION = 1
+
+
+@register(
+    "graph_bfs_layers",
+    f"""
+    WITH RECURSIVE fwd AS ({_pr_edges_sql()}),
+    edges AS (
+      SELECT src, dst FROM fwd
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM fwd
+    ),
+    seeds AS (
+      SELECT DISTINCT c_custkey * 2 AS node FROM customer
+      WHERE c_nationkey = {BFS_SEED_NATION} AND c_custkey IS NOT NULL
+    ),
+    bfs(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {BFS_DEPTH}
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node
+    ORDER BY dist, node
+    """,
+)
+def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-distance BFS layers from one nation's customers over the
+    symmetrized customer<->supplier fulfilment graph, depth-bounded —
+    the blast-radius question ('every account within 3 hops of this
+    cohort') that recommendation seeding, fraud spread, and
+    contamination tracing all reduce to. operators/graph.bfs_layers
+    expands one frontier per level (join -> distinct -> anti-join,
+    each a node-keyed shuffle); the oracle is the equivalent
+    depth-bounded recursive CTE reduced by MIN(dist) — identical
+    min-distance semantics because the UNION-dedup of (node, dist)
+    pairs can only produce a node's first appearance at its shortest
+    depth. NULL keys never join in either engine and are filtered
+    from the seed set."""
+    from nbody6_data_pipeline_spark.operators.graph import bfs_layers
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c, s = (F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1)
+    edges = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(c.alias("src"), s.alias("dst")),
+                    F.struct(s.alias("src"), c.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    cust = _t(spark, sf_dir, "customer")
+    seeds = (
+        cust.filter(
+            (F.col("c_nationkey") == BFS_SEED_NATION)
+            & F.col("c_custkey").isNotNull()
+        )
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        bfs_layers(edges, seeds, BFS_DEPTH)
+        .transform(ordered, "dist", "node")
+    )

@@ -798,3 +798,97 @@ def q_doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_after_tok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield-Lund-Thorup): deterministic
+# weight-proportional selection with ZERO transcendentals
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 20  # sample size per stratum
+_PRIO_SPACE = float(1 << 60)  # the 60-bit md5 hash space
+
+# priority = w / u with u = (hv+1)/2^60 drawn from the doc's content
+# hash — i.e. w * 2^60 / (hv+1): one multiply + one divide on exact
+# integer-derived operands, bit-identical cross-engine with no q6
+# absorber needed (unlike the exponential-jump A-Res key ln(u)/w,
+# whose libm ln() would need quantization coarse enough to destroy
+# the sample's resolution).
+_PRIO_EXPR = (
+    "(CAST(n_chars AS DOUBLE) * {space:.1f} / (CAST(hv AS DOUBLE) + 1.0))"
+).format(space=_PRIO_SPACE)
+
+
+def _priority_sample_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars,
+        {_PRIO_EXPR} AS priority,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY {_PRIO_EXPR} DESC, doc_id) AS rnk
+      FROM d
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, priority
+    FROM r WHERE rnk <= {_PRIO_K}
+    ORDER BY source NULLS LAST, rnk
+    """
+
+
+@register("doc_priority_sample", _priority_sample_oracle())
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling for data mixing, as PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): per source stratum, keep the k docs with
+    the largest priority w/u, where w = n_chars (longer docs
+    proportionally likelier) and u is a (0,1] uniform drawn from the
+    doc's content hash. Priority sampling gives unbiased
+    subset-sum estimators from the retained (priority, weight) pairs
+    and — unlike the exponential-race A-Res key ln(u)/w — needs no
+    transcendental: one multiply + one divide on identical operands
+    is bit-identical cross-engine, so the full float priority column
+    hash-checks raw.
+
+    Scale shape: a rank window per stratum that compiles to
+    WindowGroupLimit (per-partition top-k BEFORE the shuffle — the
+    plan gate asserts this family), so each executor forwards at most
+    k rows per stratum however large the corpus; determinism is total
+    (content-addressed u), so re-sampling a re-shuffled corpus
+    returns byte-identical samples — the reproducibility property a
+    training-mix spec needs."""
+    from nbody6_data_pipeline_spark.operators.sketch import hll_hash
+    from pyspark.sql import Window as W
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("n_chars").isNotNull()
+            & (F.col("n_chars") > 0)
+            & F.col("doc_id").isNotNull()
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            hll_hash(F.col("doc_id")).alias("hv"),
+        )
+    )
+    wrnk = W.partitionBy("source").orderBy(
+        F.expr(_PRIO_EXPR).desc(), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            F.row_number().over(wrnk).cast("long").alias("rnk"),
+            "doc_id",
+            "n_chars",
+            F.expr(_PRIO_EXPR).alias("priority"),
+        )
+        .filter(F.col("rnk") <= _PRIO_K)
+        .transform(ordered, "source", "rnk")
+    )

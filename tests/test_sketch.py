@@ -306,3 +306,27 @@ def test_heavy_hitters_empty_input(spark):
 
     empty = spark.createDataFrame([], "token string")
     assert heavy_hitters(empty, inv_threshold=10).count() == 0
+
+
+def test_bfs_layers_min_distance_on_hand_graph(spark):
+    """Path graph 1-2-3-4-5 plus a shortcut 1-4: BFS from {1} must
+    assign each node its MINIMUM distance (4 via the shortcut, not the
+    path), include the seed at 0, and censor nodes past max_depth."""
+    from nbody6_data_pipeline_spark.operators.graph import bfs_layers
+
+    fwd = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (8, 9)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_layers(edges, seeds, max_depth=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # depth 1: node 3 and 5 censored; disconnected 8/9 never appear
+    got1 = {
+        r["node"]: r["dist"]
+        for r in bfs_layers(edges, seeds, max_depth=1).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 4: 1}
