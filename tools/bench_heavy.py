@@ -55,6 +55,9 @@ HEAVY = [
     "doc_bm25_topk",
     "doc_minhash_jaccard_estimate",
     "embedding_sq8_topk",
+    # round 7
+    "embedding_cluster_quality",
+    "doc_priority_sample",
 ]
 
 
