@@ -1880,3 +1880,126 @@ def q_events_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance matrix of the embedding dimensions (PCA/whitening
+# prep as ONE aggregation — integer outer products, no float drift)
+# ---------------------------------------------------------------------------
+
+_COV_DIM = 64
+
+
+def _cov_oracle() -> str:
+    from nbody6_data_pipeline_spark.operators.similarity import KM_QUANT
+
+    d = _COV_DIM
+    q = KM_QUANT  # same quantizer as the Spark side's _quantize
+    return f"""
+    WITH e AS (
+      SELECT list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * {q}.0 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {d}
+    ),
+    ij AS (
+      SELECT i.i, j.j FROM range(1, {d + 1}) i(i), range(1, {d + 1}) j(j)
+      WHERE i.i <= j.j
+    ),
+    s AS (
+      SELECT ij.i - 1 AS i, ij.j - 1 AS j,
+             CAST(SUM(vq[ij.i] * vq[ij.j]) AS BIGINT) AS sij
+      FROM e, ij GROUP BY ij.i, ij.j
+    ),
+    m AS (
+      SELECT i.i - 1 AS i, CAST(SUM(vq[i.i]) AS BIGINT) AS si
+      FROM e, range(1, {d + 1}) i(i) GROUP BY i.i
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+    SELECT s.i, s.j, n.n, s.sij, mi.si AS si, mj.si AS sj,
+           CAST(CAST(n.n AS HUGEINT) * s.sij
+                - CAST(mi.si AS HUGEINT) * mj.si AS DOUBLE) AS cov_num
+    FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i, n
+    ORDER BY s.i, s.j
+    """
+
+
+@register("embedding_covariance", _cov_oracle())
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance structure of the embedding dimensions — the
+    sufficient statistics for PCA / whitening / decorrelating a
+    feature space before indexing, computed as ONE pass: an
+    Arrow-batched mapInPandas kernel accumulates the integer outer
+    product m.T @ m per batch (one [64,64] int64 matmul per Arrow
+    batch — 4096 partial rows per PARTITION cross the wire, never the
+    corpus), and the scaled covariance numerator n*Sij - Si*Sj is
+    assembled in 128-bit integer arithmetic (DECIMAL(38,0) /
+    HUGEINT). The final cast to double is of an exact INTEGER, which
+    both engines round identically — the scaled-decimal pitfall the
+    cluster-quality query documents does not apply. The OLS recipe's
+    moment-sum design at matrix scale: the statistics merge across
+    shards/days by addition.
+
+    Overflow headroom: |vq| <= ~2^20 and the kernel emits one partial
+    per ARROW BATCH, so the int64 accumulator is bounded by
+    batch_rows * 2^40 (safe by ~3 orders at the 10k default) no
+    matter how many rows a partition carries; the global sums ride
+    128-bit."""
+    import pandas as pd
+
+    from nbody6_data_pipeline_spark.operators.similarity import _quantize
+
+    d = _COV_DIM
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == d)
+        )
+        .select(_quantize(F.col("embedding")).alias("vq"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def outer_partials(batches):
+        import numpy as np
+
+        iu = np.triu_indices(d)
+        # one partial frame PER ARROW BATCH (not per partition): the
+        # int64 bound B * 2^40 then holds for the Arrow batch size
+        # (~10k rows) regardless of how many rows a PARTITION carries —
+        # a per-partition accumulator would overflow silently around
+        # 8e6 rows/partition. The map-side combine of the downstream
+        # groupBy collapses the extra partials for free.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["vq"].to_numpy()).astype("int64")
+            acc = m.T @ m
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                 "s": acc[iu]}
+            )
+
+    partials = e.mapInPandas(outer_partials, schema="i int, j int, s long")
+    sij = partials.groupBy("i", "j").agg(
+        F.sum("s").cast("long").alias("sij")
+    )
+    m = (
+        e.select(F.posexplode("vq").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").cast("long").alias("si"))
+    )
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mi = m.select(F.col("i").alias("_i"), F.col("si").alias("si"))
+    mj = m.select(F.col("i").alias("_j"), F.col("si").alias("sj"))
+    return (
+        sij.join(F.broadcast(mi), sij["i"] == mi["_i"])
+        .join(F.broadcast(mj), sij["j"] == mj["_j"])
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "i", "j", "n", "sij", "si", "sj",
+            "CAST(CAST(n AS DECIMAL(38,0)) * sij"
+            " - CAST(si AS DECIMAL(38,0)) * sj AS DOUBLE) AS cov_num",
+        )
+        .transform(ordered, "i", "j")
+    )
