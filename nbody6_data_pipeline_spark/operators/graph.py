@@ -336,6 +336,12 @@ def bfs_layers(
                 frontier.withColumnRenamed("node", "src"), "src"
             )
             .select(F.col("dst").alias("node"))
+            # a NULL dst must be dropped, not emitted: the anti-join
+            # below never matches NULL against visited (NULL = NULL
+            # is not true), so without this filter a NULL node would
+            # re-enter at EVERY level — one row per depth instead of
+            # one at its minimum distance
+            .filter(F.col("node").isNotNull())
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint()

@@ -1795,11 +1795,21 @@ _CHISQ_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00 UTC
 # double on identical operands and lands in q6 fixed point.  The
 # denom=0 guard matters cross-engine: Spark renders x/0.0 as NULL,
 # DuckDB as inf — never let that division happen.
+# Per-category homogeneity term. Derivation for a 2 x B table with
+# row totals N_e, N_l and D_b = c_e*N_l - c_l*N_e: summing
+# (O-E)^2/E over BOTH rows of category b collapses to exactly
+# D_b^2 / (N_e * N_l * (c_e + c_l)) — no extra N factor (a review
+# pass caught an N-inflated first version that both engines happily
+# agreed on: a shared formula template makes cross-engine hashing
+# blind to SHARED algebra mistakes, so derive + spot-check against a
+# hand-computed table, as test_chisq_statistic_matches_reference now
+# does). The zero guard is three separate comparisons, NOT a product
+# — n_early * n_late * m_b would itself overflow int64 past ~3.1e9
+# rows/side, the same wrap class the 128-bit numerator avoids.
 _CHISQ_TERM = (
-    "CASE WHEN n_early * n_late * (c_early + c_late) = 0 THEN 0 "
+    "CASE WHEN n_early = 0 OR n_late = 0 OR c_early + c_late = 0 THEN 0 "
     "ELSE CAST(floor("
-    "CAST(n_early + n_late AS DOUBLE) * ("
-    "CAST(CAST(c_early AS DECIMAL(38,0)) * n_late "
+    "(CAST(CAST(c_early AS DECIMAL(38,0)) * n_late "
     "- CAST(c_late AS DECIMAL(38,0)) * n_early AS DOUBLE) "
     "* CAST(CAST(c_early AS DECIMAL(38,0)) * n_late "
     "- CAST(c_late AS DECIMAL(38,0)) * n_early AS DOUBLE)) "
@@ -1950,14 +1960,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbody6_data_pipeline_spark.operators.similarity import _quantize
 
     d = _COV_DIM
+    # spread=True, not an unconditional repartition: the conditional
+    # helper widens the scan only when its natural parallelism is
+    # below core count (the local single-file case); on a cluster the
+    # corpus flows straight from the scan into the kernel with NO
+    # exchange — only the 2080-row partials ever shuffle
     e = (
-        _t(spark, sf_dir, "embeddings")
+        _t(spark, sf_dir, "embeddings", spread=True)
         .filter(
             F.col("embedding").isNotNull()
             & (F.size("embedding") == d)
         )
         .select(_quantize(F.col("embedding")).alias("vq"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def outer_partials(batches):
@@ -1981,13 +1995,19 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     partials = e.mapInPandas(outer_partials, schema="i int, j int, s long")
+    # aggregate the int64 partials in DECIMAL(38,0): a plain long SUM
+    # would wrap silently in non-ANSI Spark once the corpus passes
+    # ~2^23 rows of near-full-scale components (the oracle's
+    # CAST(SUM AS BIGINT) throws instead of wrapping — the final
+    # BIGINT cast here keeps schema parity and is exact at any SF the
+    # gates run; the 128-bit numerator below consumes the same sums)
     sij = partials.groupBy("i", "j").agg(
-        F.sum("s").cast("long").alias("sij")
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("long").alias("sij")
     )
     m = (
         e.select(F.posexplode("vq").alias("i", "x"))
         .groupBy("i")
-        .agg(F.sum("x").cast("long").alias("si"))
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("si"))
     )
     n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
     mi = m.select(F.col("i").alias("_i"), F.col("si").alias("si"))

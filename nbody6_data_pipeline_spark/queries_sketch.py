@@ -138,6 +138,33 @@ def _pr_edges_sql() -> str:
     """
 
 
+def fulfilment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer<->supplier fulfilment edge list — the ONE
+    Spark-side twin of _pr_edges_sql (+ its reversal), shared by every
+    graph query on this schema so the builds cannot drift. orders
+    (2 pruned columns) is broadcast-sized at any realistic
+    order/lineitem ratio -> the fact table never shuffles for the
+    join; symmetrization happens BEFORE the dedup by exploding each
+    fulfilment into both directed edges, so the whole build is
+    scan -> broadcast join -> explode -> ONE distinct shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c, s = (F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1)
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(c.alias("src"), s.alias("dst")),
+                    F.struct(s.alias("src"), c.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
 @register(
     "graph_pagerank",
     f"""
@@ -203,27 +230,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     static edge+degree table is persisted once. High-degree suppliers
     surface at the top — the graph-centrality complement to the
     engine's flat aggregation views."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # orders (2 pruned columns) is broadcast-sized at any realistic
-    # order/lineitem ratio -> the fact table never shuffles for the
-    # join. Symmetrization happens BEFORE the dedup by exploding each
-    # fulfilment into both directed edges, so the whole edge build is
-    # scan -> broadcast join -> explode -> ONE distinct shuffle.
-    c, s = (F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1)
-    edges = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(c.alias("src"), s.alias("dst")),
-                    F.struct(s.alias("src"), c.alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    edges = fulfilment_edges(spark, sf_dir)
     ranks = pagerank_fixed(
         edges, iterations=PR_ITER, assume_distinct=True, symmetric=True
     )
@@ -559,9 +566,13 @@ BFS_SEED_NATION = 1
     f"""
     WITH RECURSIVE fwd AS ({_pr_edges_sql()}),
     edges AS (
+      -- NULL endpoints dropped to mirror bfs_layers' contract (a NULL
+      -- node neither joins nor belongs in the layer output)
       SELECT src, dst FROM fwd
+      WHERE src IS NOT NULL AND dst IS NOT NULL
       UNION ALL
       SELECT dst AS src, src AS dst FROM fwd
+      WHERE src IS NOT NULL AND dst IS NOT NULL
     ),
     seeds AS (
       SELECT DISTINCT c_custkey * 2 AS node FROM customer
@@ -594,21 +605,8 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the seed set."""
     from nbody6_data_pipeline_spark.operators.graph import bfs_layers
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    c, s = (F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1)
-    edges = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(c.alias("src"), s.alias("dst")),
-                    F.struct(s.alias("src"), c.alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
+    edges = fulfilment_edges(spark, sf_dir).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     cust = _t(spark, sf_dir, "customer")
     seeds = (

@@ -59,6 +59,7 @@ _GROUP_TOPK_QUERIES = [
     "doc_bm25_topk",
     "session_top_paths",
     "embedding_cosine_topk",
+    "doc_priority_sample",
     # embedding_sq8_topk is deliberately absent: its filter is a
     # DISJUNCTION of two different rank columns (r8 <= k OR re <= k —
     # recall measurement needs both rankings), which WindowGroupLimit

@@ -513,3 +513,31 @@ def test_ks_stat_matches_python_recomputation(spark, sf_dir):
         if d > best[0]:
             best = (d, b)
     assert best == (r["d_num"], r["d_bin"])
+
+
+def test_chisq_statistic_matches_reference(spark, sf_dir):
+    """The summed chi-square terms must equal the textbook
+    sum-over-cells (O-E)^2/E statistic computed independently from the
+    same contingency table — the check that catches SHARED algebra
+    mistakes the cross-engine hash is blind to (a review pass found an
+    N-inflated first version both engines agreed on)."""
+    from nbody6_data_pipeline_spark.queries import registry
+
+    rows = registry()["events_chisq_drift"]["spark"](
+        spark, sf_dir
+    ).collect()
+    ce = {r["event_type"]: r["c_early"] for r in rows}
+    cl = {r["event_type"]: r["c_late"] for r in rows}
+    n_e, n_l = sum(ce.values()), sum(cl.values())
+    n = n_e + n_l
+    expected = 0.0
+    for t in ce:
+        m = ce[t] + cl[t]
+        if m == 0:
+            continue
+        for o, rt in ((ce[t], n_e), (cl[t], n_l)):
+            e = rt * m / n
+            if e > 0:
+                expected += (o - e) ** 2 / e
+    got = sum(r["chisq_term_q6"] for r in rows) / 1e6
+    assert abs(got - expected) < 1e-3 * max(expected, 1.0), (got, expected)
