@@ -74,6 +74,7 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
     # -- new in round 7: never driver-sampled --
+    "lineitem_bootstrap_ci",
     "embedding_covariance",
     "graph_bfs_layers",
     "doc_priority_sample",

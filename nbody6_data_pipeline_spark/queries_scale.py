@@ -2023,3 +2023,175 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals: uncertainty quantification
+# over unbounded data in ONE pass (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google 2012 — the resampling
+# scheme that works on MapReduce because each row draws its replica
+# weights independently)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64  # bootstrap replicas
+# Poisson(1) CDF literals, python-computed once and embedded VERBATIM
+# in both engines (math.exp never runs inside either engine, so the
+# inverse-CDF weights are exact integer functions of the hash)
+_BOOT_CDF = [
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+]
+# u in [0,1): the row's 60-bit content hash, salted by the replica id
+_BOOT_U = (
+    "(CAST({hv} AS DOUBLE) / 1152921504606846976.0)"
+)
+_BOOT_W = (
+    "(CASE "
+    + " ".join(
+        f"WHEN {{u}} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    + " ELSE 9 END)"
+)
+
+
+# The 60-bit salted row hash: the md5/substring construction is shared
+# character-for-character; only the hex-to-int spelling differs per
+# engine (DuckDB parses '0x' string casts, Spark needs conv(..,16,10)
+# — both produce the same integer, the established md5-long idiom).
+_BOOT_MD5 = (
+    "substring(md5(CAST({i} AS STRING) || ':' || "
+    "CAST(l_orderkey AS STRING) || ':' || "
+    "CAST(l_linenumber AS STRING)), 1, 15)"
+)
+
+
+def _boot_hv_sql(i: str) -> str:
+    return f"CAST(('0x' || {_BOOT_MD5.format(i=i)}) AS BIGINT)"
+
+
+def _boot_hv_spark(i: str) -> str:
+    return f"CAST(conv({_BOOT_MD5.format(i=i)}, 16, 10) AS BIGINT)"
+
+
+def _bootstrap_oracle() -> str:
+    u = _BOOT_U.format(hv=_boot_hv_sql("i.i"))
+    w = _BOOT_W.format(u=u)
+    lo_rk, hi_rk = 2, _BOOT_B - 1  # ~2.5% / ~97.5% order statistics
+    return f"""
+    WITH li AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    ),
+    rep AS (
+      SELECT l_returnflag, i.i AS rep_i,
+        CAST(SUM({w} * CAST(l_extendedprice AS DECIMAL(30,6)))
+             AS DOUBLE) AS wsum,
+        CAST(SUM({w}) AS BIGINT) AS wn
+      FROM li, range(0, {_BOOT_B}) i(i)
+      GROUP BY l_returnflag, i.i
+    ),
+    means AS (
+      SELECT l_returnflag, rep_i,
+        CASE WHEN wn = 0 THEN 0 ELSE wsum / wn END AS m,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY CASE WHEN wn = 0 THEN 0 ELSE wsum / wn END, rep_i)
+          AS rk
+      FROM rep
+    ),
+    pt AS (
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+          / COUNT(*) AS mean_price,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM li GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag, p.n_rows, p.mean_price,
+           lo.m AS ci_lo, hi.m AS ci_hi
+    FROM pt p
+    JOIN means lo ON lo.l_returnflag = p.l_returnflag AND lo.rk = {lo_rk}
+    JOIN means hi ON hi.l_returnflag = p.l_returnflag AND hi.rk = {hi_rk}
+    ORDER BY p.l_returnflag NULLS LAST
+    """
+
+
+@register("lineitem_bootstrap_ci", _bootstrap_oracle())
+def q_lineitem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the per-flag mean price,
+    in ONE pass over the data: each row draws an independent
+    Poisson(1) weight per replica from its content hash (the Poisson
+    bootstrap — replica totals need no fixed-n resample, so the whole
+    procedure is a single map-side-combined aggregation to
+    |flags| x B groups, the only uncertainty-quantification shape
+    that survives unbounded data). The CI is the 2nd / 63rd order
+    statistic of the 64 replica means.
+
+    Exactness: the Poisson inverse-CDF thresholds are PYTHON-computed
+    literals embedded verbatim in both engines (no exp() runs in
+    either), weights are exact integers off the 60-bit md5 hash,
+    weighted sums ride decimals, and each replica mean is one double
+    division on identical operands. Replica means tie-break on rep_i
+    so the order statistics are total-order deterministic."""
+    from pyspark.sql import Window as W
+
+    li = (
+        _t(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_orderkey").isNotNull()
+            & F.col("l_linenumber").isNotNull()
+        )
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+    )
+    u = _BOOT_U.format(hv=_boot_hv_spark("rep_i"))
+    w = _BOOT_W.format(u=u)
+    rep = (
+        li.select(
+            "*",
+            F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("rep_i"),
+        )
+        .groupBy("l_returnflag", "rep_i")
+        .agg(
+            F.expr(
+                f"CAST(SUM({w} * CAST(l_extendedprice AS DECIMAL(30,6)))"
+                " AS DOUBLE)"
+            ).alias("wsum"),
+            F.expr(f"CAST(SUM({w}) AS BIGINT)").alias("wn"),
+        )
+    )
+    means = rep.selectExpr(
+        "l_returnflag",
+        "rep_i",
+        "CASE WHEN wn = 0 THEN 0 ELSE wsum / wn END AS m",
+    )
+    wrk = W.partitionBy("l_returnflag").orderBy("m", "rep_i")
+    ranked = means.select(
+        "l_returnflag", "m", F.row_number().over(wrk).alias("rk")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        "l_returnflag", F.col("m").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
+        F.col("l_returnflag").alias("_hf"), F.col("m").alias("ci_hi")
+    )
+    pt = li.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        pt.join(F.broadcast(lo), "l_returnflag")
+        .join(
+            F.broadcast(hi),
+            F.col("l_returnflag").eqNullSafe(F.col("_hf")),
+        )
+        .select("l_returnflag", "n_rows", "mean_price", "ci_lo", "ci_hi")
+        .transform(ordered, "l_returnflag")
+    )

@@ -541,3 +541,28 @@ def test_chisq_statistic_matches_reference(spark, sf_dir):
                 expected += (o - e) ** 2 / e
     got = sum(r["chisq_term_q6"] for r in rows) / 1e6
     assert abs(got - expected) < 1e-3 * max(expected, 1.0), (got, expected)
+
+
+def test_bootstrap_ci_contains_mean_and_tightens_with_n(spark):
+    """Statistical sanity of the Poisson bootstrap: each flag's 95% CI
+    must bracket the point estimate, and 10x the data must yield
+    SMALLER relative CI widths (the 1/sqrt(n) contraction that proves
+    the replicas actually resample the data rather than echo it)."""
+    from nbody6_data_pipeline_spark.queries import registry
+
+    q = registry()["lineitem_bootstrap_ci"]["spark"]
+
+    def widths(sf_dir):
+        out = {}
+        for r in q(spark, sf_dir).collect():
+            assert r["ci_lo"] < r["ci_hi"]
+            assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"], r
+            out[r["l_returnflag"]] = (
+                (r["ci_hi"] - r["ci_lo"]) / r["mean_price"]
+            )
+        return out
+
+    small = widths("/root/testdata/sf0.001")
+    big = widths("/root/testdata/sf0.01")
+    for flag in big:
+        assert big[flag] < small[flag], (flag, big[flag], small[flag])
