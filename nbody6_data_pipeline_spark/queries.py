@@ -48,6 +48,7 @@ def registry() -> dict[str, QuerySpec]:
     import nbody6_data_pipeline_spark.queries_mining  # noqa: F401
     import nbody6_data_pipeline_spark.queries_scale  # noqa: F401
     import nbody6_data_pipeline_spark.queries_sketch  # noqa: F401
+    import nbody6_data_pipeline_spark.queries_stats  # noqa: F401
     import nbody6_data_pipeline_spark.queries_streaming  # noqa: F401
     import nbody6_data_pipeline_spark.queries_text  # noqa: F401
     import nbody6_data_pipeline_spark.queries_training  # noqa: F401
@@ -74,6 +75,11 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
     # -- new in round 7: never driver-sampled --
+    "doc_rrf_hybrid_retrieval",
+    "part_skyline_pareto",
+    "events_cusum_changepoint",
+    "events_gini_concentration",
+    "doc_lm_perplexity",
     "lineitem_bootstrap_ci",
     "embedding_covariance",
     "graph_bfs_layers",

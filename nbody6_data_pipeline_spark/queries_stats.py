@@ -1,0 +1,753 @@
+"""Analytical-statistics queries: skyline/Pareto dominance, sequential
+changepoint detection, inequality/concentration measurement, and
+n-gram language-model quality scoring.
+
+These complete the statistics surface around the drift family
+(PSI / KS / chi-square in queries_scale.py) and the corpus-quality
+family (quality score / repetition / winsorize in queries_text.py /
+queries_training.py):
+
+- part_skyline_pareto: the classic skyline operator (Borzsony et al.,
+  ICDE 2001) — Pareto-optimal points under (minimize price, maximize
+  size). The Spark plan is the distributed two-phase shape: a bounded
+  grid-prefilter eliminates coarsely-dominated points with ONE
+  bucket-summary broadcast, then the exact dominance test runs as a
+  window over the tiny survivor set. The DuckDB oracle derives the
+  same frontier through a completely different algorithm (per-price
+  group maxima + running max), so agreement is genuine cross-checking.
+- events_cusum_changepoint: CUSUM mean-shift detection over hourly
+  event counts — max_k |m*T_k - k*T_m| in exact 128-bit integer
+  arithmetic (the cross-multiplied form of max |T_k/k-ish CDF gap|,
+  same exactness recipe as the KS query). Completes the drift family
+  with a TEMPORAL (when did it change) test next to the
+  distributional (did it change) tests.
+- events_gini_concentration: Gini coefficient of per-user activity
+  mass — the standard rank-weighted formula
+  G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending x.
+  All sums ride exact integer micro-units in DECIMAL(38,0); the final
+  value is ONE double division of identical exact operands.
+- doc_lm_perplexity: bigram language-model quality scoring — the
+  CCNet / Gopher-style "perplexity under a reference-corpus LM"
+  filter. Laplace-smoothed bigram log-probs trained on a curated
+  source slice score every document; per-term ln() is absorbed into
+  q6 fixed point (the BM25/PSI idiom) so all aggregation is exact
+  integer arithmetic.
+
+No reference analogue (the reference is a single-node pandas
+pipeline); these extend the drift/quality north-star families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nbody6_data_pipeline_spark.queries import _t, event_us, ordered, register
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: minimize p_retailprice, maximize p_size
+# ---------------------------------------------------------------------------
+
+
+def _skyline_oracle() -> str:
+    # Independent algorithm on the oracle side: one row per distinct
+    # price keeps only its max size (anything less is dominated at
+    # equal price), then a running max over ascending prices marks a
+    # point dominated iff some strictly-cheaper price already reached
+    # its size. No grid, no prefilter — a genuinely different route
+    # to the same frontier.
+    return """
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS size
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    ),
+    pmax AS (
+      SELECT price, MAX(size) AS size FROM pts GROUP BY price
+    ),
+    cm AS (
+      SELECT price, size,
+        MAX(size) OVER (ORDER BY price
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM pmax
+    ),
+    sky AS (SELECT price, size FROM cm WHERE prev IS NULL OR size > prev)
+    SELECT s.price, s.size, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM sky s
+    JOIN pts p ON p.price = s.price AND p.size = s.size
+    GROUP BY s.price, s.size
+    ORDER BY s.price
+    """
+
+
+@register("part_skyline_pareto", _skyline_oracle())
+def q_part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts under (min price, max size):
+    a part is on the skyline iff no other part is at most as expensive
+    AND at least as large with one of the two strict.
+
+    100-TB shape — the distributed two-phase skyline:
+    1. ONE bounded bucket summary: bucket = floor(price) (bucket count
+       is bounded by the VALUE RANGE of the price domain, not by row
+       count), per-bucket max size, running max over the ordered
+       bucket table (a window over an aggregated, value-bounded
+       input).
+    2. Broadcast the bucket table back; a point whose size is <= the
+       max size of any strictly-lower bucket is provably dominated
+       (lower bucket => strictly lower price) and is dropped at the
+       scan. Survivors are at most one frontier candidate per bucket
+       plus same-bucket contenders — a tiny set independent of table
+       size for any non-degenerate price distribution (worst case —
+       all rows in one bucket — degrades to the exact pass, never to
+       wrong answers).
+    3. Exact dominance over survivors: per-price max size (equal-price
+       smaller points are dominated), then size > running max of all
+       strictly-cheaper survivor prices. Global window, but its input
+       has been reduced by the groupBy above it.
+
+    Output: the frontier points with the count of parts sitting
+    exactly on each (ties on both dimensions are all Pareto-optimal).
+    """
+    pts = (
+        _t(spark, sf_dir, "part", spread=True)
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+    )
+    pts = pts.withColumn("b", F.floor("price"))
+    # bounded bucket summary + running max over strictly-lower buckets
+    buckets = pts.groupBy("b").agg(F.max("size").alias("bmax"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    buckets = buckets.select(
+        "b", F.max("bmax").over(wb).alias("prev_bucket_best")
+    )
+    # coarse prune: dominated if a strictly-lower bucket reached size
+    sur = (
+        pts.join(F.broadcast(buckets), "b")
+        .filter(
+            F.col("prev_bucket_best").isNull()
+            | (F.col("size") > F.col("prev_bucket_best"))
+        )
+        .groupBy("price", "size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    # equal-price reduction: only the max size per price can survive
+    wp = W.partitionBy("price").orderBy(F.col("size").desc())
+    pmax = (
+        sur.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    # exact dominance over the reduced survivor set
+    ws = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    sky = pmax.withColumn("prev", F.max("size").over(ws)).filter(
+        F.col("prev").isNull() | (F.col("size") > F.col("prev"))
+    )
+    return sky.select("price", "size", "n_parts").transform(ordered, "price")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over hourly event counts
+# ---------------------------------------------------------------------------
+
+
+def _cusum_oracle() -> str:
+    return """
+    WITH bins AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT hr, c,
+        CAST(ROW_NUMBER() OVER (ORDER BY hr) AS BIGINT) AS k,
+        CAST(SUM(c) OVER (ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS tk
+      FROM bins
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(c) AS BIGINT) AS tm
+      FROM bins
+    ),
+    d AS (
+      SELECT hr, k, tk, m, tm,
+        abs(CAST(m AS DECIMAL(38,0)) * tk
+            - CAST(k AS DECIMAL(38,0)) * tm) AS dk
+      FROM cum, tot
+      WHERE k < m
+    ),
+    best AS (
+      SELECT * FROM d ORDER BY dk DESC, hr LIMIT 1
+    )
+    SELECT m AS n_bins,
+           hr AS change_hr,
+           CAST(dk AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(tm AS DOUBLE))
+             AS cusum_stat,
+           CAST(tk AS DOUBLE) / CAST(k AS DOUBLE) AS pre_mean,
+           CAST(tm - tk AS DOUBLE) / CAST(m - k AS DOUBLE) AS post_mean
+    FROM best
+    ORDER BY change_hr
+    """
+
+
+@register("events_cusum_changepoint", _cusum_oracle())
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint over the hourly event-count
+    series: the split hour k* maximizing |T_k - (k/m) T_m| — reported
+    with the pre/post means it separates. The temporal complement of
+    the PSI / KS / chi-square drift tests (WHEN did the stream's rate
+    change, not just whether two snapshots differ).
+
+    Exactness: the statistic is evaluated in its cross-multiplied
+    integer form |m*T_k - k*T_m| (DECIMAL(38,0)/HUGEINT 128-bit, the
+    KS recipe — exact past 3e9 rows per bin series), argmax
+    tie-broken on the hour, and every reported double is ONE division
+    of identical exact integers. The windows run over the HOURLY BIN
+    table — |bins| is bounded by the stream's time span (hours), not
+    by its row count, so the single-partition sort holds at any scale.
+    """
+    ev = _t(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+    )
+    bins = (
+        ev.select(
+            F.floor(event_us(ev) / F.lit(3600000000.0))
+            .cast("long")
+            .alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # |bins| is time-span-bounded: global windows over this table are
+    # safe at any data scale (same invariant as the KS/PSI queries).
+    wo = W.orderBy("hr")
+    cum = bins.select(
+        "hr",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("c")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("tk"),
+    )
+    tot = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("c").cast("long").alias("tm"),
+    )
+    d = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("k") < F.col("m"))
+        .withColumn(
+            "dk",
+            F.abs(
+                F.col("m").cast("decimal(38,0)") * F.col("tk")
+                - F.col("k").cast("decimal(38,0)") * F.col("tm")
+            ),
+        )
+    )
+    best = (
+        ordered(d, F.col("dk").desc(), "hr")
+        .limit(1)
+        .select(
+            F.col("m").alias("n_bins"),
+            F.col("hr").alias("change_hr"),
+            (
+                F.col("dk").cast("double")
+                / (F.col("m").cast("double") * F.col("tm").cast("double"))
+            ).alias("cusum_stat"),
+            (F.col("tk").cast("double") / F.col("k").cast("double")).alias(
+                "pre_mean"
+            ),
+            (
+                (F.col("tm") - F.col("tk")).cast("double")
+                / (F.col("m") - F.col("k")).cast("double")
+            ).alias("post_mean"),
+        )
+    )
+    return best.transform(ordered, "change_hr")
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of per-user activity mass
+# ---------------------------------------------------------------------------
+
+
+def _gini_oracle() -> str:
+    return """
+    WITH ux AS (
+      SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
+             AS DECIMAL(38,0)) AS xq
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    rk AS (
+      SELECT xq,
+        CAST(ROW_NUMBER() OVER (ORDER BY xq, user_id) AS DECIMAL(38,0))
+          AS i
+      FROM ux
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(i * xq) AS DECIMAL(38,0)) AS sxi
+      FROM rk
+    )
+    SELECT n AS n_users,
+           CAST(sx AS DOUBLE) / 1000000.0 AS total_value,
+           CAST(2 * sxi - (n + 1) * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+    FROM s
+    WHERE n > 0 AND sx <> 0
+    ORDER BY n_users
+    """
+
+
+@register("events_gini_concentration", _gini_oracle())
+def q_events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total event value — the standard
+    concentration audit for a training-data source mix (is 1% of
+    users/domains contributing 90% of the mass?). Rank-weighted form:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), x ascending.
+
+    Exactness: per-user mass is an exact decimal sum converted to
+    integer MICRO-UNITS (x * 1e6 is exact on DECIMAL(30,6)); ranks and
+    all three moments ride DECIMAL(38,0) 128-bit integers (i*x_i at
+    1e9 users x 1e12-micro masses fits with ~1e17 headroom); the Gini
+    itself is ONE double division of identical exact operands. Ties in
+    x_i are rank-order-independent for sum(i*x_i) (equal x), and the
+    (x, user_id) tiebreak makes the rank itself deterministic anyway.
+    The ranking window runs over the per-user AGGREGATE (one row per
+    user). At 100 TB this is the one data-sized sort in the plan —
+    the same shape as any exact percentile; swap in the mergeable
+    grid-histogram Lorenz approximation (lineitem_grid_quantiles
+    recipe) when user cardinality outgrows a sort."""
+    ux = (
+        _t(spark, sf_dir, "events", spread=True)
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(30,6)")) * 1000000)
+            .cast("decimal(38,0)")
+            .alias("xq")
+        )
+    )
+    wo = W.orderBy("xq", "user_id")
+    rk = ux.select(
+        "xq", F.row_number().over(wo).cast("decimal(38,0)").alias("i")
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("i") * F.col("xq")).cast("decimal(38,0)").alias("sxi"),
+    )
+    out = s.filter((F.col("n") > 0) & (F.col("sx") != 0)).select(
+        F.col("n").alias("n_users"),
+        (F.col("sx").cast("double") / 1000000.0).alias("total_value"),
+        (
+            (2 * F.col("sxi") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        ).alias("gini"),
+    )
+    return out.transform(ordered, "n_users")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LM_TRAIN_SRC = "('src1', 'src2', 'src3')"  # curated reference slice
+_LM_FLAG_Q6 = 8_000_000  # avg-NLL flag threshold, q6 fixed point (8.0)
+# Laplace-smoothed bigram log-prob, quantized to q6 fixed point the
+# moment ln() produces it — everything downstream is exact integers.
+_LM_LP_Q6 = (
+    "CAST(floor(ln((CAST({c2} AS DOUBLE) + 1.0) / "
+    "(CAST({c1} AS DOUBLE) + CAST({v} AS DOUBLE))) * 1000000 + 0.5) "
+    "AS BIGINT)"
+)
+
+
+def _lm_oracle() -> str:
+    lp = _LM_LP_Q6.format(c2="COALESCE(t2.c2, 0)", c1="COALESCE(t1.c1, 0)", v="v.v")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    big AS (
+      -- zipped parallel unnests over the two shifted slices: DuckDB
+      -- expands equal-length unnests positionally, yielding the
+      -- (w_i, w_i+1) bigram stream
+      SELECT doc_id, source,
+        unnest(w[1:len(w) - 1]) AS w1,
+        unnest(w[2:len(w)]) AS w2
+      FROM toks
+      WHERE len(w) >= 2
+    ),
+    tr2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big
+      WHERE source IN {_LM_TRAIN_SRC} GROUP BY w1, w2
+    ),
+    tr1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big
+      WHERE source IN {_LM_TRAIN_SRC} GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tr1
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source,
+        CAST(COUNT(*) AS BIGINT) AS n_big,
+        CAST(SUM(-{lp}) AS BIGINT) AS nll_q6
+      FROM big b
+      LEFT JOIN tr2 t2 ON t2.w1 = b.w1 AND t2.w2 = b.w2
+      LEFT JOIN tr1 t1 ON t1.w1 = b.w1
+      CROSS JOIN vocab v
+      GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN CAST(nll_q6 AS DECIMAL(38,0))
+                 > {_LM_FLAG_Q6} * CAST(n_big AS DECIMAL(38,0))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      CAST(SUM(nll_q6) AS DOUBLE)
+        / (CAST(SUM(n_big) AS DOUBLE) * 1000000.0) AS corpus_avg_nll
+    FROM scored
+    GROUP BY source
+    ORDER BY source NULLS LAST
+    """
+
+
+@register("doc_lm_perplexity", _lm_oracle())
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring — the CCNet / Gopher
+    recipe: train Laplace-smoothed bigram statistics on a curated
+    reference slice (sources src1-src3), score EVERY document's
+    average negative log-likelihood under that model, and flag
+    high-perplexity (low-quality / out-of-domain) documents per
+    source. This is the perplexity-filter stage of an LLM data
+    pipeline, expressed entirely as joins + aggregations.
+
+    Exactness: the per-bigram log-prob is quantized to q6 fixed point
+    the moment ln() produces it (BM25/PSI idiom — ln is the ONE
+    libm-sensitive op; its operands are identical exact-integer-built
+    doubles in both engines), so per-doc and per-source rollups are
+    exact BIGINT sums; flag thresholds compare cross-multiplied
+    integers (no division); the reported corpus NLL is one double
+    division of identical exact integers.
+
+    100-TB shape: bigram extraction is a per-doc array transform (no
+    window, no shuffle); model tables are vocabulary-bounded
+    aggregates; scoring is two vocabulary-keyed equi-joins that AQE
+    can broadcast when the trained model is small; per-doc and
+    per-source rollups are map-side-combinable hash aggregations.
+    """
+    docs = (
+        _t(spark, sf_dir, "documents", spread=True)
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "source",
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS w",
+        )
+    )
+    big = (
+        docs.filter(F.size("w") >= 2)
+        .selectExpr(
+            "doc_id",
+            "source",
+            "explode(transform(sequence(1, size(w) - 1), "
+            "i -> struct(element_at(w, i) AS w1, "
+            "element_at(w, i + 1) AS w2))) AS bg",
+        )
+        .select("doc_id", "source", "bg.w1", "bg.w2")
+    )
+    train = big.filter(F.expr(f"source IN {_LM_TRAIN_SRC}"))
+    tr2 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    tr1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = tr1.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    lp = _LM_LP_Q6.format(c2="COALESCE(c2, 0)", c1="COALESCE(c1, 0)", v="v")
+    scored = (
+        big.join(tr2, ["w1", "w2"], "left")
+        .join(tr1, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_big"),
+            F.expr(f"CAST(SUM(-{lp}) AS BIGINT)").alias("nll_q6"),
+        )
+    )
+    out = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("nll_q6").cast("decimal(38,0)")
+                > F.lit(_LM_FLAG_Q6) * F.col("n_big").cast("decimal(38,0)"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        (
+            F.sum("nll_q6").cast("double")
+            / (F.sum("n_big").cast("double") * 1000000.0)
+        ).alias("corpus_avg_nll"),
+    )
+    return out.transform(ordered, "source")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank-fusion hybrid retrieval (BM25 + dense cosine)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_L = 20  # per-leg candidate list length
+RRF_TOPK = 10
+RRF_SCALE = 1_000_000_000  # integer RRF: floor(1e9 / (K + rank))
+
+
+def _rrf_oracle() -> str:
+    from nbody6_data_pipeline_spark.queries_scale import (
+        BM25_B,
+        BM25_K1,
+        BM25_NQ,
+        _BM25_TERM_SCORE,
+    )
+
+    score = _BM25_TERM_SCORE.format(
+        N="n.n_docs",
+        df="dfs.df",
+        tf="tf.tf",
+        dl="dl.dl",
+        avgdl="(n.sdl / n.n_docs)",
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(text, '\\s+'), x -> x != '')) AS token
+      FROM d
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(dl AS DECIMAL(30,4))) AS DOUBLE) AS sdl
+          FROM dl),
+    dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+            FROM tf GROUP BY 1),
+    top6 AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+      FROM tot QUALIFY rn <= {2 * BM25_NQ}
+    ),
+    qt AS (SELECT (rn - 1) % {BM25_NQ} AS query_id, token FROM top6),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id, {score} AS s
+      FROM qt
+      JOIN tf USING (token)
+      JOIN dfs USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id, n
+    ),
+    agg AS (SELECT query_id, doc_id, SUM(s) AS score
+            FROM sc GROUP BY 1, 2),
+    bm AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC,
+                        doc_id) AS rnk
+      FROM agg
+      QUALIFY rnk <= {RRF_L}
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {BM25_NQ}),
+    v AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    cosr AS (
+      SELECT query_id, cand_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+          list_reduce(list_transform(range(1, 65), i -> qv[i] * cv[i]),
+                      (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> qv[i] * qv[i]), (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> cv[i] * cv[i]), (acc, x) -> acc + x)))
+          DESC, cand_id) AS rnk
+      FROM v, qv
+      WHERE v.cand_id != qv.query_id
+      QUALIFY rnk <= {RRF_L}
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+             COALESCE(b.doc_id, c.cand_id) AS doc_id,
+             COALESCE({RRF_SCALE} // (CAST({RRF_K} AS BIGINT) + b.rnk), 0)
+             + COALESCE({RRF_SCALE} // (CAST({RRF_K} AS BIGINT) + c.rnk), 0)
+               AS rrf,
+             b.rnk AS bm25_rank, c.rnk AS cos_rank
+      FROM bm b
+      FULL OUTER JOIN cosr c
+        ON b.query_id = c.query_id AND b.doc_id = c.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+             CAST(bm25_rank AS BIGINT) AS bm25_rank,
+             CAST(cos_rank AS BIGINT) AS cos_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused
+      QUALIFY fused_rank <= {RRF_TOPK}
+    )
+    SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+           rrf, bm25_rank, cos_rank
+    FROM ranked
+    ORDER BY query_id, fused_rank
+    """
+
+
+@register("doc_rrf_hybrid_retrieval", _rrf_oracle())
+def q_doc_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009) — the standard way an LLM data stack combines a
+    lexical (BM25) ranking with a dense (embedding-cosine) ranking:
+    score(d) = sum over legs of 1/(60 + rank_leg(d)) over the union of
+    the two top-L lists, re-ranked.
+
+    Query derivation is deterministic: lexical query i is the BM25
+    query construction from doc_bm25_topk (top-6 corpus terms paired
+    into three two-term queries); dense query i is embedding vec_id i
+    — a synthetic lexical<->dense pairing that exercises the real
+    fusion machinery end-to-end.
+
+    Exactness: the fused score is PURE INTEGER arithmetic —
+    floor(1e9 / (60 + rank)) per leg (integer division: DuckDB `//`,
+    Spark `div` — the per-dialect spelling of the same exact op),
+    summed over exactly two legs; ranks come from the already
+    oracle-proven BM25 q6 scores and the shared left-to-right cosine
+    fold. No new float ops are introduced by the fusion itself.
+
+    100-TB shape: each leg is its proven retrieval plan (postings
+    join bounded by |queries| x df; dense leg broadcasts ONLY the
+    query set); the fusion joins two (|queries| x L)-row lists — a
+    constant-size full-outer join regardless of corpus size."""
+    from nbody6_data_pipeline_spark.operators.similarity import cosine_topk
+    from nbody6_data_pipeline_spark.operators.text import token_array
+    from nbody6_data_pipeline_spark.queries_scale import (
+        BM25_B,
+        BM25_K1,
+        BM25_NQ,
+        _BM25_TERM_SCORE,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents", spread=True)
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    toks = d.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(30,4)")).cast("double").alias("sdl"),
+    )
+    tot = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cnt"))
+    wtop = W.orderBy(F.col("cnt").desc(), "token")
+    qt = (
+        tot.orderBy(F.col("cnt").desc(), "token")
+        .limit(2 * BM25_NQ)
+        .select("token", F.row_number().over(wtop).alias("rn"))
+        .select(
+            ((F.col("rn") - 1) % BM25_NQ).cast("long").alias("query_id"),
+            "token",
+        )
+    )
+    dfs = (
+        tf.join(F.broadcast(qt.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    score = _BM25_TERM_SCORE.format(
+        N="n_docs",
+        df="df",
+        tf="tf",
+        dl="dl",
+        avgdl="(sdl / n_docs)",
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+    sc = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfs), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("query_id", "doc_id", f"{score} AS s")
+    )
+    agg = sc.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    wrnk = W.partitionBy("query_id").orderBy(
+        F.expr("CAST(floor(score * 1000000 + 0.5) AS BIGINT)").desc(),
+        "doc_id",
+    )
+    bm = (
+        agg.select(
+            "query_id", "doc_id", F.row_number().over(wrnk).alias("rnk")
+        )
+        .filter(F.col("rnk") <= RRF_L)
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    cosr = cosine_topk(
+        e, e.filter(F.col("vec_id") < BM25_NQ), k=RRF_L
+    ).select("query_id", F.col("cand_id"), F.col("rank").alias("crnk"))
+    fused = (
+        bm.join(
+            cosr,
+            (bm.query_id == cosr.query_id) & (bm.doc_id == cosr.cand_id),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(bm.query_id, cosr.query_id).alias("query_id"),
+            F.coalesce(bm.doc_id, cosr.cand_id).alias("doc_id"),
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div (CAST({RRF_K} AS BIGINT) + rnk)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(
+                        f"{RRF_SCALE} div (CAST({RRF_K} AS BIGINT) + crnk)"
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("rrf"),
+            F.col("rnk").cast("long").alias("bm25_rank"),
+            F.col("crnk").cast("long").alias("cos_rank"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "query_id", "fused_rank", "doc_id", "rrf",
+            "bm25_rank", "cos_rank",
+        )
+        .transform(ordered, "query_id", "fused_rank")
+    )
