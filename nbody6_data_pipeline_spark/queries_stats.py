@@ -751,3 +751,286 @@ def q_doc_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / cumulative-gains table
+# ---------------------------------------------------------------------------
+
+_LIFT_N = 10  # deciles
+
+
+def _lift_oracle() -> str:
+    return f"""
+    WITH li AS (
+      SELECT l_discount, l_orderkey, l_linenumber, l_extendedprice,
+        CAST(l_extendedprice AS DECIMAL(30,6))
+          * (1 - CAST(l_discount AS DECIMAL(12,6))) AS rev
+      FROM lineitem
+      WHERE l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+        AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    ),
+    binned AS (
+      -- (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      -- feed: l_extendedprice joins the sort key so any rows still
+      -- tied carry EQUAL revenue, making per-bin sums well-defined
+      -- even though NTILE may order the tied rows differently
+      SELECT rev,
+        NTILE({_LIFT_N}) OVER (
+          ORDER BY l_discount, l_orderkey, l_linenumber,
+                   l_extendedprice) AS bin
+      FROM li
+    ),
+    per AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS DECIMAL(38,6)) AS rev
+      FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, rev,
+        CAST(SUM(n) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_n,
+        CAST(SUM(rev) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DECIMAL(38,6)) AS cum_rev,
+        CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+        CAST(SUM(rev) OVER () AS DECIMAL(38,6)) AS tot_rev
+      FROM per
+    )
+    SELECT bin, n, CAST(rev AS DOUBLE) AS revenue,
+      CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS cum_capture,
+      (CAST(cum_rev AS DOUBLE) / cum_n)
+        / (CAST(tot_rev AS DOUBLE) / tot_n) AS cum_lift
+    FROM cum
+    ORDER BY bin
+    """
+
+
+@register("lineitem_decile_lift", _lift_oracle())
+def q_lineitem_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the standard model-eval
+    summary: rank rows by a score (here l_discount as the propensity
+    proxy, deterministic key tiebreaks), split into exact deciles,
+    and report each decile's revenue plus the cumulative capture and
+    lift when targeting from the top decile down.
+
+    NTILE stays only in the oracle SQL: the Spark plan uses the
+    distributed exact-ntile operator (fixed monotone numeric range
+    buckets -> per-bucket row_number + broadcast offsets -> closed
+    form assignment, operators/ranking.py) — identical bins, no
+    global sort. The cumulative windows then run over the 10-row
+    decile table (|deciles| rows regardless of data size).
+
+    Exactness: revenue rides DECIMAL end-to-end; capture and lift are
+    short chains of correctly-rounded double ops on identical exact
+    operands with token-identical expression text in both engines."""
+    from nbody6_data_pipeline_spark.operators.ranking import with_exact_ntile
+
+    li = (
+        _t(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            F.col("l_discount").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_orderkey").isNotNull()
+            & F.col("l_linenumber").isNotNull()
+        )
+        .select(
+            "l_discount",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            (
+                F.col("l_extendedprice").cast("decimal(30,6)")
+                * (1 - F.col("l_discount").cast("decimal(12,6)"))
+            ).alias("rev"),
+        )
+    )
+    # l_extendedprice in the sort key: (l_orderkey, l_linenumber) is
+    # not unique in the feed, and rows tied on all four sort columns
+    # have equal rev, so per-bin revenue is well-defined (see oracle)
+    binned = with_exact_ntile(
+        li,
+        ["l_discount", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        _LIFT_N,
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,6)").alias("rev"),
+    )
+    # cumulative-from-top over the |deciles|-row aggregate — bounded
+    # input, safe single-partition window at any scale
+    wd = W.orderBy(F.col("bin").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = per.select(
+        "bin",
+        "n",
+        "rev",
+        F.sum("n").over(wd).cast("long").alias("cum_n"),
+        F.sum("rev").over(wd).cast("decimal(38,6)").alias("cum_rev"),
+        F.sum("n").over(wall).cast("long").alias("tot_n"),
+        F.sum("rev").over(wall).cast("decimal(38,6)").alias("tot_rev"),
+    )
+    return cum.selectExpr(
+        "bin",
+        "n",
+        "CAST(rev AS DOUBLE) AS revenue",
+        "CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS cum_capture",
+        "(CAST(cum_rev AS DOUBLE) / cum_n)"
+        " / (CAST(tot_rev AS DOUBLE) / tot_n) AS cum_lift",
+    ).transform(ordered, "bin")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: two-proportion z-test
+# ---------------------------------------------------------------------------
+
+# deterministic 50/50 assignment from the user's content hash (the
+# engine's established md5->long idiom; only the hex-to-int spelling
+# differs per dialect)
+_AB_MD5 = "substring(md5(CAST(user_id AS STRING)), 1, 15)"
+# conversion = the user's total purchase value crossed this threshold
+# (a binary has-purchase metric saturates at 100% on the synthetic
+# feed — every user purchases — which degenerates the pooled z)
+_AB_CONV_THRESH = 600
+_AB_Z = (
+    "(({pa}) - ({pb}))"
+    " / sqrt(({pp}) * (1.0 - ({pp})) * (1.0 / {na} + 1.0 / {nb}))"
+)
+
+
+def _ab_oracle() -> str:
+    z = _AB_Z.format(
+        pa="CAST(conv_a AS DOUBLE) / n_a",
+        pb="CAST(conv_b AS DOUBLE) / n_b",
+        pp="CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)",
+        na="n_a",
+        nb="n_b",
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+        CAST(('0x' || {_AB_MD5}) AS BIGINT) % 2 AS arm,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(COALESCE(value, 0) AS DECIMAL(30,6))
+                     ELSE CAST(0 AS DECIMAL(30,6)) END) > {_AB_CONV_THRESH}
+             THEN 1 ELSE 0 END AS converted
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+      CAST(conv_a AS DOUBLE) / n_a AS p_a,
+      CAST(conv_b AS DOUBLE) / n_b AS p_b,
+      (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+        / (CAST(conv_a AS DOUBLE) / n_a) AS rel_lift,
+      {z} AS z_score
+    FROM s
+    WHERE n_a > 0 AND n_b > 0 AND conv_a > 0
+      AND conv_a + conv_b < n_a + n_b
+    ORDER BY n_a
+    """
+
+
+@register("events_ab_test", _ab_oracle())
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis — two-proportion z-test on a
+    deterministic 50/50 hash split of users, conversion = the user's
+    total purchase value crossed a fixed threshold (an interior-rate
+    metric; see _AB_CONV_THRESH). The experimentation-platform
+    primitive: arm sizes, conversion counts, relative lift, and the
+    pooled z statistic.
+
+    Exactness: counts are exact integers off ONE per-user aggregation;
+    every reported double is a short chain of correctly-rounded IEEE
+    ops (divide / subtract / multiply / sqrt — sqrt IS correctly
+    rounded per IEEE 754) on identical exact operands with
+    token-identical expression text in both engines, so no
+    quantization is needed. Assignment reuses the engine's md5->long
+    idiom (the '0x' cast vs conv(..,16,10) spelling is the one
+    per-dialect difference).
+
+    100-TB shape: one user-keyed hash aggregation (map-side
+    combinable) then a 4-counter global reduce — the minimal possible
+    shuffle for a user-grained experiment metric."""
+    ev = _t(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.coalesce(F.col("value"), F.lit(0)).cast(
+                        "decimal(30,6)"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(30,6)"))
+            )
+            > _AB_CONV_THRESH,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    u = u.withColumn(
+        "arm", F.expr(f"CAST(conv({_AB_MD5}, 16, 10) AS BIGINT) % 2")
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    z = _AB_Z.format(
+        pa="CAST(conv_a AS DOUBLE) / n_a",
+        pb="CAST(conv_b AS DOUBLE) / n_b",
+        pp="CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)",
+        na="n_a",
+        nb="n_b",
+    )
+    return (
+        s.filter(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("conv_a") > 0)
+            # a saturated pooled rate (everyone converted) makes the z
+            # denominator 0: Spark double/0 -> error-or-NULL vs DuckDB
+            # inf — excluded identically in both engines
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            "CAST(conv_a AS DOUBLE) / n_a AS p_a",
+            "CAST(conv_b AS DOUBLE) / n_b AS p_b",
+            "(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)"
+            " / (CAST(conv_a AS DOUBLE) / n_a) AS rel_lift",
+            f"{z} AS z_score",
+        )
+        .transform(ordered, "n_a")
+    )

@@ -295,3 +295,99 @@ def test_rrf_deterministic_across_runs(spark):
     a = [tuple(r) for r in q_doc_rrf_hybrid_retrieval(spark, SF).collect()]
     b = [tuple(r) for r in q_doc_rrf_hybrid_retrieval(spark, SF).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Decile lift
+# ---------------------------------------------------------------------------
+
+
+def test_decile_lift_invariants(spark):
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _LIFT_N,
+        q_lineitem_decile_lift,
+    )
+
+    rows = sorted(
+        q_lineitem_decile_lift(spark, SF).collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in rows] == list(range(1, _LIFT_N + 1))
+    tot = sum(r.n for r in rows)
+    # NTILE splits sizes within 1 of each other
+    assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
+    # cumulative capture from the top decile down: bin 1 (last added)
+    # covers everything exactly
+    assert rows[0].cum_capture == 1.0
+    assert rows[0].cum_lift == 1.0
+    # capture decreases as bins are excluded (revenue is positive)
+    caps = [r.cum_capture for r in rows]
+    assert all(a > b for a, b in zip(caps, caps[1:]))
+    # per-decile revenue reconciles with the cumulative total
+    total_rev = sum(r.revenue for r in rows)
+    assert abs(total_rev - rows[0].cum_capture * total_rev) < 1e-6
+    assert tot > 0
+
+
+def test_decile_lift_stable_under_duplicate_keys(spark):
+    # rows tied on every sort column carry equal revenue, so per-bin
+    # sums are invariant however the engine orders the tied rows
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_lineitem_decile_lift,
+    )
+
+    a = [tuple(r) for r in q_lineitem_decile_lift(spark, SF).collect()]
+    b = [tuple(r) for r in q_lineitem_decile_lift(spark, SF).collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# A/B test
+# ---------------------------------------------------------------------------
+
+
+def test_ab_test_matches_python_recompute(spark):
+    import hashlib
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _AB_CONV_THRESH,
+        q_events_ab_test,
+    )
+    from decimal import Decimal
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = {}
+    for r in ev.select("user_id", "event_type", "value").collect():
+        v = per_user.setdefault(r.user_id, Decimal(0))
+        if r.event_type == "purchase" and r.value is not None:
+            per_user[r.user_id] = v + Decimal(str(round(r.value, 6)))
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for uid, pv in per_user.items():
+        h = hashlib.md5(str(uid).encode()).hexdigest()[:15]
+        arm = int(h, 16) % 2
+        n[arm] += 1
+        conv[arm] += 1 if pv > _AB_CONV_THRESH else 0
+    rows = q_events_ab_test(spark, SF).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert (row.n_a, row.n_b) == (n[0], n[1])
+    assert (row.conv_a, row.conv_b) == (conv[0], conv[1])
+    pa, pb = conv[0] / n[0], conv[1] / n[1]
+    pp = (conv[0] + conv[1]) / (n[0] + n[1])
+    import math
+
+    z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / n[0] + 1.0 / n[1]))
+    assert row.p_a == pa and row.p_b == pb
+    assert abs(row.z_score - z) < 1e-12
+    assert abs(row.rel_lift - (pb - pa) / pa) < 1e-12
+
+
+def test_ab_test_interior_rates(spark):
+    from nbody6_data_pipeline_spark.queries_stats import q_events_ab_test
+
+    row = q_events_ab_test(spark, SF).collect()[0]
+    # the threshold metric must not saturate (the degenerate case the
+    # guard excludes entirely)
+    assert 0 < row.conv_a < row.n_a or 0 < row.conv_b < row.n_b
