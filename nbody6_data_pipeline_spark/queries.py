@@ -75,6 +75,8 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
     # -- new in round 7: never driver-sampled --
+    "events_km_survival",
+    "events_first_touch_attribution",
     "lineitem_decile_lift",
     "events_ab_test",
     "doc_rrf_hybrid_retrieval",

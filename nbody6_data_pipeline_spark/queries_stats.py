@@ -1034,3 +1034,284 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "n_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (user churn / retention curve)
+# ---------------------------------------------------------------------------
+
+_KM_DAY_US = 86_400_000_000
+_KM_CHURN_GAP_DAYS = 7  # inactive this long before feed end => churned
+
+
+def _km_oracle() -> str:
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+        MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    g AS (SELECT MAX(last_us) AS end_us FROM u),
+    lt AS (
+      SELECT (last_us - first_us) // {_KM_DAY_US} AS t_day,
+        CASE WHEN (end_us - last_us) > {_KM_CHURN_GAP_DAYS} * {_KM_DAY_US}
+             THEN 1 ELSE 0 END AS churned
+      FROM u, g
+    ),
+    days AS (
+      SELECT t_day,
+        CAST(SUM(churned) AS BIGINT) AS d,
+        CAST(SUM(1 - churned) AS BIGINT) AS c
+      FROM lt GROUP BY t_day
+    ),
+    risk AS (
+      SELECT t_day, d, c,
+        CAST(SUM(d + c) OVER () -
+             COALESCE(SUM(d + c) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+      FROM days
+    ),
+    terms AS (
+      SELECT t_day, d, c, n_risk,
+        CASE WHEN d = 0 THEN 0
+             WHEN d >= n_risk THEN NULL
+             ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                             * 1000000 + 0.5) AS BIGINT) END AS term_q6
+      FROM risk
+    ),
+    cum AS (
+      SELECT t_day, d AS n_churn, c AS n_censor, n_risk,
+        CAST(SUM(COALESCE(term_q6, 0)) OVER (ORDER BY t_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS log_surv_q6,
+        MAX(CASE WHEN term_q6 IS NULL THEN 1 ELSE 0 END)
+          OVER (ORDER BY t_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      FROM terms
+    )
+    SELECT t_day, n_risk, n_churn, n_censor,
+      CASE WHEN dead = 1 THEN 0
+           ELSE CAST(floor(exp(CAST(log_surv_q6 AS DOUBLE) / 1000000.0)
+                           * 1000000 + 0.5) AS BIGINT) END AS survival_q6
+    FROM cum
+    ORDER BY t_day
+    """
+
+
+@register("events_km_survival", _km_oracle())
+def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — the product-
+    limit retention estimator with right-censoring: users still active
+    within {_KM_CHURN_GAP_DAYS} days of the feed's end are CENSORED at
+    their observed lifetime (they leave the risk set without counting
+    as churn), everyone else churns at lifetime = last - first (whole
+    days). S(t) = prod over days s<=t of (1 - d_s / n_s).
+
+    Exactness: death/censor/at-risk counts are exact integers on the
+    BOUNDED day table (|days| = feed time span); the per-day hazard
+    log-term rides the q6 fixed-point absorber (the LM/BM25 idiom —
+    ln on identical exact-integer-built operands), the log-survival
+    cumsum is exact BIGINT, and the final exp() is one libm op on an
+    identical q6 operand, re-absorbed into q6. A day where the whole
+    risk set churns (d = n) sends S to exactly 0 via an explicit
+    flag, not via ln(0).
+
+    100-TB shape: one user-keyed aggregation (map-side combinable),
+    then everything runs on the day table — windows included."""
+    ev = _t(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = event_us(ev)
+    u = ev.select("user_id", us.alias("us")).groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    g = u.agg(F.max("last_us").alias("end_us"))
+    lt = u.join(F.broadcast(g)).select(
+        ((F.col("last_us") - F.col("first_us")) / _KM_DAY_US)
+        .cast("long")
+        .alias("t_day"),
+        F.when(
+            (F.col("end_us") - F.col("last_us"))
+            > _KM_CHURN_GAP_DAYS * _KM_DAY_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    days = lt.groupBy("t_day").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(1 - F.col("churned")).cast("long").alias("c"),
+    )
+    # |days| is bounded by the feed's time span: the global windows
+    # below run over this aggregated table, never over raw events
+    wall = W.orderBy("t_day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wprev = W.orderBy("t_day").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = days.select(
+        "t_day",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    terms = risk.selectExpr(
+        "t_day",
+        "d",
+        "c",
+        "n_risk",
+        "CASE WHEN d = 0 THEN 0"
+        " WHEN d >= n_risk THEN NULL"
+        " ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)"
+        " * 1000000 + 0.5) AS BIGINT) END AS term_q6",
+    )
+    cum = terms.select(
+        F.col("t_day"),
+        F.col("d").alias("n_churn"),
+        F.col("c").alias("n_censor"),
+        "n_risk",
+        F.sum(F.coalesce(F.col("term_q6"), F.lit(0)))
+        .over(wcum)
+        .cast("long")
+        .alias("log_surv_q6"),
+        F.max(F.when(F.col("term_q6").isNull(), 1).otherwise(0))
+        .over(wcum)
+        .alias("dead"),
+    )
+    return cum.selectExpr(
+        "t_day",
+        "n_risk",
+        "n_churn",
+        "n_censor",
+        "CASE WHEN dead = 1 THEN 0"
+        " ELSE CAST(floor(exp(CAST(log_surv_q6 AS DOUBLE) / 1000000.0)"
+        " * 1000000 + 0.5) AS BIGINT) END AS survival_q6",
+    ).transform(ordered, "t_day")
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    first_touch AS (
+      SELECT user_id, event_type AS channel
+      FROM (
+        SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY us, event_id NULLS LAST) AS rn
+        FROM e
+      ) t WHERE rn = 1
+    ),
+    conv AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(COALESCE(value, 0) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END)
+             AS DECIMAL(38,6)) AS pv
+      FROM e GROUP BY user_id
+    ),
+    per AS (
+      SELECT f.channel,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(CASE WHEN c.pv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_converted,
+        CAST(SUM(c.pv) AS DECIMAL(38,6)) AS attributed_value
+      FROM first_touch f JOIN conv c USING (user_id)
+      GROUP BY f.channel
+    )
+    SELECT channel, n_users, n_converted,
+      CAST(attributed_value AS DOUBLE) AS attributed_value,
+      CAST(attributed_value AS DOUBLE)
+        / CAST(SUM(attributed_value) OVER () AS DOUBLE) AS value_share
+    FROM per
+    ORDER BY channel NULLS LAST
+    """
+
+
+@register("events_first_touch_attribution", _attribution_oracle())
+def q_events_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution — marketing analytics' standard credit
+    assignment: each user's total purchase value is attributed to the
+    channel (event type) of their FIRST event, with per-channel user,
+    converter, and value-share rollups.
+
+    Determinism: the first touch is a per-user rank window keyed
+    (time, event_id NULLS LAST) — NULLS LAST spelled on both engines
+    (Spark windows default nulls-first ascending, DuckDB nulls-last);
+    purchase value rides exact decimals; the share is one double
+    division of identical exact operands over the |channels|-row
+    aggregate.
+
+    100-TB shape: ONE user-keyed shuffle serves both the first-touch
+    window and the conversion rollup (same key), then a
+    |channels|-bounded aggregate."""
+    ev = (
+        _t(spark, sf_dir, "events", spread=True)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    e = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        event_us(ev).alias("us"),
+    )
+    wu = W.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    first_touch = (
+        e.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    conv = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.coalesce(F.col("value"), F.lit(0)).cast("decimal(30,6)"),
+            ).otherwise(F.lit(0).cast("decimal(30,6)"))
+        )
+        .cast("decimal(38,6)")
+        .alias("pv")
+    )
+    per = (
+        first_touch.join(conv, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("pv") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+            F.sum("pv").cast("decimal(38,6)").alias("av"),
+        )
+    )
+    wall = W.orderBy("channel").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per.select(
+        "channel",
+        "n_users",
+        "n_converted",
+        F.col("av").cast("double").alias("attributed_value"),
+        (
+            F.col("av").cast("double")
+            / F.sum("av").over(wall).cast("double")
+        ).alias("value_share"),
+    ).transform(ordered, "channel")

@@ -391,3 +391,105 @@ def test_ab_test_interior_rates(spark):
     # the threshold metric must not saturate (the degenerate case the
     # guard excludes entirely)
     assert 0 < row.conv_a < row.n_a or 0 < row.conv_b < row.n_b
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+
+def test_km_matches_python_product_limit(spark):
+    from nbody6_data_pipeline_spark.queries import event_us
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _KM_CHURN_GAP_DAYS,
+        _KM_DAY_US,
+        q_events_km_survival,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = (
+        ev.select("user_id", event_us(ev).alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("f"), F.max("us").alias("l"))
+        .collect()
+    )
+    end = max(r.l for r in per_user)
+    lts = [
+        (
+            (r.l - r.f) // _KM_DAY_US,
+            1 if (end - r.l) > _KM_CHURN_GAP_DAYS * _KM_DAY_US else 0,
+        )
+        for r in per_user
+    ]
+    days = sorted({t for t, _ in lts})
+    rows = {r.t_day: r for r in q_events_km_survival(spark, SF).collect()}
+    assert sorted(rows) == days
+    at_risk = len(lts)
+    log_q6 = 0
+    dead = False
+    for t in days:
+        d = sum(1 for lt, ch in lts if lt == t and ch == 1)
+        c = sum(1 for lt, ch in lts if lt == t and ch == 0)
+        r = rows[t]
+        assert (r.n_risk, r.n_churn, r.n_censor) == (at_risk, d, c)
+        if d >= at_risk:
+            dead = True
+        elif d > 0:
+            log_q6 += math.floor(math.log(1.0 - d / at_risk) * 1e6 + 0.5)
+        want = (
+            0 if dead else math.floor(math.exp(log_q6 / 1e6) * 1e6 + 0.5)
+        )
+        assert r.survival_q6 == want
+        at_risk -= d + c
+    # survival is monotone non-increasing and starts <= 1
+    ordered_s = [rows[t].survival_q6 for t in days]
+    assert all(a >= b for a, b in zip(ordered_s, ordered_s[1:]))
+    assert ordered_s[0] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_matches_python_recompute(spark):
+    from decimal import Decimal
+
+    from nbody6_data_pipeline_spark.queries import event_us
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_events_first_touch_attribution,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    recs = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        event_us(ev).alias("us"),
+    ).collect()
+    first = {}
+    pv = {}
+    for r in recs:
+        key = (r.us, r.event_id if r.event_id is not None else float("inf"))
+        if r.user_id not in first or key < first[r.user_id][0]:
+            first[r.user_id] = (key, r.event_type)
+        if r.event_type == "purchase":
+            pv[r.user_id] = pv.get(r.user_id, Decimal(0)) + Decimal(
+                str(round(r.value, 6)) if r.value is not None else "0"
+            )
+    chan = {}
+    for uid, (_, ch) in first.items():
+        n, conv, val = chan.get(ch, (0, 0, Decimal(0)))
+        v = pv.get(uid, Decimal(0))
+        chan[ch] = (n + 1, conv + (1 if v > 0 else 0), val + v)
+    rows = q_events_first_touch_attribution(spark, SF).collect()
+    total = sum(v for _, _, v in chan.values())
+    assert {r.channel for r in rows} == set(chan)
+    for r in rows:
+        n, conv, val = chan[r.channel]
+        assert (r.n_users, r.n_converted) == (n, conv)
+        assert abs(r.attributed_value - float(val)) < 1e-6
+        assert abs(r.value_share - float(val) / float(total)) < 1e-12
+    assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-9

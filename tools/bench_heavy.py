@@ -58,6 +58,8 @@ HEAVY = [
     # round 7
     "embedding_cluster_quality",
     "doc_priority_sample",
+    "doc_lm_perplexity",
+    "doc_rrf_hybrid_retrieval",
 ]
 
 
