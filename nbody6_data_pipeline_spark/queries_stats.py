@@ -32,9 +32,22 @@ queries_training.py):
   source slice score every document; per-term ln() is absorbed into
   q6 fixed point (the BM25/PSI idiom) so all aggregation is exact
   integer arithmetic.
+- doc_rrf_hybrid_retrieval: reciprocal-rank fusion of the BM25 and
+  dense-cosine rankings — pure-integer fused scores over a
+  constant-size join of the two top-L lists.
+- lineitem_decile_lift: cumulative-gains/lift table over exact
+  deciles (the distributed exact-NTILE operator — no global sort).
+- events_ab_test: two-proportion z-test on a deterministic md5 50/50
+  user split — exact integer counts, correctly-rounded IEEE z chain.
+- events_km_survival: Kaplan-Meier product-limit retention curve
+  with right-censoring; hazard log-terms in q6, exact BIGINT
+  log-survival cumsum, bounded day-table windows.
+- events_first_touch_attribution: per-channel credit assignment from
+  each user's first event, exact-decimal value shares.
 
 No reference analogue (the reference is a single-node pandas
-pipeline); these extend the drift/quality north-star families.
+pipeline); these extend the drift/quality/retrieval/experimentation
+north-star families.
 """
 
 from __future__ import annotations
@@ -1315,3 +1328,205 @@ def q_events_first_touch_attribution(
             / F.sum("av").over(wall).cast("double")
         ).alias("value_share"),
     ).transform(ordered, "channel")
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonal index
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        CAST(o_totalprice AS DECIMAL(30,6)) AS rev
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(rev) AS DECIMAL(38,6)) AS rev
+      FROM o GROUP BY dow
+    )
+    SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      (CAST(rev AS DOUBLE) / n_orders)
+        / (CAST(SUM(rev) OVER () AS DOUBLE) / SUM(n_orders) OVER ())
+        AS seasonal_index
+    FROM per
+    ORDER BY dow
+    """
+
+
+@register("orders_seasonal_index", _seasonal_oracle())
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal index — classical-decomposition's seasonal
+    component for order revenue: per-weekday average order value
+    relative to the overall average. Index > 1 marks hot weekdays.
+
+    Exactness: revenue rides exact decimals; the index is a short
+    chain of correctly-rounded double divisions on identical exact
+    operands, token-identical in both engines. DuckDB's dayofweek()
+    is Sunday=0; Spark's dayofweek() is Sunday=1, so the Spark side
+    spells the same 0-based convention as (dayofweek - 1).
+
+    100-TB shape: one 7-group hash aggregation; the normalizing
+    window runs over the 7-row weekday table."""
+    o = (
+        _t(spark, sf_dir, "orders", spread=True)
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+            F.col("o_totalprice").cast("decimal(30,6)").alias("rev"),
+        )
+    )
+    per = o.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("rev").cast("decimal(38,6)").alias("rev"),
+    )
+    wall = W.orderBy("dow").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per.select(
+        "dow",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            (F.col("rev").cast("double") / F.col("n_orders"))
+            / (
+                F.sum("rev").over(wall).cast("double")
+                / F.sum("n_orders").over(wall)
+            )
+        ).alias("seasonal_index"),
+    ).transform(ordered, "dow")
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis (required sample size per arm)
+# ---------------------------------------------------------------------------
+
+# Standard-normal quantiles as python-computed literals embedded
+# VERBATIM in both engines (the Poisson-bootstrap CDF recipe — no
+# inverse-CDF evaluation runs inside either engine):
+_Z_ALPHA_2 = "1.959963984540054"  # z_{0.025}: two-sided alpha = 0.05
+_Z_BETA = "0.8416212335729143"  # z_{0.20}: power = 0.80
+_AB_MDE = "0.02"  # minimum detectable effect (absolute)
+
+# squares spelled as products (not power()) so no libm op runs at all
+_POWER_N = (
+    "ceil((({za} + {zb}) * ({za} + {zb}))"
+    " * (({p1}) * (1.0 - ({p1})) + ({p2}) * (1.0 - ({p2})))"
+    " / (({mde}) * ({mde})))"
+)
+
+
+def _power_oracle() -> str:
+    n = _POWER_N.format(
+        za=_Z_ALPHA_2,
+        zb=_Z_BETA,
+        p1="p0",
+        p2=f"(p0 + {_AB_MDE})",
+        mde=_AB_MDE,
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(COALESCE(value, 0) AS DECIMAL(30,6))
+                     ELSE CAST(0 AS DECIMAL(30,6)) END) > {_AB_CONV_THRESH}
+             THEN 1 ELSE 0 END AS converted
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM u
+    ),
+    base AS (
+      SELECT n_users, n_conv,
+             CAST(n_conv AS DOUBLE) / n_users AS p0
+      FROM s
+      WHERE n_users > 0 AND n_conv > 0 AND n_conv < n_users
+    )
+    SELECT n_users, n_conv, p0,
+      CAST({n} AS BIGINT) AS required_n_per_arm,
+      CASE WHEN CAST({n} AS BIGINT) <= n_users / 2
+           THEN 1 ELSE 0 END AS currently_powered
+    FROM base
+    ORDER BY n_users
+    """
+
+
+@register("events_ab_power", _power_oracle())
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis — the experiment-design complement of
+    events_ab_test: from the measured baseline conversion rate,
+    compute the required sample size per arm to detect a fixed
+    absolute lift (MDE) at alpha = 0.05 two-sided with 80% power:
+    n = (z_a/2 + z_b)^2 * (p1 q1 + p2 q2) / MDE^2.
+
+    Exactness: the normal quantiles are PYTHON-computed literals
+    embedded verbatim in both engines (the Poisson-bootstrap recipe —
+    no inverse-CDF runs inside either engine); the baseline rate is
+    one double division of exact integers; the sample-size formula is
+    a token-identical chain of correctly-rounded double ops; ceil on
+    identical doubles is exact. The powered-today verdict compares
+    integers.
+
+    100-TB shape: one user-keyed aggregation then a two-counter
+    global reduce — same minimal shuffle as events_ab_test."""
+    ev = _t(spark, sf_dir, "events", spread=True).filter(
+        F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.coalesce(F.col("value"), F.lit(0)).cast(
+                        "decimal(30,6)"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(30,6)"))
+            )
+            > _AB_CONV_THRESH,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    n = _POWER_N.format(
+        za=_Z_ALPHA_2,
+        zb=_Z_BETA,
+        p1="p0",
+        p2=f"(p0 + {_AB_MDE})",
+        mde=_AB_MDE,
+    )
+    return (
+        s.filter(
+            (F.col("n_users") > 0)
+            & (F.col("n_conv") > 0)
+            & (F.col("n_conv") < F.col("n_users"))
+        )
+        .selectExpr(
+            "n_users",
+            "n_conv",
+            "CAST(n_conv AS DOUBLE) / n_users AS p0",
+        )
+        .selectExpr(
+            "n_users",
+            "n_conv",
+            "p0",
+            f"CAST({n} AS BIGINT) AS required_n_per_arm",
+            f"CASE WHEN CAST({n} AS BIGINT) <= n_users / 2"
+            " THEN 1 ELSE 0 END AS currently_powered",
+        )
+        .transform(ordered, "n_users")
+    )

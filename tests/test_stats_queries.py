@@ -493,3 +493,80 @@ def test_attribution_matches_python_recompute(spark):
         assert abs(r.attributed_value - float(val)) < 1e-6
         assert abs(r.value_share - float(val) / float(total)) < 1e-12
     assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_index_recompute(spark):
+    from decimal import Decimal
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_orders_seasonal_index,
+    )
+
+    o = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            (F.dayofweek("o_orderdate") - 1).alias("dow"), "o_totalprice"
+        )
+        .collect()
+    )
+    per = {}
+    for r in o:
+        n, v = per.get(r.dow, (0, Decimal(0)))
+        per[r.dow] = (n + 1, v + Decimal(str(round(r.o_totalprice, 6))))
+    tot_n = sum(n for n, _ in per.values())
+    tot_v = sum(v for _, v in per.values())
+    rows = q_orders_seasonal_index(spark, SF).collect()
+    assert {r.dow for r in rows} == set(per)
+    for r in rows:
+        n, v = per[r.dow]
+        assert r.n_orders == n
+        assert abs(r.revenue - float(v)) < 1e-6
+        want = (float(v) / n) / (float(tot_v) / tot_n)
+        assert abs(r.seasonal_index - want) < 1e-9
+    # indexes average ~1 when weighted by order count
+    wavg = sum(r.seasonal_index * r.n_orders for r in rows) / tot_n
+    assert abs(wavg - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis
+# ---------------------------------------------------------------------------
+
+
+def test_ab_power_formula(spark):
+    import math
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_events_ab_power,
+        q_events_ab_test,
+    )
+
+    rows = q_events_ab_power(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # baseline rate reconciles with the A/B test's own arm totals
+    ab = q_events_ab_test(spark, SF).collect()[0]
+    assert r.n_users == ab.n_a + ab.n_b
+    assert r.n_conv == ab.conv_a + ab.conv_b
+    # formula replay: alpha=0.05 two-sided, power=0.80, MDE=0.02
+    za, zb, mde = 1.959963984540054, 0.8416212335729143, 0.02
+    p0 = r.n_conv / r.n_users
+    p1 = p0 + mde
+    want = math.ceil(
+        ((za + zb) * (za + zb))
+        * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+        / (mde * mde)
+    )
+    assert r.required_n_per_arm == want
+    assert r.currently_powered == (1 if want <= r.n_users / 2 else 0)
+    # sanity: a 2-point MDE at interior rates needs thousands per arm
+    assert r.required_n_per_arm > 1000
