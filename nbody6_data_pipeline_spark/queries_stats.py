@@ -1530,3 +1530,193 @@ def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_N = 5  # quintiles per dimension
+
+
+def _rfm_oracle() -> str:
+    return f"""
+    WITH c AS (
+      SELECT o_custkey AS custkey,
+        CAST(MAX(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+          AS recency_day,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(38,6))
+          AS monetary
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    binned AS (
+      SELECT custkey, monetary,
+        NTILE({_RFM_N}) OVER (ORDER BY recency_day, custkey) AS r,
+        NTILE({_RFM_N}) OVER (ORDER BY frequency, custkey) AS f,
+        NTILE({_RFM_N}) OVER (ORDER BY CAST(monetary AS DOUBLE), custkey)
+          AS m
+      FROM c
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(monetary) AS DOUBLE) AS total_monetary,
+      CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM binned
+    GROUP BY r, f, m
+    ORDER BY segment
+    """
+
+
+@register("orders_rfm_segmentation", _rfm_oracle())
+def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics classic: quintile each dimension, label
+    customers with the 3-digit segment code, roll up value per
+    segment. Composes the distributed exact-NTILE operator THREE
+    times over the same per-customer aggregate (each is range buckets
+    + broadcast offsets — no global sort anywhere; NTILE lives only
+    in the oracle SQL).
+
+    Determinism: every quintile order has the unique custkey
+    tiebreak; the monetary quintile sorts on the DOUBLE cast in BOTH
+    engines (decimal->double is order-preserving, and the engines'
+    decimal renderings differ only in scale, not value); monetary
+    itself rides exact decimals to the final single-division average.
+    """
+    from nbody6_data_pipeline_spark.operators.ranking import (
+        with_exact_ntile,
+    )
+
+    o = _t(spark, sf_dir, "orders", spread=True).filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    c = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            event_us(o, "o_orderdate").alias("us"),
+            F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.expr("CAST(MAX(us) div 86400000000 AS BIGINT)").alias(
+                "recency_day"
+            ),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("price").cast("decimal(38,6)").alias("monetary"),
+        )
+        .withColumn("m_dbl", F.col("monetary").cast("double"))
+    )
+    binned = with_exact_ntile(c, ["recency_day", "custkey"], _RFM_N, "r")
+    binned = with_exact_ntile(binned, ["frequency", "custkey"], _RFM_N, "f")
+    binned = with_exact_ntile(binned, ["m_dbl", "custkey"], _RFM_N, "m")
+    return (
+        binned.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+            (
+                F.sum("monetary").cast("double") / F.count(F.lit(1))
+            ).alias("avg_monetary"),
+        )
+        .select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("segment"),
+            "n_customers",
+            "total_monetary",
+            "avg_monetary",
+        )
+        .transform(ordered, "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity / effective vocabulary size
+# ---------------------------------------------------------------------------
+
+
+def _simpson_oracle() -> str:
+    return """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
+        AS token
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT source, token, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM toks GROUP BY source, token
+    ),
+    s AS (
+      SELECT source,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        CAST(SUM(c * c) AS DECIMAL(38,0)) AS sum_c2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size,
+      CAST(sum_c2 AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        AS simpson,
+      (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        / CAST(sum_c2 AS DOUBLE) AS effective_vocab
+    FROM s
+    WHERE n_tokens > 0
+    ORDER BY source NULLS LAST
+    """
+
+
+@register("doc_simpson_diversity", _simpson_oracle())
+def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per source — the corpus-mix telemetry
+    complement of the Gini query: simpson = sum(c_i^2) / N^2 is the
+    probability two random tokens coincide, and its inverse is the
+    'effective vocabulary size' (how many equally-common tokens would
+    look this diverse). Low effective vocab flags templated /
+    boilerplate-heavy sources before they skew a training mix.
+
+    Exactness: token counts and sum(c^2) ride DECIMAL(38,0) 128-bit
+    integers (c^2 overflows BIGINT past ~3e9 tokens per term); both
+    reported ratios are short chains of correctly-rounded double ops
+    on identical exact operands. No sampling, no sketch — and at
+    100 TB the same two hash aggregations (term counts, then per-
+    source moments) are exactly how you'd compute it, map-side
+    combinable end to end."""
+    toks = (
+        _t(spark, sf_dir, "documents", spread=True)
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "source",
+            "explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x != '')) AS token",
+        )
+    )
+    tf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    s = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("sum_c2"),
+    )
+    return (
+        s.filter(F.col("n_tokens") > 0)
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            "CAST(sum_c2 AS DOUBLE)"
+            " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+            " AS simpson",
+            "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+            " / CAST(sum_c2 AS DOUBLE) AS effective_vocab",
+        )
+        .transform(ordered, "source")
+    )

@@ -570,3 +570,92 @@ def test_ab_power_formula(spark):
     assert r.currently_powered == (1 if want <= r.n_users / 2 else 0)
     # sanity: a 2-point MDE at interior rates needs thousands per arm
     assert r.required_n_per_arm > 1000
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_partition_customers(spark):
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _RFM_N,
+        q_orders_rfm_segmentation,
+    )
+
+    rows = q_orders_rfm_segmentation(spark, SF).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        seg = r.segment
+        rq, fq, mq = seg // 100, (seg // 10) % 10, seg % 10
+        assert 1 <= rq <= _RFM_N and 1 <= fq <= _RFM_N and 1 <= mq <= _RFM_N
+        assert abs(r.avg_monetary - r.total_monetary / r.n_customers) < 1e-9
+
+
+def test_rfm_monetary_quintile_ordering(spark):
+    # customers in a higher m-quintile have, in aggregate, higher
+    # average monetary value than those in a lower one
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_orders_rfm_segmentation,
+    )
+
+    rows = q_orders_rfm_segmentation(spark, SF).collect()
+    by_m = {}
+    for r in rows:
+        m = r.segment % 10
+        tot, n = by_m.get(m, (0.0, 0))
+        by_m[m] = (tot + r.total_monetary, n + r.n_customers)
+    avgs = {m: t / n for m, (t, n) in by_m.items()}
+    ms = sorted(avgs)
+    assert all(avgs[a] < avgs[b] for a, b in zip(ms, ms[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_matches_python_recompute(spark):
+    import re
+    from collections import Counter
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_doc_simpson_diversity,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("source", "text")
+        .collect()
+    )
+    per = {}
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        per.setdefault(r.source, Counter()).update(toks)
+    rows = q_doc_simpson_diversity(spark, SF).collect()
+    assert {r.source for r in rows} == {
+        s for s, c in per.items() if sum(c.values()) > 0
+    }
+    for r in rows:
+        c = per[r.source]
+        n = sum(c.values())
+        sum_c2 = sum(v * v for v in c.values())
+        assert r.n_tokens == n
+        assert r.vocab_size == len(c)
+        assert r.simpson == sum_c2 / (float(n) * float(n))
+        assert r.effective_vocab == (float(n) * float(n)) / sum_c2
+        # bounds: 1/vocab <= simpson <= 1; effective <= vocab
+        assert 1.0 / len(c) <= r.simpson <= 1.0
+        assert r.effective_vocab <= r.vocab_size + 1e-9
