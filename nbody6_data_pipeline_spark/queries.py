@@ -75,6 +75,8 @@ def registry() -> dict[str, QuerySpec]:
 # round-6 additions drop to the back (freshest evidence).
 _DRIVER_PRIORITY = [
     # -- new in round 7: never driver-sampled --
+    "doc_zipf_fit",
+    "lineitem_benford_check",
     "orders_rfm_segmentation",
     "doc_simpson_diversity",
     "orders_seasonal_index",

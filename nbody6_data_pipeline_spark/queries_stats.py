@@ -1720,3 +1720,235 @@ def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 100  # top-K terms entering the log-log fit
+# OLS closed forms on exact-integer-derived doubles (the
+# lineitem_ols_fit templates, reused verbatim)
+_ZIPF_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_ZIPF_R2 = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy) / "
+    "((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+)
+# q6 log coordinates: ln(rank), ln(count) quantized the moment libm
+# produces them; every moment sum below is then exact integer
+_ZIPF_XY = (
+    "CAST(floor(ln(CAST({v} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _zipf_oracle() -> str:
+    x = _ZIPF_XY.format(v="rnk")
+    y = _ZIPF_XY.format(v="cnt")
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
+        AS token
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY token),
+    top AS (
+      SELECT cnt,
+        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+          AS rnk
+      FROM tf
+      QUALIFY rnk <= {_ZIPF_K}
+    ),
+    pts AS (SELECT rnk, cnt, {x} AS xq, {y} AS yq FROM top),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        CAST(SUM(xq) AS BIGINT) AS sxq,
+        CAST(SUM(yq) AS BIGINT) AS syq,
+        CAST(SUM(xq * xq) AS BIGINT) AS sxxq,
+        CAST(SUM(yq * yq) AS BIGINT) AS syyq,
+        CAST(SUM(xq * yq) AS BIGINT) AS sxyq
+      FROM pts
+    ),
+    d AS (
+      SELECT n_terms,
+        CAST(n_terms AS DOUBLE) AS n,
+        CAST(sxq AS DOUBLE) / 1000000.0 AS sx,
+        CAST(syq AS DOUBLE) / 1000000.0 AS sy,
+        CAST(sxxq AS DOUBLE) / 1000000000000.0 AS sxx,
+        CAST(syyq AS DOUBLE) / 1000000000000.0 AS syy,
+        CAST(sxyq AS DOUBLE) / 1000000000000.0 AS sxy
+      FROM mom WHERE n_terms >= 3
+    )
+    SELECT n_terms,
+      CAST(floor({_ZIPF_SLOPE} * 1000000 + 0.5) AS BIGINT) AS slope_q6,
+      CAST(floor({_ZIPF_R2} * 1000000 + 0.5) AS BIGINT) AS r2_q6
+    FROM d
+    ORDER BY n_terms
+    """
+
+
+@register("doc_zipf_fit", _zipf_oracle())
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: OLS of
+    ln(count) on ln(rank) over the top-{_ZIPF_K} terms. Natural text
+    sits near slope -1; a flat slope flags templated/synthetic text
+    and a too-steep one flags token-collapse — corpus-quality
+    telemetry at vocabulary cost.
+
+    Exactness: ln(rank)/ln(count) are q6-quantized the moment libm
+    produces them (exact-integer operands in both engines), all five
+    moment sums are exact BIGINTs over the K-row table, the closed
+    forms are the lineitem_ols_fit templates on identical doubles,
+    and the outputs land in q6. Top-K selection is the BM25 idiom:
+    distributed take-ordered + a window over K rows — no
+    vocabulary-sized sort."""
+    toks = (
+        _t(spark, sf_dir, "documents", spread=True)
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x != '')) AS token"
+        )
+    )
+    tf = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wtop = W.orderBy(F.col("cnt").desc(), "token")
+    top = (
+        tf.orderBy(F.col("cnt").desc(), "token")
+        .limit(_ZIPF_K)
+        .select("token", "cnt", F.row_number().over(wtop).cast("long").alias("rnk"))
+    )
+    x = _ZIPF_XY.format(v="rnk")
+    y = _ZIPF_XY.format(v="cnt")
+    pts = top.selectExpr("rnk", "cnt", f"{x} AS xq", f"{y} AS yq")
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("xq").cast("long").alias("sxq"),
+        F.sum("yq").cast("long").alias("syq"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxxq"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syyq"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxyq"),
+    )
+    d = mom.filter(F.col("n_terms") >= 3).selectExpr(
+        "n_terms",
+        "CAST(n_terms AS DOUBLE) AS n",
+        "CAST(sxq AS DOUBLE) / 1000000.0 AS sx",
+        "CAST(syq AS DOUBLE) / 1000000.0 AS sy",
+        "CAST(sxxq AS DOUBLE) / 1000000000000.0 AS sxx",
+        "CAST(syyq AS DOUBLE) / 1000000000000.0 AS syy",
+        "CAST(sxyq AS DOUBLE) / 1000000000000.0 AS sxy",
+    )
+    return d.selectExpr(
+        "n_terms",
+        f"CAST(floor({_ZIPF_SLOPE} * 1000000 + 0.5) AS BIGINT)"
+        " AS slope_q6",
+        f"CAST(floor({_ZIPF_R2} * 1000000 + 0.5) AS BIGINT) AS r2_q6",
+    ).transform(ordered, "n_terms")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d), python-computed literals embedded verbatim in both
+# engines (the bootstrap/power-analysis recipe)
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+def _benford_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(30,6))
+               AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1
+    ),
+    digits AS (
+      SELECT CAST(i.i AS BIGINT) AS d FROM range(1, 10) i(i)
+    ),
+    obs AS (
+      SELECT digits.d, CAST(COUNT(v.d) AS BIGINT) AS n_obs
+      FROM digits LEFT JOIN v ON v.d = digits.d
+      GROUP BY digits.d
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT d AS digit, n_obs,
+      CAST({_BENFORD_CASE} AS DOUBLE) AS benford_p,
+      CAST(floor(
+        (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+        * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+        / (CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+        * 1000000 + 0.5) AS BIGINT) AS chisq_term_q6
+    FROM obs, tot
+    WHERE n > 0
+    ORDER BY digit
+    """
+
+
+@register("lineitem_benford_check", _benford_oracle())
+def q_lineitem_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic anomaly/fraud screen
+    for amount columns: observed first-significant-digit counts vs
+    Benford's log10(1 + 1/d) expectation, with a per-digit chi-square
+    contribution (sum of the 9 q6 terms is the test statistic at
+    8 degrees of freedom).
+
+    Exactness: the first digit comes from the DECIMAL's string
+    rendering (values >= 1, so the first character IS the leading
+    significant digit in both engines — no log10/pow boundary risk);
+    Benford probabilities are python-computed literals embedded
+    verbatim; each chi-square term is a token-identical double chain
+    on exact operands, landed in q6. All nine digits are emitted even
+    at zero count (LEFT JOIN against the digit table) so the
+    statistic's degrees of freedom never silently change.
+
+    100-TB shape: a 9-group hash aggregation — the cheapest possible
+    full-column audit."""
+    v = (
+        _t(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & (F.col("l_extendedprice") >= 1)
+        )
+        .selectExpr(
+            "CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(30,6))"
+            " AS STRING), 1, 1) AS BIGINT) AS d"
+        )
+    )
+    digits = (
+        v.sparkSession.range(1, 10).select(F.col("id").alias("d"))
+    )
+    obs = (
+        digits.join(v.groupBy("d").agg(F.count(F.lit(1)).alias("c")), "d", "left")
+        .select("d", F.coalesce("c", F.lit(0)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    return (
+        obs.join(F.broadcast(tot))
+        .filter(F.col("n") > 0)
+        .selectExpr(
+            "d AS digit",
+            "n_obs",
+            f"CAST({_BENFORD_CASE} AS DOUBLE) AS benford_p",
+            "CAST(floor("
+            f"(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))"
+            f" * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))"
+            f" / (CAST(n AS DOUBLE) * ({_BENFORD_CASE}))"
+            " * 1000000 + 0.5) AS BIGINT) AS chisq_term_q6",
+        )
+        .transform(ordered, "digit")
+    )

@@ -659,3 +659,100 @@ def test_simpson_matches_python_recompute(spark):
         # bounds: 1/vocab <= simpson <= 1; effective <= vocab
         assert 1.0 / len(c) <= r.simpson <= 1.0
         assert r.effective_vocab <= r.vocab_size + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_matches_python_ols(spark):
+    import re
+    from collections import Counter
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _ZIPF_K,
+        q_doc_zipf_fit,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("text")
+        .collect()
+    )
+    c = Counter()
+    for r in docs:
+        c.update(t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_K]
+    pts = [
+        (
+            math.floor(math.log(rk) * 1e6 + 0.5),
+            math.floor(math.log(cnt) * 1e6 + 0.5),
+        )
+        for rk, (_, cnt) in enumerate(top, start=1)
+    ]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts) / 1e6
+    sy = sum(y for _, y in pts) / 1e6
+    sxx = sum(x * x for x, _ in pts) / 1e12
+    syy = sum(y * y for _, y in pts) / 1e12
+    sxy = sum(x * y for x, y in pts) / 1e12
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = q_doc_zipf_fit(spark, SF).collect()[0]
+    assert row.n_terms == len(pts)
+    assert row.slope_q6 == math.floor(slope * 1e6 + 0.5)
+    assert row.r2_q6 == math.floor(r2 * 1e6 + 0.5)
+    # a frequency-ranked distribution always slopes down; the
+    # synthetic word-salad corpus is deliberately NON-Zipfian
+    # (near-uniform token draws), so the fit explains little variance
+    # — exactly the signal the telemetry exists to surface
+    assert row.slope_q6 < 0
+    assert 0 <= row.r2_q6 <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digits_and_terms(spark):
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _BENFORD_P,
+        q_lineitem_benford_check,
+    )
+
+    rows = q_lineitem_benford_check(spark, SF).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & (F.col("l_extendedprice") >= 1)
+        )
+        .select("l_extendedprice")
+        .collect()
+    )
+    from collections import Counter
+    from decimal import Decimal
+
+    want = Counter(
+        str(
+            Decimal(str(round(r.l_extendedprice, 6))).quantize(
+                Decimal("0.000001")
+            )
+        )[0]
+        for r in li
+    )
+    n = sum(want.values())
+    for r in rows:
+        assert r.n_obs == want.get(str(r.digit), 0)
+        p = float(_BENFORD_P[r.digit])
+        assert r.benford_p == p
+        term = (r.n_obs - n * p) ** 2 / (n * p)
+        assert r.chisq_term_q6 == math.floor(term * 1e6 + 0.5)
+    # probabilities are a complete distribution
+    assert abs(sum(float(v) for v in _BENFORD_P.values()) - 1.0) < 1e-12
