@@ -1143,9 +1143,10 @@ def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = u.agg(F.max("last_us").alias("end_us"))
     lt = u.join(F.broadcast(g)).select(
-        ((F.col("last_us") - F.col("first_us")) / _KM_DAY_US)
-        .cast("long")
-        .alias("t_day"),
+        # exact integer division (`div`) mirrors the oracle's `//`;
+        # double division can round a quotient up once lifetimes
+        # exceed ~1e5 days (exact-integer discipline, ADVICE r7)
+        F.expr(f"(last_us - first_us) div {_KM_DAY_US}").alias("t_day"),
         F.when(
             (F.col("end_us") - F.col("last_us"))
             > _KM_CHURN_GAP_DAYS * _KM_DAY_US,
@@ -1229,7 +1230,8 @@ def _attribution_oracle() -> str:
       FROM (
         SELECT user_id, event_type,
           ROW_NUMBER() OVER (PARTITION BY user_id
-            ORDER BY us, event_id NULLS LAST) AS rn
+            ORDER BY us, event_id NULLS LAST,
+                     event_type NULLS LAST) AS rn
         FROM e
       ) t WHERE rn = 1
     ),
@@ -1286,8 +1288,13 @@ def q_events_first_touch_attribution(
         "user_id", "event_id", "event_type", "value",
         event_us(ev).alias("us"),
     )
+    # event_type is the final tiebreak so the first-touch choice is
+    # total-ordered even under duplicate (us, event_id) pairs — the
+    # cross-engine hash match must not be data-dependent (ADVICE r7)
     wu = W.partitionBy("user_id").orderBy(
-        F.col("us").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+        F.col("us").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
     )
     first_touch = (
         e.withColumn("rn", F.row_number().over(wu))
@@ -1734,6 +1741,14 @@ _ZIPF_R2 = (
     "((n * sxy - sx * sy) * (n * sxy - sx * sy) / "
     "((n * sxx - sx * sx) * (n * syy - sy * sy)))"
 )
+# degenerate corpus guard (ADVICE r7): if all top-K counts are equal
+# the y-variance is 0 and r2 is 0/0 — DuckDB errors on CAST(NaN),
+# non-ANSI Spark silently casts NaN to 0. Both engines emit NULL via
+# this identical CASE instead.
+_ZIPF_R2_Q6 = (
+    "CASE WHEN (n * syy - sy * sy) = 0 THEN NULL"
+    f" ELSE CAST(floor({_ZIPF_R2} * 1000000 + 0.5) AS BIGINT) END"
+)
 # q6 log coordinates: ln(rank), ln(count) quantized the moment libm
 # produces them; every moment sum below is then exact integer
 _ZIPF_XY = (
@@ -1783,7 +1798,7 @@ def _zipf_oracle() -> str:
     )
     SELECT n_terms,
       CAST(floor({_ZIPF_SLOPE} * 1000000 + 0.5) AS BIGINT) AS slope_q6,
-      CAST(floor({_ZIPF_R2} * 1000000 + 0.5) AS BIGINT) AS r2_q6
+      {_ZIPF_R2_Q6} AS r2_q6
     FROM d
     ORDER BY n_terms
     """
@@ -1845,7 +1860,7 @@ def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         f"CAST(floor({_ZIPF_SLOPE} * 1000000 + 0.5) AS BIGINT)"
         " AS slope_q6",
-        f"CAST(floor({_ZIPF_R2} * 1000000 + 0.5) AS BIGINT) AS r2_q6",
+        f"{_ZIPF_R2_Q6} AS r2_q6",
     ).transform(ordered, "n_terms")
 
 
