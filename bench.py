@@ -1,9 +1,11 @@
 """Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (guaranteed < 2000 bytes so any head/tail stdout
+capture window parses it standalone):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {<top-5 slowest>: sec}, "n_queries": N, "sf": <sf>, ...}
+The full per-query timing map is always written to bench_full.json.
 """
 
 from __future__ import annotations
@@ -74,16 +76,21 @@ def main() -> None:
     }
     out.update(bench_pipeline(spark))
     out.update(bench_corpus(spark))
-    print(json.dumps(out))
-    # The driver records only the LAST ~2000 chars of stdout and parses
-    # line-by-line for a JSON record.  At 148 queries the full line above
-    # is >4 KB, so its head falls outside the capture window and the
-    # round artifact ends up "parsed": null (BENCH_r05/r06).  Emit a
-    # compact summary as the FINAL line — totals, leg times, and only
-    # the top-15 slowest queries — guaranteed to fit whole inside the
-    # tail so every round's BENCH_r{N}.json is self-contained.
+    # The driver's stdout capture window is ~2000 chars; at 174 queries
+    # the full per-query map alone is >4 KB, so it must never share
+    # stdout with the parseable record (BENCH_r05/r06 were truncated to
+    # unparseable).  Contract: stdout carries EXACTLY ONE compact JSON
+    # line (total, n_queries, top-5 slowest, leg times) that parses
+    # standalone whether the capture keeps the head or the tail; the
+    # full per-query map is always written to bench_full.json beside
+    # this script.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     compact = {
         k: v for k, v in out.items() if k not in ("queries", "metric")
@@ -91,7 +98,7 @@ def main() -> None:
     compact["metric"] = out["metric"]
     compact["n_queries"] = len(timings)
     compact["queries"] = slowest
-    compact["queries_note"] = "top-15 slowest only; full map in prior line"
+    compact["queries_note"] = "top-5 slowest only; full map in bench_full.json"
     print(json.dumps(compact))
 
 

@@ -365,6 +365,39 @@ def _t(
     return df
 
 
+#: The synthetic benchmark tables every query and oracle runs over.
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[str, ...] = (),
+) -> None:
+    """Register the synthetic tables — and optionally any registry
+    query's output — as temp views, making the whole engine surface
+    reachable from plain ``spark.sql(...)``.
+
+    This is the SQL-surface contract SURVEY §7.0 promises: every stage
+    output is a DataFrame, so every stage output is SQL-registerable.
+    Base tables get their canonical names (``region`` .. ``embeddings``);
+    each requested registry query ``name`` is registered as view
+    ``q_<name>`` (the prefix avoids colliding with table names).
+    Registration is lazy — a view's plan executes only when queried —
+    so registering the full registry costs no Spark jobs."""
+    for name in TABLES:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    if queries:
+        reg = registry()
+        for qname in queries:
+            reg[qname]["spark"](spark, sf_dir).createOrReplaceTempView(
+                f"q_{qname}"
+            )
+
+
 def ensure_confs(spark: SparkSession) -> None:
     """Session confs required for oracle-parity reads, set at runtime
     because the driver owns the SparkSession:
