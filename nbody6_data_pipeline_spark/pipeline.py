@@ -214,10 +214,20 @@ def process_all_batched(
 def _process_batched_body(
     spark, output_base, paths, coordinates, is_strict, is_slim, pending
 ):
+    # Per-layer job descriptions: the driver loop is sequential, so the
+    # description current when an ACTION fires labels every job of that
+    # layer — the scale bench (tools/bench_pipeline_scale.py) reads
+    # them back from the status REST API to attribute wall/jobs/shuffle
+    # per layer; also what you want in the Spark UI on a real cluster.
+    sc = spark.sparkContext
+    sc.setJobDescription("layer:parse")
     multi = load_runs(
         spark, [(r.label, r.path) for r in pending], is_strict=is_strict
     )
-    asm = assemble_runs(align_runs(multi), is_strict=is_strict)
+    sc.setJobDescription("layer:align")
+    aligned = align_runs(multi)
+    sc.setJobDescription("layer:assemble")
+    asm = assemble_runs(aligned, is_strict=is_strict)
     if not is_slim:
         write_parquet(asm.stars, paths["assembled_stars"], ["run_id"])
         write_parquet(
@@ -225,6 +235,7 @@ def _process_batched_body(
         )
     write_parquet(asm.snapshot_headers, paths["snapshot_headers"], ["run_id"])
 
+    sc.setJobDescription("layer:observe")
     obs = observe(spark, asm, coordinates)
     obs_stars = obs.stars.localCheckpoint()
     obs_bins = obs.binary_systems.localCheckpoint()
@@ -253,6 +264,7 @@ def _process_batched_body(
     overall = overall_statistics(obs_stars, obs_bins, hdr_obs, OKEY)
     annular = annular_statistics(obs_stars, obs_bins, OKEY)
     for name, df in (("overall_stats", overall), ("annular_stats", annular)):
+        sc.setJobDescription(f"layer:{name}")
         if attrs_df is not None:
             df = df.join(F.broadcast(attrs_df), "run_id", "left")
         write_parquet(df, paths[name], ["run_id"])
@@ -269,3 +281,4 @@ def _process_batched_body(
             .partitionBy("run_id")
             .csv(os.path.join(output_base, "csv_batched", name))
         )
+    sc.setJobDescription(None)

@@ -68,8 +68,16 @@ def _cpus() -> int:
     return os.cpu_count() or 4
 
 
-def get_spark(app_name: str = "nbody6_data_pipeline_spark") -> SparkSession:
+def get_spark(
+    app_name: str = "nbody6_data_pipeline_spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
     """Create (or reuse) the tuned SparkSession.
+
+    ``extra_conf`` overrides/extends the defaults (e.g. the scale-bench
+    tools pass ``{"spark.ui.enabled": "true"}`` to read per-stage
+    shuffle metrics from the status REST API). Only effective at
+    session creation — getOrCreate ignores confs on reuse.
 
     Tuning rationale for scale (the same knobs matter at 100 TB):
 
@@ -111,6 +119,8 @@ def get_spark(app_name: str = "nbody6_data_pipeline_spark") -> SparkSession:
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

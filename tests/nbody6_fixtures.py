@@ -62,13 +62,18 @@ JITTER = {"OUT34": 0.0, "OUT9": 0.004, "fort.19": -0.004, "fort.82": 0.004,
           "fort.83": 0.0, "densCentre.txt": 0.0}
 
 
-def cm_row(t_idx: float):
-    """OUT34 center-of-mass particle for the (1,2) binary."""
-    s1, s2 = STARS[1], STARS[2]
+def cm_of(n1: int, n2: int, name: int):
+    """OUT34 center-of-mass particle for the (n1, n2) binary."""
+    s1, s2 = STARS[n1], STARS[n2]
     m1, m2 = s1[6], s2[6]
     tot = m1 + m2
     pos = [(m1 * s1[i] + m2 * s2[i]) / tot for i in range(6)]
-    return (*pos, tot, CM_NAME, 0)
+    return (*pos, tot, name, 0)
+
+
+def cm_row(t_idx: float):
+    """OUT34 center-of-mass particle for the (1,2) binary."""
+    return cm_of(1, 2, CM_NAME)
 
 
 def _drift(name: int, t: float) -> tuple:
@@ -161,5 +166,117 @@ def write_run(root: str, dissolve_last: bool = False, drop_name: int | None = No
         for i, t in enumerate(TIMES):
             rt = -1.0 if (dissolve_last and i == len(TIMES) - 1) else R_TIDAL
             f.write(f"{t:.4f} {rt} {DC[0]} {DC[1]} {DC[2]}\n")
+
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Quadruple fixture: pair-of-pairs ((1+2)+(3+4)) — the DEEPEST hierarchy
+# the reference supports (observer.py:117-127 _fetch_attrs accepts
+# component groups of size 1 or 2 only; each side of a top-level system
+# is itself at most a pair, so merge depth is exactly 2 levels).
+# ---------------------------------------------------------------------------
+
+CM2_NAME = 102
+# OUT9 rows: both inner binaries regularized, tight orbits (semi ~0.18 AU
+# -> unresolved at every observer distance >= 50 pc)
+QUAD_REG_BINS = [
+    dict(ecc=0.1, semi=0.5, p=1.0, m1=5.0, m2=3.0, n1=1, n2=2, cm=CM_NAME),
+    dict(ecc=0.2, semi=0.4, p=1.2, m1=2.0, m2=1.0, n1=3, n2=4, cm=CM2_NAME),
+]
+# fort.19 outer orbit (101,102): log10 P = 5.5 days, M = 11 Msun
+# -> semi ~201.6 AU: RESOLVED below ~336 pc (0.6*dist < semi),
+# UNRESOLVED at larger observer distances — the classification boundary
+# the wide-coordinate stress test sweeps across.
+QUAD_OUTER = dict(
+    ecc=0.4, semi=100.0, p=5.5, m1=8.0, m2=3.0, n1=CM_NAME, n2=CM2_NAME,
+    hi=1,
+)
+QUAD_SINGLES = (5, 6, 10)  # 10 sits outside 2x r_tidal
+
+
+def write_quad_run(root: str) -> str:
+    """Write a run whose only hierarchy is the quadruple
+    ((1+2)+(3+4)): two regularized inner binaries (cm particles 101 and
+    102 in OUT34, attrs in fort.82, pairings in OUT9) bound by one
+    fort.19 row (101, 102), plus singles 5/6 and far-out 10."""
+    os.makedirs(root, exist_ok=True)
+
+    with open(os.path.join(root, "OUT34"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["OUT34"]
+            toks = ["h%d" % i for i in range(28)]
+            toks[5] = "8"
+            toks[7] = f"{tj:.4f}"
+            toks[8] = "1.0"
+            toks[9] = "1.0"
+            toks[10] = f"{R_TIDAL}"
+            toks[12] = "15.0"
+            toks[13:16] = [f"{v}" for v in DC]
+            toks[16:19] = ["0.1", "0.2", "0.3"]
+            toks[22:25] = ["5.0", "6.0", "7.0"]
+            toks[25:28] = ["0.5", "0.6", "0.7"]
+            f.write("# " + " ".join(toks) + "\n")
+            rows = [cm_of(1, 2, CM_NAME), cm_of(3, 4, CM2_NAME)] + [
+                (*_drift(n, t), n, 1) for n in QUAD_SINGLES
+            ]
+            for r in rows:
+                f.write(" ".join(f"{v}" for v in r) + "\n")
+
+    with open(os.path.join(root, "OUT9"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["OUT9"]
+            f.write("# hdr1\n")
+            f.write(f"# {tj:.4f} {len(QUAD_REG_BINS)}\n")
+            f.write("# hdr3\n")
+            for b in QUAD_REG_BINS:
+                toks = ["0", "0", "0", f"{b['ecc']}", f"{b['semi']}",
+                        f"{b['p']}", f"{b['m1']}", f"{b['m2']}",
+                        str(b["n1"]), str(b["n2"]), "1", "1", "0",
+                        str(b["cm"])]
+                f.write(" ".join(toks) + "\n")
+
+    with open(os.path.join(root, "fort.19"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["fort.19"]
+            f.write(f"# {tj:.4f} 1\n")
+            b = QUAD_OUTER
+            toks = ["0", "0", "0", f"{b['ecc']}", f"{b['semi']}", f"{b['p']}",
+                    f"{b['m1']}", f"{b['m2']}", str(b["n1"]), str(b["n2"]),
+                    "1", "1", str(b["hi"])]
+            f.write(" ".join(toks) + "\n")
+
+    with open(os.path.join(root, "fort.82"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["fort.82"]
+            f.write(f"## BEGIN T= {tj:.4f}\n")
+            for n1, n2 in ((1, 2), (3, 4)):
+                s1, s2 = _drift(n1, t), _drift(n2, t)
+                a1, a2 = ATTRS[n1], ATTRS[n2]
+                toks = [str(n1), str(n2), "0", "0", "0",
+                        f"{(s1[0]+s2[0])/2}", f"{(s1[1]+s2[1])/2}",
+                        f"{(s1[2]+s2[2])/2}",
+                        "0", "0", "0",
+                        f"{s1[6]}", f"{s2[6]}",
+                        f"{a1[0]}", f"{a2[0]}", f"{a1[1]}", f"{a2[1]}",
+                        f"{a1[2]}", f"{a2[2]}"]
+                f.write(" ".join(toks) + "\n")
+            f.write("## END\n")
+
+    with open(os.path.join(root, "fort.83"), "w") as f:
+        for t in TIMES:
+            tj = t + JITTER["fort.83"]
+            f.write(f"## BEGIN T= {tj:.4f}\n")
+            for n in QUAD_SINGLES:
+                s = _drift(n, t)
+                a = ATTRS[n]
+                toks = [str(n), "0", f"{s[0]}", f"{s[1]}", f"{s[2]}",
+                        f"{s[6]}", f"{a[0]}", f"{a[1]}", f"{a[2]}"]
+                f.write(" ".join(toks) + "\n")
+            f.write("## END\n")
+
+    with open(os.path.join(root, "densCentre.txt"), "w") as f:
+        for t in TIMES:
+            f.write(f"{t:.4f} {R_TIDAL} {DC[0]} {DC[1]} {DC[2]}\n")
 
     return root
