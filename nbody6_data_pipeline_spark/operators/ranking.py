@@ -202,6 +202,28 @@ def with_global_row_number(
     ``order_cols`` must be a total order (include a unique tie-break
     key last) for the row numbering to be deterministic. NULL keys
     rank last (ANSI / DuckDB ``ORDER BY`` parity).
+
+    Tie-skew contract: all rows sharing a FIRST-column value
+    necessarily share a range bucket, so a heavily-tied column — e.g.
+    a 90%-one-value monetary field — puts that whole tie block through
+    one window partition. This is NOT fixable by sub-bucketing on the
+    next order column: a range bucket contains UNEQUAL first-column
+    values, and any partition key that consults the second column
+    re-orders those (tested — it corrupts ranks); exact-value
+    first-level keys would make the offsets table as large as the
+    distinct-value count, unbounded for continuous columns. Splitting
+    a tie block across tasks with coordinated numbering requires a
+    second offsets pass at exact-value granularity, which is only
+    bounded when hot values are few — i.e. when the data is exactly
+    the shape where the AGGREGATED path below is cheaper anyway.
+    Scale guidance: when ties dominate (low-cardinality keys), rank
+    the (value, count) aggregate instead — group to distinct values,
+    rank that BOUNDED table, and derive per-row bins from broadcast
+    value->offset; the per-row NTILE split of a tie block across bins
+    then needs only a window partitioned BY THE TIE VALUE, whose skew
+    is the same block — or accept tile-boundary ties (qcut semantics).
+    The exact ANSI path here keeps row-level determinism and is the
+    right default for continuous/mixed keys.
     """
     tagged = _tag_bucket(df, order_cols[0], n_buckets)
     # coalesce(1) between the bucket-count aggregate and its prefix-sum

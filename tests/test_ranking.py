@@ -268,3 +268,63 @@ def test_merge_asof_forward_and_nearest(spark):
         right, on="t", by=["k"], right_cols=["rid"], direction="nearest",
     ).collect()[0]
     assert (tie["t_match"], tie["rid_match"]) == (50, 7)
+
+
+def test_skewed_ntile_stress_90pct_one_value(spark):
+    """VERDICT r7 item 7: the RFM monetary-quintile shape — 90% of
+    rows share ONE first-column value. The tie-handling contract this
+    test documents and pins:
+
+    - OUTPUT tiles stay exactly balanced: the tie block is split
+      across NTILE bins deterministically by the tie-break key (exact
+      ANSI NTILE), so every bin is within 1 row of ideal — far inside
+      the 2x-ideal bound (a naive qcut-style binner would dump the
+      whole 90% block into one bin);
+    - the assignment is bit-identical to the single-partition window
+      oracle, i.e. ties are ordered by the tie-break key, never
+      engine-arbitrary;
+    - the WINDOW partition holding the tie block is the block itself
+      (range buckets are functions of the first sort column only —
+      ranking.py's module doc explains why sub-bucketing on later
+      columns is unsound and what the aggregated escape hatch is at
+      scale). Asserted explicitly so a future "optimization" that
+      silently splits tie blocks — corrupting ranks, as a tried
+      composite-key variant did — fails this pin.
+    """
+    n = 100_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(100.0))
+        .otherwise(F.col("id").cast("double") / 1000.0)
+        .alias("monetary"),
+        F.col("id").alias("custkey"),
+    )
+    out = with_exact_ntile(df, ["monetary", "custkey"], 5, bin_col="q")
+    sizes = {r["q"]: r["n"] for r in out.groupBy("q").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert set(sizes) == {1, 2, 3, 4, 5}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert max(sizes.values()) <= 2 * (n / 5)
+    assert sum(sizes.values()) == n
+
+    # determinism + exactness vs the single-partition window oracle
+    got = {r["custkey"]: r["q"] for r in out.collect()}
+    want = {
+        r["custkey"]: r["q"]
+        for r in df.select(
+            "custkey",
+            F.ntile(5).over(W.orderBy("monetary", "custkey")).alias("q"),
+        ).collect()
+    }
+    assert got == want
+
+    # the documented partition bound: every row of the tied value
+    # shares one range bucket (white-box, kept in sync with ranking.py)
+    from nbody6_data_pipeline_spark.operators.ranking import _fixed_key_sql
+
+    tie_buckets = (
+        df.filter("monetary = 100.0")
+        .selectExpr(f"{_fixed_key_sql('`monetary`')} AS _bkt")
+        .distinct()
+        .count()
+    )
+    assert tie_buckets == 1
