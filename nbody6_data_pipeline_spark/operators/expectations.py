@@ -43,9 +43,10 @@ def expectation_report(
             raise ValueError(f"invalid check name {name!r}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in checks.items():
-        aggs.append(
-            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
-        )
+        # count(when(...)), not sum(when/otherwise): COUNT is 0 over
+        # an EMPTY batch where SUM is NULL — an empty promotion batch
+        # has zero violations, not unknown (zero-row twin parity)
+        aggs.append(F.count(F.when(pred, 1)).cast("long").alias(name))
     wide = df.agg(*aggs)
     stack = ", ".join(f"'{name}', `{name}`" for name in checks)
     return wide.select(

@@ -919,6 +919,18 @@ def exact_kmeans_cells(
         for r in e.filter(F.col("vec_id") < k).select("vec_id", "vq").collect()
     )
     if len(init) != k:
+        # empty corpus: a legal input (zero-row twin), not a broken
+        # id space — return no centroids and the (empty) assignment
+        # frame with its full schema so downstream joins/windows
+        # produce correctly-typed empty results
+        if not init and e.isEmpty():
+            cells = (
+                _with_cents(e, spark, [])
+                .withColumn("cell", F.expr(CELL_ASSIGN_EXPR))
+                .select("vec_id", "v", "vq", "nrm", "cell")
+            )
+            cells._cached_deps = (e, cells)
+            return [], cells
         raise ValueError(
             f"exact_kmeans_cells seeds from the rows with {id_col} < "
             f"k={k} and found {len(init)}; ids must be contiguous from "
@@ -1156,6 +1168,8 @@ def exact_pq_train(
         .collect()
     )
     if len(seed_rows) != k:
+        if not seed_rows and df.isEmpty():
+            return []  # empty corpus: no codebook (zero-row twin)
         raise ValueError(
             f"exact_pq_train seeds the codebook from the rows with "
             f"vec_id < k={k} and found {len(seed_rows)}; the corpus "
@@ -1238,7 +1252,9 @@ def _pq_adc_expr(qd_col: str, m: int, k: int, dsub: int) -> str:
 
 def _with_cbflat(df: DataFrame, spark, cb, m: int, k: int) -> DataFrame:
     flat = [cv for _, _, cv in sorted(cb, key=lambda t: (t[0], t[1]))]
-    assert len(flat) == m * k
+    # empty codebook = empty corpus (exact_pq_train's zero-row path);
+    # element_at over the empty array yields NULL on the zero rows
+    assert len(flat) == m * k or not flat
     one = spark.createDataFrame(
         spark.sparkContext.parallelize([(flat,)], 1),
         T.StructType(

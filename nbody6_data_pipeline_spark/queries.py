@@ -894,25 +894,45 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Expand multiplies rows before the shuffle, but map-side
     partial aggregation collapses them immediately — the shuffled set
     is ≤ 4x the distinct group count, not 4x the data.
-    """
+
+    Empty-relation semantics: the () grouping set is a GLOBAL
+    aggregate, which SQL defines as exactly one row even over empty
+    input — Spark's cube() emits zero rows there (group-by-with-keys
+    semantics), DuckDB emits the grand total. So CUBE is decomposed
+    into its three keyed grouping sets plus an explicit global-agg
+    leg; identical on non-empty data, standard-conformant on empty
+    (zero-row twin sweep, VERDICT r7 item 3)."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
+    aggs = lambda: [  # noqa: E731 — same aggregate list on both legs
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    ]
+    keyed = (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+             ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority",
+        )
         .agg(
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.grouping("o_orderpriority").cast("long").alias("g_priority"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), "total_price"),
+            *aggs(),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
-            "g_status",
-            "g_priority",
-            "n_orders",
-            "total_price",
+            "g_status", "g_priority", "n_orders", "total_price",
         )
-        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+    total = o.agg(*aggs()).select(
+        F.lit("<all>").alias("status"),
+        F.lit("<all>").alias("priority"),
+        F.lit(1).cast("long").alias("g_status"),
+        F.lit(1).cast("long").alias("g_priority"),
+        "n_orders", "total_price",
+    )
+    return keyed.unionByName(total).orderBy(
+        "g_status", "g_priority", "status", "priority"
     )
 
 
@@ -1018,7 +1038,10 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            # count(when(...)), not sum(cast): COUNT is 0 over empty
+            # input where SUM is NULL — the oracle's COUNT(*)-COUNT(c)
+            # is 0 there (zero-row twin parity)
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
         ]
     wide = o.agg(*aggs)

@@ -1201,10 +1201,11 @@ def _cms_join_oracle() -> str:
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     )
     SELECT CAST({CMS_D} AS BIGINT) AS cms_d, CAST({CMS_W} AS BIGINT) AS cms_w,
-           CAST(MIN(ip.dot) AS BIGINT) AS est_join_rows,
-           CAST(MAX(ex.true_join_rows) AS BIGINT) AS true_join_rows,
-           CAST(MIN(ip.dot) - MAX(ex.true_join_rows) AS BIGINT) AS overcount
-    FROM ip, ex
+           (SELECT CAST(MIN(dot) AS BIGINT) FROM ip) AS est_join_rows,
+           (SELECT CAST(true_join_rows AS BIGINT) FROM ex)
+             AS true_join_rows,
+           (SELECT CAST(MIN(dot) AS BIGINT) FROM ip)
+             - (SELECT CAST(true_join_rows AS BIGINT) FROM ex) AS overcount
     """
 
 

@@ -227,8 +227,12 @@ def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus dashboard needs without three separate scans. GROUPING()
     flags disambiguate aggregate-level NULLs from data NULLs."""
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.rollup("lang", "source")
+    # ROLLUP = grouping sets ((lang,source),(lang)) + the () global
+    # aggregate, decomposed so the grand-total row survives EMPTY
+    # input (SQL defines the () set as a global aggregate — one row
+    # always; Spark's rollup() emits zero; see q_cube_order_stats).
+    keyed = (
+        d.groupingSets([["lang", "source"], ["lang"]], "lang", "source")
         .agg(
             F.grouping("lang").cast("int").alias("g_lang"),
             F.grouping("source").cast("int").alias("g_source"),
@@ -238,7 +242,19 @@ def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang", "source", "g_lang", "g_source", "n_docs", "total_chars"
         )
-        .transform(ordered, "g_lang", "g_source", "lang", "source")
+    )
+    total = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    ).select(
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(1).alias("g_lang"),
+        F.lit(1).alias("g_source"),
+        "n_docs", "total_chars",
+    )
+    return keyed.unionByName(total).transform(
+        ordered, "g_lang", "g_source", "lang", "source"
     )
 
 
