@@ -24,7 +24,9 @@ def main() -> None:
     from nbody6_data_pipeline_spark.queries import registry
     from nbody6_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # UI on: the pipeline leg reads per-layer job/shuffle metrics from
+    # the status REST API (tools/bench_pipeline_scale.layer_metrics)
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     reg = registry()
 
     # Warm up the JVM / parquet footer caches with one tiny action so
@@ -93,7 +95,9 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     compact = {
-        k: v for k, v in out.items() if k not in ("queries", "metric")
+        k: v
+        for k, v in out.items()
+        if k not in ("queries", "metric", "pipeline_layers_full")
     }
     compact["metric"] = out["metric"]
     compact["n_queries"] = len(timings)
@@ -199,11 +203,26 @@ def bench_pipeline(spark, n_runs: int = 10) -> dict:
         )
         wall = time.perf_counter() - t0
         jobs = len(sc.statusTracker().getJobIdsForGroup("pipeline-bench"))
-        return {
+        out = {
             "pipeline_sec": round(wall, 3),
             "pipeline_runs": n_runs,
             "pipeline_jobs": jobs,
         }
+        try:
+            from tools.bench_pipeline_scale import layer_metrics
+
+            layers = layer_metrics(spark, "pipeline-bench")
+            # jobs per layer on the compact line (the O(1)-actions-
+            # per-layer scale claim, measured); full shuffle detail
+            # rides bench_full.json
+            out["pipeline_layer_jobs"] = {
+                d.removeprefix("layer:"): m["jobs"]
+                for d, m in sorted(layers.items())
+            }
+            out["pipeline_layers_full"] = layers
+        except Exception:
+            pass  # UI off or REST unavailable: totals still reported
+        return out
     except Exception as exc:  # never let the pipeline leg sink the bench line
         return {"pipeline_error": f"{type(exc).__name__}: {exc}"[:200]}
     finally:
