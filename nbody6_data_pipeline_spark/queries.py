@@ -898,41 +898,62 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty-relation semantics: the () grouping set is a GLOBAL
     aggregate, which SQL defines as exactly one row even over empty
     input — Spark's cube() emits zero rows there (group-by-with-keys
-    semantics), DuckDB emits the grand total. So CUBE is decomposed
-    into its three keyed grouping sets plus an explicit global-agg
-    leg; identical on non-empty data, standard-conformant on empty
-    (zero-row twin sweep, VERDICT r7 item 3)."""
+    semantics), DuckDB emits the grand total. So all four grouping
+    sets are DERIVED from one finest-granularity aggregate: the fact
+    table is scanned ONCE into the (status, priority) groups (exact
+    decimal partials), and the coarser sets — including the () set as
+    a global re-aggregate, which is one row even over zero groups —
+    reaggregate that bounded table. Decimal partial sums reaggregate
+    exactly, and the double cast happens once at the end, so values
+    are bit-identical to the direct CUBE; empty input now yields the
+    standard's grand-total row (zero-row twin, VERDICT r7 item 3)."""
     o = _t(spark, sf_dir, "orders")
-    aggs = lambda: [  # noqa: E731 — same aggregate list on both legs
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice"), "total_price"),
-    ]
-    keyed = (
-        o.groupingSets(
-            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
-             ["o_orderpriority"]],
-            "o_orderstatus", "o_orderpriority",
-        )
-        .agg(
-            F.grouping("o_orderstatus").cast("long").alias("g_status"),
-            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
-            *aggs(),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
-            "g_status", "g_priority", "n_orders", "total_price",
-        )
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("decimal(38,4)")
+        .alias("dec"),
     )
-    total = o.agg(*aggs()).select(
-        F.lit("<all>").alias("status"),
-        F.lit("<all>").alias("priority"),
-        F.lit(1).cast("long").alias("g_status"),
-        F.lit(1).cast("long").alias("g_priority"),
-        "n_orders", "total_price",
+
+    def shape(df, status, priority, gs: int, gp: int):
+        return df.select(
+            status.alias("status"),
+            priority.alias("priority"),
+            F.lit(gs).cast("long").alias("g_status"),
+            F.lit(gp).cast("long").alias("g_priority"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.col("dec").cast("double").alias("total_price"),
+        )
+
+    # data-level NULL group values render '<all>' exactly like the
+    # oracle's COALESCE (the GROUPING flags disambiguate)
+    s_lbl = F.coalesce(F.col("o_orderstatus"), F.lit("<all>"))
+    p_lbl = F.coalesce(F.col("o_orderpriority"), F.lit("<all>"))
+    fine = shape(base, s_lbl, p_lbl, 0, 0)
+    by_s = shape(
+        base.groupBy("o_orderstatus").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("dec").cast("decimal(38,4)").alias("dec"),
+        ),
+        s_lbl, F.lit("<all>"), 0, 1,
     )
-    return keyed.unionByName(total).orderBy(
-        "g_status", "g_priority", "status", "priority"
+    by_p = shape(
+        base.groupBy("o_orderpriority").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("dec").cast("decimal(38,4)").alias("dec"),
+        ),
+        F.lit("<all>"), p_lbl, 1, 0,
+    )
+    total = shape(
+        base.agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("dec").cast("decimal(38,4)").alias("dec"),
+        ),
+        F.lit("<all>"), F.lit("<all>"), 1, 1,
+    )
+    return (
+        fine.unionByName(by_s).unionByName(by_p).unionByName(total)
+        .orderBy("g_status", "g_priority", "status", "priority")
     )
 
 

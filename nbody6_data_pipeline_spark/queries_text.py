@@ -227,34 +227,43 @@ def q_doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus dashboard needs without three separate scans. GROUPING()
     flags disambiguate aggregate-level NULLs from data NULLs."""
     d = _t(spark, sf_dir, "documents")
-    # ROLLUP = grouping sets ((lang,source),(lang)) + the () global
-    # aggregate, decomposed so the grand-total row survives EMPTY
-    # input (SQL defines the () set as a global aggregate — one row
-    # always; Spark's rollup() emits zero; see q_cube_order_stats).
-    keyed = (
-        d.groupingSets([["lang", "source"], ["lang"]], "lang", "source")
-        .agg(
-            F.grouping("lang").cast("int").alias("g_lang"),
-            F.grouping("source").cast("int").alias("g_source"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .select(
-            "lang", "source", "g_lang", "g_source", "n_docs", "total_chars"
-        )
+    # ROLLUP derived from ONE scan: the (lang, source) groups are the
+    # finest set; (lang) and () reaggregate that bounded table —
+    # integer partial sums reaggregate exactly, and the () set is a
+    # global re-aggregate, which SQL defines as one row even over
+    # EMPTY input (Spark's rollup() drops it there; the zero-row twin
+    # pins the standard behavior — see q_cube_order_stats).
+    base = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").cast("long").alias("chars"),
     )
-    total = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    ).select(
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("string").alias("source"),
-        F.lit(1).alias("g_lang"),
-        F.lit(1).alias("g_source"),
-        "n_docs", "total_chars",
+
+    def shape(df, lang, source, gl: int, gs: int):
+        return df.select(
+            lang.alias("lang"),
+            source.alias("source"),
+            F.lit(gl).cast("int").alias("g_lang"),
+            F.lit(gs).cast("int").alias("g_source"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_docs"),
+            F.col("chars").cast("long").alias("total_chars"),
+        )
+
+    fine = shape(base, F.col("lang"), F.col("source"), 0, 0)
+    by_lang = shape(
+        base.groupBy("lang").agg(
+            F.sum("cnt").alias("cnt"), F.sum("chars").alias("chars")
+        ),
+        F.col("lang"), F.lit(None).cast("string"), 0, 1,
     )
-    return keyed.unionByName(total).transform(
-        ordered, "g_lang", "g_source", "lang", "source"
+    total = shape(
+        base.agg(
+            F.sum("cnt").alias("cnt"), F.sum("chars").alias("chars")
+        ),
+        F.lit(None).cast("string"), F.lit(None).cast("string"), 1, 1,
+    )
+    return (
+        fine.unionByName(by_lang).unionByName(total)
+        .transform(ordered, "g_lang", "g_source", "lang", "source")
     )
 
 
