@@ -977,9 +977,11 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           ROUND((n * sxy - sx * sy)
-                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
-             AS corr_qty_price
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                     / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+           END AS corr_qty_price
     FROM s
     ORDER BY l_returnflag
     """,
@@ -1010,11 +1012,20 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # degenerate-variance guard (single-row group): ANSI Spark throws
+    # DIVIDE_BY_ZERO where DuckDB yields NULL — both now emit NULL via
+    # the identical CASE (one-row twin sweep)
+    corr = F.when(
+        (n * sxx - sx * sx) * (n * syy - sy * sy) == 0, F.lit(None)
+    ).otherwise(
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
     )
     return s.select(
-        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+        "l_returnflag", "n", corr.alias("corr_qty_price")
     ).orderBy("l_returnflag")
 
 

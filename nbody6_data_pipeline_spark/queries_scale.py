@@ -1501,9 +1501,10 @@ def _ks_oracle() -> str:
     SELECT n.n_early, n.n_late,
            CAST(d.d_num AS DOUBLE) AS d_num,
            d.bin AS d_bin,
-           CAST(d.d_num AS DOUBLE)
-             / (CAST(n.n_early AS DOUBLE) * CAST(n.n_late AS DOUBLE))
-             AS ks_stat
+           CASE WHEN n.n_early = 0 OR n.n_late = 0 THEN NULL
+                ELSE CAST(d.d_num AS DOUBLE)
+                  / (CAST(n.n_early AS DOUBLE) * CAST(n.n_late AS DOUBLE))
+           END AS ks_stat
     FROM d, n WHERE d.rn = 1
     """
 
@@ -1583,13 +1584,23 @@ def q_lineitem_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_late",
             F.col("d_num").cast("double").alias("d_num"),
             F.col("bin").alias("d_bin"),
-            (
+            # one-sided split (all rows early or all late): ANSI Spark
+            # throws on the 0 denominator, DuckDB yields NULL — both
+            # now NULL via the identical CASE; OR-comparisons, not a
+            # long product, which ANSI would overflow past ~3e9 rows
+            # per side (one-row twin sweep)
+            F.when(
+                (F.col("n_early") == 0) | (F.col("n_late") == 0),
+                F.lit(None),
+            )
+            .otherwise(
                 F.col("d_num").cast("double")
                 / (
                     F.col("n_early").cast("double")
                     * F.col("n_late").cast("double")
                 )
-            ).alias("ks_stat"),
+            )
+            .alias("ks_stat"),
         )
     )
 
@@ -1708,12 +1719,19 @@ def q_lineitem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ONE formula template rendered into both engines (the BM25/PSI
 # recipe): identical double operands + identical operation structure
-# => bit-identical floats, no q6 needed.
-_OLS_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+# => bit-identical floats, no q6 needed. Degenerate variance (a
+# single-row group: n*sxx = sx*sx) is guarded to NULL in the SHARED
+# template — ANSI Spark throws DIVIDE_BY_ZERO where DuckDB yields
+# NULL, so the guard must live in both engines (one-row twin sweep).
+_OLS_SLOPE = (
+    "(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL"
+    " ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END)"
+)
 _OLS_INTERCEPT = f"((sy - {_OLS_SLOPE} * sx) / n)"
 _OLS_R2 = (
-    "((n * sxy - sx * sy) * (n * sxy - sx * sy) / "
-    "((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+    "(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL"
+    " ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) / "
+    "((n * sxx - sx * sx) * (n * syy - sy * sy)) END)"
 )
 
 

@@ -379,10 +379,15 @@ _LM_TRAIN_SRC = "('src1', 'src2', 'src3')"  # curated reference slice
 _LM_FLAG_Q6 = 8_000_000  # avg-NLL flag threshold, q6 fixed point (8.0)
 # Laplace-smoothed bigram log-prob, quantized to q6 fixed point the
 # moment ln() produces it — everything downstream is exact integers.
+# Empty-model guard (no training bigrams at all: c1 + v = 0): ANSI
+# Spark throws DIVIDE_BY_ZERO where DuckDB yields NULL, so the SHARED
+# template emits NULL — "no model" scores as NULL, flags as 0 — in
+# both engines (one-row twin sweep).
 _LM_LP_Q6 = (
-    "CAST(floor(ln((CAST({c2} AS DOUBLE) + 1.0) / "
+    "CASE WHEN CAST({c1} AS DOUBLE) + CAST({v} AS DOUBLE) = 0 THEN NULL "
+    "ELSE CAST(floor(ln((CAST({c2} AS DOUBLE) + 1.0) / "
     "(CAST({c1} AS DOUBLE) + CAST({v} AS DOUBLE))) * 1000000 + 0.5) "
-    "AS BIGINT)"
+    "AS BIGINT) END"
 )
 
 
@@ -1254,8 +1259,10 @@ def _attribution_oracle() -> str:
     )
     SELECT channel, n_users, n_converted,
       CAST(attributed_value AS DOUBLE) AS attributed_value,
-      CAST(attributed_value AS DOUBLE)
-        / CAST(SUM(attributed_value) OVER () AS DOUBLE) AS value_share
+      CASE WHEN SUM(attributed_value) OVER () = 0 THEN NULL
+           ELSE CAST(attributed_value AS DOUBLE)
+             / CAST(SUM(attributed_value) OVER () AS DOUBLE)
+      END AS value_share
     FROM per
     ORDER BY channel NULLS LAST
     """
@@ -1330,10 +1337,15 @@ def q_events_first_touch_attribution(
         "n_users",
         "n_converted",
         F.col("av").cast("double").alias("attributed_value"),
-        (
+        # zero total value (no purchases at all): ANSI Spark throws on
+        # the 0 denominator, DuckDB yields NULL — identical CASE in
+        # both engines (one-row twin sweep)
+        F.when(F.sum("av").over(wall) == 0, F.lit(None))
+        .otherwise(
             F.col("av").cast("double")
             / F.sum("av").over(wall).cast("double")
-        ).alias("value_share"),
+        )
+        .alias("value_share"),
     ).transform(ordered, "channel")
 
 
