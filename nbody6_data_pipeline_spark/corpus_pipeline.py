@@ -45,7 +45,7 @@ from nbody6_data_pipeline_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_bands,
 )
-from nbody6_data_pipeline_spark.operators.text import token_array
+from nbody6_data_pipeline_spark.operators.text import ascii_lower, token_array
 from nbody6_data_pipeline_spark.queries import md5_bucket
 
 MIN_CHARS = 120
@@ -127,7 +127,7 @@ def _tokenset_fp() -> F.Column:
     return F.md5(
         F.concat_ws(
             " ",
-            F.array_sort(F.array_distinct(token_array(F.lower(F.col("text"))))),
+            F.array_sort(F.array_distinct(token_array(ascii_lower(F.col("text"))))),
         )
     )
 

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nbody6_data_pipeline_spark.operators.text import fingerprint, token_array
+from nbody6_data_pipeline_spark.operators.text import ascii_lower, fingerprint, token_array
 
 # MinHash parameters: NUM_HASHES = BANDS * ROWS_PER_BAND.
 SHINGLE_LEN = 12
@@ -40,7 +40,7 @@ MINHASH_B = [
 
 
 def normalize(text: Column) -> Column:
-    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return ascii_lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
 def _shingle_arr(norm: Column, n: int = SHINGLE_LEN, distinct: bool = True) -> Column:

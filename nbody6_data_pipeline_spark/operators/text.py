@@ -23,6 +23,28 @@ LANG_STOPWORDS = {
 
 QUALITY_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
 
+# ASCII-only case fold. lower() is locale/library-sensitive on
+# non-ASCII (Java folds Turkish İ to i+combining-dot and final Greek
+# Σ to ς context-sensitively; DuckDB's utf8proc differs on both —
+# caught by the unicode adversarial twin), while every token class in
+# this engine is [a-z0-9], so non-ASCII letters never enter tokens
+# anyway. translate() is a locale-free per-codepoint map with
+# identical semantics in Spark and DuckDB, making tokenization
+# engine-portable BY CONSTRUCTION on any input.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column) -> Column:
+    """Locale-free A-Z -> a-z fold (see module constant rationale)."""
+    return F.translate(text, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_sql(expr: str = "text") -> str:
+    """The identical fold as SQL text — valid verbatim in BOTH Spark
+    SQL and DuckDB (oracle twins must render the same bytes)."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
 
 def token_array(text: Column) -> Column:
     """Whitespace tokens, empties removed (handles leading/trailing
@@ -40,18 +62,29 @@ def _hits(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
+def _stop_hits(text: Column, words: list[str]) -> Column:
+    """Stopword occurrence count as TOKEN MEMBERSHIP over maximal
+    [a-z0-9_] runs — identical to ``\\b(w1|w2)\\b`` on ASCII text, but
+    engine-portable on arbitrary input: Java's \\b is Unicode-aware
+    (a combining mark after 'de' suppresses the boundary) while RE2's
+    is ASCII-only, so the two engines disagree exactly where a
+    multilingual corpus puts diacritics (unicode adversarial twin).
+    ``text`` must already be ascii_lower-folded."""
+    toks = F.regexp_extract_all(text, F.lit("[a-z0-9_]+"), F.lit(0))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
 def quality_metrics(df: DataFrame, text: Column) -> DataFrame:
     """Per-document quality signals: token count, char count, digit /
     punctuation / stopword hit counts. Downstream ratios + gates are
     simple arithmetic over these."""
-    stop_re = r"\b(" + "|".join(QUALITY_STOPWORDS) + r")\b"
     return df.select(
         "*",
         token_count(text).alias("n_tokens"),
         F.length(text).alias("n_chars_x"),
         _hits(text, "[0-9]").alias("n_digits"),
         _hits(text, "[.,!?;:]").alias("n_punct"),
-        _hits(F.lower(text), stop_re).alias("n_stopwords"),
+        _stop_hits(ascii_lower(text), QUALITY_STOPWORDS).alias("n_stopwords"),
     )
 
 
@@ -59,16 +92,15 @@ def language_scores(df: DataFrame, text: Column) -> DataFrame:
     """Per-language stopword-hit scores (s_en, s_fr, ...). The argmax
     over these is the predicted language."""
     cols = ["*"]
-    lowered = F.lower(text)
+    lowered = ascii_lower(text)
     for lang, words in LANG_STOPWORDS.items():
-        pattern = r"\b(" + "|".join(words) + r")\b"
-        cols.append(_hits(lowered, pattern).alias(f"s_{lang}"))
+        cols.append(_stop_hits(lowered, words).alias(f"s_{lang}"))
     return df.select(*cols)
 
 
 def fingerprint(text: Column) -> Column:
     """md5 fingerprint over whitespace-normalized lowercase text."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+    return F.md5(ascii_lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +168,7 @@ def _bpe_train(df: DataFrame, text: Column, k: int):
     expression applying every learned merge to ``v``."""
     words = df.select(
         F.explode(
-            F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), F.lit(0))
+            F.regexp_extract_all(ascii_lower(text), F.lit("[a-z]+"), F.lit(0))
         ).alias("w")
     )
     vocab = (

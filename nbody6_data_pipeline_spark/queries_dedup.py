@@ -32,10 +32,11 @@ from nbody6_data_pipeline_spark.operators.similarity import (
     sign_lsh_bucket,
 )
 from nbody6_data_pipeline_spark.queries import _t, ordered, register
+from nbody6_data_pipeline_spark.operators.text import ascii_lower
 
 # ---- DuckDB fragments mirroring operators/dedup.py constructions ----
 
-_DD_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_DD_NORM = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 _DD_SHINGLES = f"""
   list_distinct(list_transform(
     range(1, greatest(length({_DD_NORM}) - {SHINGLE_LEN - 1}, 1) + 1),
@@ -479,7 +480,7 @@ def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+             string_split(translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS t
       FROM documents
     ),
     grams AS (
@@ -527,7 +528,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the regex+split runs once per row — referenced directly inside
     # the transform() lambda it would re-evaluate per array element.
     toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+        ascii_lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
     )
     tdf = d.select("doc_id", toks.alias("t"))
     t = F.col("t")

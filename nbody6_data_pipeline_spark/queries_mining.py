@@ -23,7 +23,7 @@ from nbody6_data_pipeline_spark.operators.expectations import (
     anti_join_count,
     expectation_report,
 )
-from nbody6_data_pipeline_spark.operators.text import token_array
+from nbody6_data_pipeline_spark.operators.text import ascii_lower, token_array
 from nbody6_data_pipeline_spark.queries import (
     _t,
     davg,
@@ -136,7 +136,7 @@ BP_MIN_DOCS = 3  # docs sharing a shingle for it to count as boilerplate
     f"""
     WITH t AS (
       SELECT doc_id,
-        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
                     x -> x != '') AS toks
       FROM documents
     ),
@@ -168,7 +168,7 @@ def q_doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate set back to a sample — here the strings stay readable.
     """
     d = _t(spark, sf_dir, "documents", spread=True)
-    t = token_array(F.lower(F.col("text")))
+    t = token_array(ascii_lower(F.col("text")))
     n_sh = F.greatest(F.size(t) - F.lit(BP_SHINGLE - 1), F.lit(0))
     # sequence(1, 0) would DESCEND ([1, 0]) for docs shorter than the
     # shingle width — the when() guard skips them (same idiom as the

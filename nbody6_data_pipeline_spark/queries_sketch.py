@@ -34,7 +34,7 @@ from nbody6_data_pipeline_spark.operators.sketch import (
     heavy_hitters,
     hll_register_stats,
 )
-from nbody6_data_pipeline_spark.operators.text import token_array
+from nbody6_data_pipeline_spark.operators.text import ascii_lower, token_array
 from nbody6_data_pipeline_spark.queries import _t, ordered, register
 
 # ---------------------------------------------------------------------------
@@ -263,7 +263,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT doc_id, source,
         md5(COALESCE(array_to_string(list_sort(list_distinct(list_filter(
-          regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'),
+          regexp_split_to_array(translate(COALESCE(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
           x -> x != ''))), ' '), '')) AS fp
       FROM documents
     )
@@ -294,7 +294,7 @@ def q_doc_tokenset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
             F.array_sort(
                 F.array_distinct(
-                    token_array(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+                    token_array(ascii_lower(F.coalesce(F.col("text"), F.lit(""))))
                 )
             ),
         )
@@ -489,7 +489,7 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (
       SELECT doc_id, md5(text) AS bfp,
         md5(array_to_string(list_sort(list_distinct(list_filter(
-          regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))),
+          regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x != ''))),
           ' ')) AS vfp
       FROM documents
     ),
@@ -526,7 +526,7 @@ def q_doc_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vfp = F.md5(
         F.concat_ws(
             " ",
-            F.array_sort(F.array_distinct(token_array(F.lower(F.col("text"))))),
+            F.array_sort(F.array_distinct(token_array(ascii_lower(F.col("text"))))),
         )
     )
     f = d.select("doc_id", F.md5("text").alias("bfp"), vfp.alias("vfp"))

@@ -396,7 +396,7 @@ def _lm_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, source,
-        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                     x -> x != '') AS w
       FROM documents
       WHERE text IS NOT NULL
@@ -475,7 +475,7 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "source",
-            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS w",
+            "filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'), x -> x != '') AS w",
         )
     )
     big = (
@@ -1664,7 +1664,7 @@ def _simpson_oracle() -> str:
     return """
     WITH toks AS (
       SELECT source, unnest(list_filter(
-        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
+        regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'), x -> x != ''))
         AS token
       FROM documents
       WHERE text IS NOT NULL
@@ -1713,7 +1713,7 @@ def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .selectExpr(
             "source",
-            "explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            "explode(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),"
             " x -> x != '')) AS token",
         )
     )
@@ -1774,7 +1774,7 @@ def _zipf_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT unnest(list_filter(
-        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
+        regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'), x -> x != ''))
         AS token
       FROM documents
       WHERE text IS NOT NULL
@@ -1835,7 +1835,7 @@ def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents", spread=True)
         .filter(F.col("text").isNotNull())
         .selectExpr(
-            "explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            "explode(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),"
             " x -> x != '')) AS token"
         )
     )

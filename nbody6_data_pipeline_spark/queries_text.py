@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from nbody6_data_pipeline_spark.operators.text import (
+    ascii_lower,
     language_scores,
     quality_metrics,
     token_array,
@@ -62,7 +63,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(text) AS n_chars_x,
         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-        len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) AS n_stopwords
+        len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_]+'), t -> t IN ('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is'))) AS n_stopwords
       FROM documents
     )
     SELECT doc_id, n_tokens,
@@ -104,10 +105,10 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scores AS (
       SELECT doc_id, lang,
-        len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|with|for)\\b')) AS s_en,
-        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|de|un|une)\\b')) AS s_fr,
-        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|von|ein)\\b')) AS s_de,
-        len(regexp_extract_all(lower(text), '\\b(el|los|las|es|de|un|una|y)\\b')) AS s_es
+        len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_]+'), t -> t IN ('the', 'and', 'is', 'of', 'to', 'with', 'for'))) AS s_en,
+        len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'et', 'est', 'de', 'un', 'une'))) AS s_fr,
+        len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'ist', 'von', 'ein'))) AS s_de,
+        len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_]+'), t -> t IN ('el', 'los', 'las', 'es', 'de', 'un', 'una', 'y'))) AS s_es
       FROM documents
     ),
     pred AS (
@@ -160,7 +161,7 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint",
     """
-    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+    SELECT md5(translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
            MIN(doc_id) AS doc_id,
            COUNT(*) AS n_docs
     FROM documents
@@ -174,7 +175,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex output is engine-portable (unlike engine-native hash()).
     """
     d = _t(spark, sf_dir, "documents")
-    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    normalized = ascii_lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
         d.groupBy(F.md5(normalized).alias("fingerprint"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
@@ -187,8 +188,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_bpe_tokens",
     """
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
-           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+           len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
              AS n_unique_tokens
     FROM documents
     ORDER BY doc_id
@@ -200,7 +201,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting a training-data pipeline runs at corpus scale."""
     d = _t(spark, sf_dir, "documents")
     pieces = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        ascii_lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
     )
     return d.select(
         "doc_id",
@@ -383,7 +384,7 @@ def _bpe_oracle(k: int) -> str:
     parts = [r"""
     w0 AS (
       SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS v, COUNT(*) AS f
-      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS w
             FROM documents) t
       GROUP BY w
     )"""]

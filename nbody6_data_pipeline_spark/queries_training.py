@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from nbody6_data_pipeline_spark.operators.text import token_array
+from nbody6_data_pipeline_spark.operators.text import ascii_lower, token_array
 from nbody6_data_pipeline_spark.queries import _t, event_us, md5_bucket, ordered, q6, register
 
 # ---- deterministic sampling ----
@@ -126,7 +126,7 @@ TFIDF_TOPK = 3
     f"""
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(
-        regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS term
+        regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x != '')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -158,7 +158,7 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
-        F.explode(token_array(F.lower(F.col("text")))).alias("term"),
+        F.explode(token_array(ascii_lower(F.col("text")))).alias("term"),
     )
     # No persist: df/n/main are branches of ONE plan, so ReuseExchange
     # shares the (doc_id, term) shuffle across them — a persist here
@@ -199,7 +199,7 @@ REPETITION_MAX = 0.2
     f"""
     WITH t AS (
       SELECT doc_id,
-        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')
+        list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x != '')
           AS toks
       FROM documents
     ),
@@ -234,7 +234,7 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one map-side-combinable count + one max — linear,
     keyed by doc_id throughout, so at scale it partitions cleanly."""
     d = _t(spark, sf_dir, "documents")
-    toks = token_array(F.lower(F.col("text")))
+    toks = token_array(ascii_lower(F.col("text")))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
     n = F.size("toks")
     bigrams = F.zip_with(
@@ -424,7 +424,7 @@ BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
     f"""
     WITH t AS (
       SELECT doc_id,
-        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')
+        list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x != '')
           AS toks
       FROM documents
     ),
@@ -468,7 +468,7 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     grows). Distinct-per-doc grams bound the join fan-out: the
     benchmark side is distinct, so join output <= corpus gram count."""
     d = _t(spark, sf_dir, "documents")
-    toks = token_array(F.lower(F.col("text")))
+    toks = token_array(ascii_lower(F.col("text")))
     base = d.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
     grams = F.array_distinct(

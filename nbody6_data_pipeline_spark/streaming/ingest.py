@@ -44,8 +44,10 @@ __all__ = [
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-text md5 fingerprint per row (same normalization as
     operators/dedup.exact_duplicates: collapse whitespace, trim,
-    lowercase)."""
-    norm = F.lower(
+    ASCII-fold — locale-free, see operators/text.ascii_lower)."""
+    from nbody6_data_pipeline_spark.operators.text import ascii_lower
+
+    norm = ascii_lower(
         F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     )
     return docs.withColumn("fingerprint", F.md5(norm))
