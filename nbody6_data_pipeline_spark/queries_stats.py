@@ -1979,3 +1979,151 @@ def q_lineitem_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ordered, "digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U drift test (rank-based two-sample complement of KS/PSI)
+# ---------------------------------------------------------------------------
+
+_MW_SPLIT_US = 883_612_800_000_000  # 1998-01-01 UTC (the KS/PSI split)
+
+# z from exact integer operands; doubled-rank arithmetic keeps every
+# tie-averaged rank an integer (avg rank of a tie block is the .5
+# midpoint, so TWICE it is exact). Degenerate guards (N < 2, or one
+# giant tie block making the variance 0) emit NULL in the identical
+# CASE on both engines — ANSI Spark throws on the 0 denominator where
+# DuckDB yields NULL (one-row twin lesson).
+_MW_Z_Q6 = (
+    "CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2 OR"
+    " (CAST(nn AS DOUBLE) + 1.0) - CAST(tie AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) <= 0"
+    " THEN NULL"
+    " ELSE CAST(floor((CAST(u2 AS DOUBLE) - CAST(m2 AS DOUBLE))"
+    " / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)"
+    " * ((CAST(nn AS DOUBLE) + 1.0) - CAST(tie AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))"
+    " * 1000000 + 0.5) AS BIGINT) END"
+)
+
+
+def _mannwhitney_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             epoch_us(l_shipdate) < {_MW_SPLIT_US} AS early
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_shipdate IS NOT NULL
+    ),
+    g AS (
+      SELECT qty,
+        CAST(COUNT(*) FILTER (WHERE early) AS BIGINT) AS c_early,
+        CAST(COUNT(*) FILTER (WHERE NOT early) AS BIGINT) AS c_late
+      FROM b GROUP BY qty
+    ),
+    r AS (
+      SELECT qty, c_early, c_late,
+        c_early + c_late AS t,
+        COALESCE(SUM(c_early + c_late) OVER (ORDER BY qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM g
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(c_early) AS BIGINT) AS n1,
+        CAST(SUM(c_late) AS BIGINT) AS n2,
+        CAST(SUM(c_early + c_late) AS BIGINT) AS nn,
+        -- 2*R1 and the tie term in 128-bit integers (the KS recipe:
+        -- rank sums are bounded by n1*N, past int64 at ~3e9 rows)
+        CAST(SUM(CAST(c_early AS HUGEINT)
+                 * (2 * CAST(cumb AS HUGEINT) + t + 1)) AS HUGEINT) AS r2,
+        CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie
+      FROM r
+    ),
+    u AS (
+      SELECT n1, n2, nn, tie,
+        r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2,
+        CAST(n1 AS HUGEINT) * n2 AS m2
+      FROM s
+    )
+    SELECT n1 AS n_early, n2 AS n_late,
+      CAST(u2 AS DOUBLE) AS u2_early,
+      {_MW_Z_Q6} AS z_q6
+    FROM u
+    """
+
+
+@register("lineitem_mannwhitney_drift", _mannwhitney_oracle())
+def q_lineitem_mannwhitney_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U two-sample drift test between pre/post-1998
+    quantity distributions — the RANK-based member of the drift
+    family (KS = worst CDF gap, PSI = per-bin decomposition, MW =
+    stochastic-dominance shift, robust to outliers that KS's supremum
+    and a mean test both chase).
+
+    Exactness: quantity has a BOUNDED integer domain, so ranks come
+    from the per-value count table — doubled average ranks
+    (2*cum_before + t + 1) make every tie-averaged rank an exact
+    integer, 2R1/2U1 ride 128-bit integers (DECIMAL(38,0) / HUGEINT),
+    the tie-correction term sum(t^3 - t) is exact, and z is one
+    double chain over identical exact operands, quantized q6. The
+    degenerate guards (empty side, all-ties variance 0) emit NULL via
+    an identical CASE in both engines.
+
+    100-TB shape: ONE conditional-aggregation scan to the per-value
+    table (bounded by the value DOMAIN, not the row count — the
+    window below touches ~50 rows at any scale), exactly like the KS
+    query; the statistic itself is driver-free arithmetic."""
+    from nbody6_data_pipeline_spark.queries_scale import _DRIFT_SPLIT_US
+
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    b = (
+        li.filter(
+            F.col("l_quantity").isNotNull() & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            (event_us(li, "l_shipdate") < _DRIFT_SPLIT_US).alias("early"),
+        )
+    )
+    g = b.groupBy("qty").agg(
+        F.count(F.when(F.col("early"), 1)).cast("long").alias("c_early"),
+        F.count(F.when(~F.col("early"), 1)).cast("long").alias("c_late"),
+    )
+    # bounded-domain window: one row per distinct quantity value
+    wb = W.orderBy("qty").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "qty", "c_early", "c_late",
+        (F.col("c_early") + F.col("c_late")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("c_early") + F.col("c_late")).over(wb), F.lit(0)
+        ).alias("cumb"),
+    )
+    s = r.agg(
+        F.sum("c_early").cast("long").alias("n1"),
+        F.sum("c_late").cast("long").alias("n2"),
+        F.sum(F.col("c_early") + F.col("c_late")).cast("long").alias("nn"),
+        F.sum(
+            F.col("c_early").cast("decimal(38,0)")
+            * (2 * F.col("cumb").cast("decimal(38,0)") + F.col("t") + 1)
+        ).cast("decimal(38,0)").alias("r2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).cast("decimal(38,0)").alias("tie"),
+    )
+    u = s.select(
+        "n1", "n2", "nn", "tie",
+        (
+            F.col("r2")
+            - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+        ).alias("u2"),
+        (F.col("n1").cast("decimal(38,0)") * F.col("n2")).alias("m2"),
+    )
+    return u.selectExpr(
+        "n1 AS n_early",
+        "n2 AS n_late",
+        "CAST(u2 AS DOUBLE) AS u2_early",
+        f"{_MW_Z_Q6} AS z_q6",
+    )

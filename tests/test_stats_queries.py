@@ -756,3 +756,89 @@ def test_benford_digits_and_terms(spark):
         assert r.chisq_term_q6 == math.floor(term * 1e6 + 0.5)
     # probabilities are a complete distribution
     assert abs(sum(float(v) for v in _BENFORD_P.values()) - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U drift
+# ---------------------------------------------------------------------------
+
+
+def test_mannwhitney_matches_python_recompute(spark):
+    """Full independent recomputation: tie-averaged ranks, U statistic
+    and tie-corrected z from the raw rows, compared to the query's
+    exact-integer formulation (doubled ranks / 128-bit sums)."""
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _MW_SPLIT_US,
+        q_lineitem_mannwhitney_drift,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(
+            F.col("l_quantity").isNotNull() & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            (
+                F.unix_micros(
+                    F.col("l_shipdate").cast("timestamp")
+                ) < _MW_SPLIT_US
+            ).alias("early"),
+        )
+        .collect()
+    )
+    early = sorted(r.q for r in rows if r.early)
+    late = sorted(r.q for r in rows if not r.early)
+    n1, n2 = len(early), len(late)
+    allv = sorted(early + late)
+    # tie-averaged ranks (1-based)
+    from collections import Counter
+
+    cnt = Counter(allv)
+    rank_of = {}
+    pos = 0
+    tie_term = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank_of[v] = pos + (t + 1) / 2.0
+        tie_term += t**3 - t
+        pos += t
+    nn = n1 + n2
+    r1 = sum(rank_of[v] for v in early)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    var = (n1 * n2 / 12.0) * ((nn + 1) - tie_term / (nn * (nn - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+
+    got = q_lineitem_mannwhitney_drift(spark, SF).collect()[0]
+    assert got["n_early"] == n1 and got["n_late"] == n2
+    assert got["u2_early"] == 2 * u1
+    assert got["z_q6"] == math.floor(z * 1_000_000 + 0.5)
+
+
+def test_mannwhitney_detects_planted_shift(spark):
+    """A constructed table whose late sample is stochastically larger
+    must produce a large-magnitude negative z (early ranks lower)."""
+    import tempfile
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        _MW_SPLIT_US,
+        q_lineitem_mannwhitney_drift,
+    )
+
+    early_day = (_MW_SPLIT_US - 86_400_000_000) // 86_400_000_000
+    late_day = (_MW_SPLIT_US + 86_400_000_000) // 86_400_000_000
+    rows = [(float(1 + i % 5), int(early_day)) for i in range(400)]
+    rows += [(float(30 + i % 5), int(late_day)) for i in range(400)]
+    df = spark.createDataFrame(rows, "l_quantity double, d long").select(
+        "l_quantity",
+        F.date_from_unix_date(F.col("d").cast("int"))
+        .cast("timestamp")
+        .alias("l_shipdate"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in ("lineitem",):
+            df.write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+        got = q_lineitem_mannwhitney_drift(spark, tmp).collect()[0]
+    assert got["n_early"] == 400 and got["n_late"] == 400
+    # complete separation: z ~ -26 for 400v400
+    assert got["z_q6"] < -20_000_000
