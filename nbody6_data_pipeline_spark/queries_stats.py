@@ -2127,3 +2127,157 @@ def q_lineitem_mannwhitney_drift(
         "CAST(u2 AS DOUBLE) AS u2_early",
         f"{_MW_Z_Q6} AS z_q6",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation (bounded-domain exact form)
+# ---------------------------------------------------------------------------
+
+# tau_b = (C - D) / (sqrt(n0 - t1) * sqrt(n0 - t2)); every count is an
+# exact 128-bit integer, the two sqrt calls are correctly-rounded IEEE
+# ops on identical exact operands (bit-equal cross-engine), and the
+# degenerate single-value guards emit NULL identically (ANSI Spark
+# would throw on the 0 denominator; DuckDB yields NULL).
+_KT_TAU_Q6 = (
+    "CASE WHEN n0 - t1 <= 0 OR n0 - t2 <= 0 THEN NULL"
+    " ELSE CAST(floor((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+    " / (sqrt(CAST(n0 - t1 AS DOUBLE)) * sqrt(CAST(n0 - t2 AS DOUBLE)))"
+    " * 1000000 + 0.5) AS BIGINT) END"
+)
+
+
+def _kendall_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM b GROUP BY x, y
+    ),
+    -- concordant/discordant from the BOUNDED cell table: the pair
+    -- join is |cells|^2 (~500^2) regardless of row count
+    pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN a.x < o.x AND a.y < o.y
+                 THEN a.cnt * o.cnt ELSE 0 END) AS HUGEINT) AS c,
+        CAST(SUM(CASE WHEN a.x < o.x AND a.y > o.y
+                 THEN a.cnt * o.cnt ELSE 0 END) AS HUGEINT) AS d
+      FROM cells a JOIN cells o ON a.x < o.x
+    ),
+    m AS (
+      SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+        CAST(SUM(cnt * (cnt - 1)) AS HUGEINT) / 2 AS txy
+      FROM cells
+    ),
+    tx AS (
+      SELECT CAST(SUM(s * (s - 1)) AS HUGEINT) / 2 AS t1 FROM
+        (SELECT CAST(SUM(cnt) AS HUGEINT) AS s FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(s * (s - 1)) AS HUGEINT) / 2 AS t2 FROM
+        (SELECT CAST(SUM(cnt) AS HUGEINT) AS s FROM cells GROUP BY y)
+    ),
+    f AS (
+      SELECT n * (n - 1) / 2 AS n0, t1, t2, c, d
+      FROM m, tx, ty, pairs
+    )
+    SELECT CAST(n0 AS DOUBLE) AS n_pairs,
+      CAST(c AS DOUBLE) AS concordant,
+      CAST(d AS DOUBLE) AS discordant,
+      {_KT_TAU_Q6} AS tau_b_q6
+    FROM f
+    """
+
+
+@register("lineitem_kendall_tau", _kendall_oracle())
+def q_lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between quantity and discount —
+    the distribution-free monotone-association member of the
+    correlation family (Pearson = linear on values, tau = agreement
+    of orderings, robust to any monotone transform and to outliers).
+
+    Exactness + 100-TB shape: both columns have BOUNDED integer
+    domains (quantity 1..50, discount in cents 0..10), so ONE
+    map-side-combinable scan reduces the data to a <=550-cell joint
+    count table and the concordant/discordant sums come from a
+    |cells|^2 self-join that is CONSTANT-size at any row count —
+    the O(n log n) merge-sort formulations are pointless here. All
+    pair counts ride 128-bit integers (n0 ~ n^2/2 passes int64 at
+    ~6e9 rows); tau is a short double chain over exact operands in
+    q6; single-value degeneracy emits NULL identically in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem", spread=True)
+    b = li.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+    ).selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y",
+    )
+    cells = b.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("cnt").alias("acnt"),
+    )
+    o = cells.select(
+        F.col("x").alias("ox"), F.col("y").alias("oy"),
+        F.col("cnt").alias("ocnt"),
+    )
+    pairs = (
+        a.join(F.broadcast(o), F.col("ax") < F.col("ox"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ay") < F.col("oy"),
+                    F.col("acnt") * F.col("ocnt"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("decimal(38,0)").alias("c"),
+            F.sum(
+                F.when(
+                    F.col("ay") > F.col("oy"),
+                    F.col("acnt") * F.col("ocnt"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("decimal(38,0)").alias("d"),
+        )
+    )
+    m = cells.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("cnt").cast("decimal(38,0)").alias("s"))
+        .agg(
+            (F.sum(F.col("s") * (F.col("s") - 1)) / 2)
+            .cast("decimal(38,0)")
+            .alias("t1")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("cnt").cast("decimal(38,0)").alias("s"))
+        .agg(
+            (F.sum(F.col("s") * (F.col("s") - 1)) / 2)
+            .cast("decimal(38,0)")
+            .alias("t2")
+        )
+    )
+    f = (
+        m.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(pairs))
+        .selectExpr(
+            "CAST(n * (n - 1) / 2 AS DECIMAL(38,0)) AS n0",
+            "t1", "t2", "c", "d",
+        )
+    )
+    return f.selectExpr(
+        "CAST(n0 AS DOUBLE) AS n_pairs",
+        "CAST(c AS DOUBLE) AS concordant",
+        "CAST(d AS DOUBLE) AS discordant",
+        f"{_KT_TAU_Q6} AS tau_b_q6",
+    )

@@ -842,3 +842,72 @@ def test_mannwhitney_detects_planted_shift(spark):
     assert got["n_early"] == 400 and got["n_late"] == 400
     # complete separation: z ~ -26 for 400v400
     assert got["z_q6"] < -20_000_000
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_python_recompute(spark):
+    """Brute-force all-pairs concordance recount vs the query's
+    bounded-cell formulation (sf0.001 rows are few enough to pair)."""
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_lineitem_kendall_tau,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(
+            F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+        )
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    pts = [(r.x, r.y) for r in rows]
+    n = len(pts)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    from collections import Counter
+
+    n0 = n * (n - 1) // 2
+    t1 = sum(v * (v - 1) // 2 for v in Counter(p[0] for p in pts).values())
+    t2 = sum(v * (v - 1) // 2 for v in Counter(p[1] for p in pts).values())
+    tau = (c - d) / (math.sqrt(n0 - t1) * math.sqrt(n0 - t2))
+
+    got = q_lineitem_kendall_tau(spark, SF).collect()[0]
+    assert got["n_pairs"] == n0
+    assert got["concordant"] == c
+    assert got["discordant"] == d
+    assert got["tau_b_q6"] == math.floor(tau * 1_000_000 + 0.5)
+
+
+def test_kendall_tau_sign_on_constructed_monotone(spark):
+    """Perfectly monotone pairs give tau_b = 1 exactly; reversed give
+    -1 (the closed form's normalization check)."""
+    import tempfile
+
+    from nbody6_data_pipeline_spark.queries_stats import (
+        q_lineitem_kendall_tau,
+    )
+
+    up = [(float(i % 10 + 1), (i % 10) / 100.0) for i in range(100)]
+    down = [(float(i % 10 + 1), (9 - i % 10) / 100.0) for i in range(100)]
+    for data, want in ((up, 1_000_000), (down, -1_000_000)):
+        df = spark.createDataFrame(
+            data, "l_quantity double, l_discount double"
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+            got = q_lineitem_kendall_tau(spark, tmp).collect()[0]
+        assert got["tau_b_q6"] == want, got
