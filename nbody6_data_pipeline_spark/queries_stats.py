@@ -2075,8 +2075,6 @@ def q_lineitem_mannwhitney_drift(
     table (bounded by the value DOMAIN, not the row count — the
     window below touches ~50 rows at any scale), exactly like the KS
     query; the statistic itself is driver-free arithmetic."""
-    from nbody6_data_pipeline_spark.queries_scale import _DRIFT_SPLIT_US
-
     li = _t(spark, sf_dir, "lineitem", spread=True)
     b = (
         li.filter(
@@ -2084,7 +2082,7 @@ def q_lineitem_mannwhitney_drift(
         )
         .select(
             F.col("l_quantity").cast("bigint").alias("qty"),
-            (event_us(li, "l_shipdate") < _DRIFT_SPLIT_US).alias("early"),
+            (event_us(li, "l_shipdate") < _MW_SPLIT_US).alias("early"),
         )
     )
     g = b.groupBy("qty").agg(
