@@ -386,8 +386,12 @@ def register_views(
     Base tables get their canonical names (``region`` .. ``embeddings``);
     each requested registry query ``name`` is registered as view
     ``q_<name>`` (the prefix avoids colliding with table names).
-    Registration is lazy — a view's plan executes only when queried —
-    so registering the full registry costs no Spark jobs."""
+    Registration is lazy for base tables and plan-only queries — a
+    view's plan executes only when queried. Caveat: a few registry
+    builders run driver loops during PLAN CONSTRUCTION (e.g. the
+    exact-twin k-means/PQ trainers collect seeds and run Lloyd
+    iterations eagerly), so registering those views materializes that
+    training work at registration time."""
     for name in TABLES:
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     if queries:

@@ -1994,7 +1994,12 @@ _MW_SPLIT_US = 883_612_800_000_000  # 1998-01-01 UTC (the KS/PSI split)
 # CASE on both engines — ANSI Spark throws on the 0 denominator where
 # DuckDB yields NULL (one-row twin lesson).
 _MW_Z_Q6 = (
-    "CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2 OR"
+    "CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2"
+    # exact-integer all-one-tie-block guard: tie = nn^3 - nn exactly
+    # when every row shares one value; the double bracket below can
+    # miss this past 2^53 pair products, so compare in DECIMAL(38,0)
+    # (HUGEINT in DuckDB coerces losslessly) before touching doubles.
+    " OR tie >= CAST(nn AS DECIMAL(38,0)) * nn * nn - nn OR"
     " (CAST(nn AS DOUBLE) + 1.0) - CAST(tie AS DOUBLE)"
     " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) <= 0"
     " THEN NULL"
@@ -2166,21 +2171,24 @@ def _kendall_oracle() -> str:
                  THEN a.cnt * o.cnt ELSE 0 END) AS HUGEINT) AS d
       FROM cells a JOIN cells o ON a.x < o.x
     ),
+    -- DuckDB '/' on integers is FLOAT division; '//' keeps every
+    -- term HUGEINT end-to-end (the /2 operands are always even), so
+    -- the documented 128-bit exactness survives past 2^53 pairs.
     m AS (
       SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
-        CAST(SUM(cnt * (cnt - 1)) AS HUGEINT) / 2 AS txy
+        CAST(SUM(cnt * (cnt - 1)) AS HUGEINT) // 2 AS txy
       FROM cells
     ),
     tx AS (
-      SELECT CAST(SUM(s * (s - 1)) AS HUGEINT) / 2 AS t1 FROM
+      SELECT CAST(SUM(s * (s - 1)) AS HUGEINT) // 2 AS t1 FROM
         (SELECT CAST(SUM(cnt) AS HUGEINT) AS s FROM cells GROUP BY x)
     ),
     ty AS (
-      SELECT CAST(SUM(s * (s - 1)) AS HUGEINT) / 2 AS t2 FROM
+      SELECT CAST(SUM(s * (s - 1)) AS HUGEINT) // 2 AS t2 FROM
         (SELECT CAST(SUM(cnt) AS HUGEINT) AS s FROM cells GROUP BY y)
     ),
     f AS (
-      SELECT n * (n - 1) / 2 AS n0, t1, t2, c, d
+      SELECT (n * (n - 1)) // 2 AS n0, t1, t2, c, d
       FROM m, tx, ty, pairs
     )
     SELECT CAST(n0 AS DOUBLE) AS n_pairs,

@@ -67,12 +67,12 @@ def layer_metrics(spark, group: str) -> dict:
     layer:<name> job descriptions via the status REST API."""
     app = _app_id(spark)
     jobs = _rest(spark, f"applications/{app}/jobs")
-    stages = {
-        s["stageId"]: s
-        for s in _rest(spark, f"applications/{app}/stages")
-        # keep the latest attempt per stageId (list is newest-first)
-        if s["status"] in ("COMPLETE", "SKIPPED")
-    }
+    stages: dict = {}
+    # REST list is newest-first; first-wins keeps the latest attempt
+    # per stageId (a plain dict comprehension would keep the OLDEST).
+    for s in _rest(spark, f"applications/{app}/stages"):
+        if s["status"] in ("COMPLETE", "SKIPPED") and s["stageId"] not in stages:
+            stages[s["stageId"]] = s
     layers: dict[str, dict] = {}
     for j in jobs:
         if j.get("jobGroup") != group:
