@@ -25,8 +25,17 @@ def main() -> None:
     from nbody6_data_pipeline_spark.session import get_spark
 
     # UI on: the pipeline leg reads per-layer job/shuffle metrics from
-    # the status REST API (tools/bench_pipeline_scale.layer_metrics)
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    # the status REST API (tools/bench_pipeline_scale.layer_metrics).
+    # FAIR scheduler: serial legs are unaffected (one pool, one job at
+    # a time), and the concurrency leg's per-thread pools share task
+    # slots fairly instead of FIFO head-of-line blocking.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.scheduler.mode": "FAIR",
+        },
+    )
     reg = registry()
 
     # Warm up the JVM / parquet footer caches with one tiny action so
@@ -78,6 +87,7 @@ def main() -> None:
     }
     out.update(bench_pipeline(spark))
     out.update(bench_corpus(spark))
+    out.update(bench_concurrency(spark, reg, timings))
     # The driver's stdout capture window is ~2000 chars; at 174 queries
     # the full per-query map alone is >4 KB, so it must never share
     # stdout with the parseable record (BENCH_r05/r06 were truncated to
@@ -104,6 +114,65 @@ def main() -> None:
     compact["queries"] = slowest
     compact["queries_note"] = "top-5 slowest only; full map in bench_full.json"
     print(json.dumps(compact))
+
+
+def bench_concurrency(spark, reg, serial_timings, n_workers: int = 4) -> dict:
+    """Multi-tenant throughput leg: the full registry split into
+    ``n_workers`` round-robin shards, each driven by its own thread in
+    its own FAIR scheduler pool of the SAME SparkSession — the shape a
+    shared 100-TB cluster actually sees (many sessions contending for
+    one executor set), which the serial per-query loop never exercises.
+
+    get_spark runs ``spark.scheduler.mode=FAIR``; each thread tags its
+    jobs with ``sc.setLocalProperty("spark.scheduler.pool", ...)`` so
+    unconfigured same-weight pools share task slots fairly instead of
+    head-of-line-blocking behind a heavy query (README "Scheduler
+    pools"). Reported: wall seconds for all shards, and the speedup vs
+    replaying the same queries' serial best times back-to-back —
+    >1 means concurrency recovered scheduling gaps the serial loop
+    pays per query.
+
+    No per-query clearCache here (a thread would evict another
+    thread's in-flight persisted blocks — Spark recomputes, but the
+    timing would measure eviction thrash, not contention); one clear
+    before and after brackets the leg."""
+    import threading
+
+    sc = spark.sparkContext
+    names = sorted(reg)
+    shards = [names[i::n_workers] for i in range(n_workers)]
+    errors: list[str] = []
+
+    def run_shard(i: int) -> None:
+        sc.setLocalProperty("spark.scheduler.pool", f"bench_pool_{i}")
+        try:
+            for name in shards[i]:
+                reg[name]["spark"](spark, SF_DIR).collect()
+        except Exception as exc:  # surface, don't sink the bench line
+            errors.append(f"{type(exc).__name__}: {exc}"[:200])
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    spark.catalog.clearCache()
+    threads = [
+        threading.Thread(target=run_shard, args=(i,), daemon=True)
+        for i in range(n_workers)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    if errors:
+        return {"concurrency_error": errors[0]}
+    serial_sum = sum(serial_timings.values())
+    return {
+        "concurrency_sec": round(wall, 3),
+        "concurrency_workers": n_workers,
+        "concurrency_speedup_vs_serial": round(serial_sum / max(wall, 1e-9), 2),
+    }
 
 
 def bench_corpus(spark) -> dict:

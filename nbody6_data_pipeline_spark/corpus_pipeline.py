@@ -283,6 +283,7 @@ def update_training_corpus(
     exact_fp = fp_tagged.join(
         exact_intra_drops.select("doc_id"), "doc_id", "left_anti"
     )
+    _swap_heal(os.path.join(out_dir, "fingerprints"))
     fp_index = spark.read.parquet(os.path.join(out_dir, "fingerprints"))
     # ONE scan of the fingerprint index serves both the dedup and its
     # provenance: a left-outer join (1:1 — fp is unique in the index:
@@ -315,6 +316,7 @@ def update_training_corpus(
 
     # near-dup vs corpus: delta bands x stored band index
     delta_bands = minhash_bands(fresh, F.col("text"), "doc_id").persist()
+    _swap_heal(os.path.join(out_dir, "bands"))
     band_index = spark.read.parquet(os.path.join(out_dir, "bands"))
     cand = (
         delta_bands.join(
@@ -399,6 +401,24 @@ def update_training_corpus(
     return manifest
 
 
+def _swap_heal(path: str) -> None:
+    """Restore a swap-managed table interrupted between
+    ``_swap_rewrite``'s two renames: the complete old copy parks at
+    ``<path>._swap_old`` while ``path`` itself is briefly absent. MUST
+    run before ANY ``spark.read.parquet(path)`` of a swap-managed
+    table — the read resolves the schema eagerly and raises
+    PATH_NOT_FOUND on the healable state otherwise (found by the
+    round-9 rename fault-injection test). Old copy is deleted LAST in
+    the swap, so when both exist the visible path is the complete new
+    copy and the old one is dropped."""
+    old = path.rstrip("/") + "._swap_old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
+
 def _swap_rewrite(df: DataFrame, path: str) -> None:
     """Rewrite ``path`` with ``df`` (whose lineage may READ ``path``)
     via a sibling staging directory and two renames, source deleted
@@ -409,11 +429,7 @@ def _swap_rewrite(df: DataFrame, path: str) -> None:
     nothing is materialized through executor storage."""
     tmp = path.rstrip("/") + "._swap_tmp"
     old = path.rstrip("/") + "._swap_old"
-    if os.path.isdir(old):  # self-heal an interrupted swap
-        if os.path.isdir(path):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, path)
+    _swap_heal(path)  # self-heal an interrupted swap
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
@@ -519,10 +535,12 @@ def retire_docs(
 
     # 3) indexes: one anti-join each, staged swap
     fp_path = os.path.join(out_dir, "fingerprints")
+    _swap_heal(fp_path)  # the read below resolves schema EAGERLY
     _swap_rewrite(
         spark.read.parquet(fp_path).join(ids, "doc_id", "left_anti"), fp_path
     )
     bands_path = os.path.join(out_dir, "bands")
+    _swap_heal(bands_path)
     _swap_rewrite(
         spark.read.parquet(bands_path).join(
             ids.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
@@ -559,6 +577,24 @@ def compact_corpus_shards(
     from nbody6_data_pipeline_spark.plans.layout import compact_small_files
 
     shards_path = os.path.join(out_dir, "shards")
+    # Orphan heal BEFORE enumerating partitions: compact_small_files
+    # self-heals only when called on its own path, but this loop
+    # derives paths from listdir — a crash between its two renames
+    # leaves the partition parked at ``.compact_old.shard=N`` and
+    # NOTHING visible to enumerate, so without this pre-pass the
+    # orphan would never be restored (found by the round-9 rename
+    # fault-injection test). Same authority rule as the inner heal:
+    # the old copy is deleted LAST, so if both exist the visible
+    # partition is the complete new copy and the old one is dropped.
+    for d in sorted(os.listdir(shards_path)):
+        if not d.startswith(".compact_old."):
+            continue
+        orig = os.path.join(shards_path, d[len(".compact_old."):])
+        src = os.path.join(shards_path, d)
+        if os.path.isdir(orig):
+            shutil.rmtree(src)
+        else:
+            os.rename(src, orig)
     report = {}
     for d in sorted(os.listdir(shards_path)):
         if not d.startswith("shard="):

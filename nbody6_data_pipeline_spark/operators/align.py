@@ -74,19 +74,67 @@ def _decide_alignment(
     return list(zip(kept, ref))
 
 
+EXECUTOR_ALIGN_THRESHOLD = 100  # runs; above this the decision moves off-driver
+
+
+def _alignment_mapping_pdf(files, tolerance, allow_trim):
+    """Build the per-run applyInPandas kernel: one run's (file, time)
+    rows in, its (run_id, file, old_time, ref_time) mapping out. The
+    decision logic is the SAME pure ``_decide_alignment`` the driver
+    path uses — only the placement changes."""
+    import pandas as pd
+
+    def _align_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rid = pdf["run_id"].iloc[0]
+        by_file = {
+            f: sorted(g["time"].tolist())
+            for f, g in pdf.groupby("file", sort=False)
+        }
+        missing = [f for f in files if f not in by_file]
+        if missing:
+            raise ValueError(
+                f"Run {rid}: no timestamps parsed for {missing}."
+            )
+        rows = []
+        for i, ref_t in _decide_alignment(
+            by_file, files, tolerance, allow_trim, ctx=f" [run {rid}]"
+        ):
+            for f in files:
+                rows.append((rid, f, by_file[f][i], ref_t))
+        return pd.DataFrame(
+            rows, columns=["run_id", "file", "old_time", "ref_time"]
+        )
+
+    return _align_group
+
+
 def align_runs(
     runs: NBody6Runs,
     tolerance: float = TOLERANCE,
     allow_trim: bool = False,
+    executor_side: bool | None = None,
 ) -> NBody6Runs:
-    """Batched J10: unify timestamps for EVERY run in ONE collect job.
+    """Batched J10: unify timestamps for EVERY run without a per-run
+    driver action.
 
-    The per-run ``align_run`` issues one collect per run — a driver
-    bottleneck at thousands of runs. Here the per-(run, file) sorted
-    timestamp lists are gathered with a single groupBy/collect_list
-    job (small: n_runs x n_files rows), each run's alignment decision
-    runs driver-side, and ONE broadcast (run_id, file, old->ref)
-    mapping remaps every table."""
+    Two placements of the (pure, per-run-independent) alignment
+    decision, dispatched on run count:
+
+    - driver (<= EXECUTOR_ALIGN_THRESHOLD runs, default): ONE
+      groupBy/collect_list job gathers the per-(run, file) sorted
+      timestamp lists (~n_files x n_snapshots floats per run), the
+      decision loops in plain Python, and the mapping is broadcast —
+      zero extra shuffles, ideal at the reference's grid sizes.
+    - executor (> threshold, or ``executor_side=True``): the SAME
+      ``_decide_alignment`` runs per run inside ``applyInPandas``
+      grouped by run_id, so driver memory no longer grows with run
+      count (at 1e5 runs the collected lists would be ~160 MB); the
+      remap join is left to AQE (the mapping has n_runs x n_files x
+      n_snapshots rows — too big to force-broadcast). Strictness
+      errors surface as the same ValueError text via the failed job.
+      The first-timestamp-not-zero *warning* is driver-only; the
+      executor path drops it (warnings don't cross the JVM boundary).
+    """
     parts = []
     for fname, bt in runs.tables.items():
         parts.append(
@@ -97,40 +145,57 @@ def align_runs(
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    ts_rows = (
-        union.groupBy("run_id", "file")
-        .agg(F.sort_array(F.collect_list("time")).alias("times"))
-        .collect()  # the ONE driver action for the whole batch
-    )
-    by_run: dict[str, dict[str, list[float]]] = {}
-    for r in ts_rows:
-        by_run.setdefault(r["run_id"], {})[r["file"]] = list(r["times"])
 
     files = list(runs.tables)
-    mapping_rows = []
-    for rid in sorted(by_run):
-        by_file = by_run[rid]
-        missing = [f for f in files if f not in by_file]
-        if missing:
-            raise ValueError(f"Run {rid}: no timestamps parsed for {missing}.")
-        for i, ref_t in _decide_alignment(
-            by_file, files, tolerance, allow_trim, ctx=f" [run {rid}]"
-        ):
-            for f in files:
-                mapping_rows.append((rid, f, by_file[f][i], ref_t))
-
     spark = runs.tables["OUT34"].headers.sparkSession
-    mapping = spark.createDataFrame(
-        mapping_rows, "run_id string, file string, old_time double, ref_time double"
-    )
+    if executor_side is None:
+        executor_side = len(runs.run_ids) > EXECUTOR_ALIGN_THRESHOLD
+
+    if executor_side:
+        mapping = union.groupBy("run_id").applyInPandas(
+            _alignment_mapping_pdf(files, tolerance, allow_trim),
+            "run_id string, file string, old_time double, ref_time double",
+        )
+        force_broadcast = False
+    else:
+        ts_rows = (
+            union.groupBy("run_id", "file")
+            .agg(F.sort_array(F.collect_list("time")).alias("times"))
+            .collect()  # the ONE driver action for the whole batch
+        )
+        by_run: dict[str, dict[str, list[float]]] = {}
+        for r in ts_rows:
+            by_run.setdefault(r["run_id"], {})[r["file"]] = list(r["times"])
+
+        mapping_rows = []
+        for rid in sorted(by_run):
+            by_file = by_run[rid]
+            missing = [f for f in files if f not in by_file]
+            if missing:
+                raise ValueError(
+                    f"Run {rid}: no timestamps parsed for {missing}."
+                )
+            for i, ref_t in _decide_alignment(
+                by_file, files, tolerance, allow_trim, ctx=f" [run {rid}]"
+            ):
+                for f in files:
+                    mapping_rows.append((rid, f, by_file[f][i], ref_t))
+
+        mapping = spark.createDataFrame(
+            mapping_rows,
+            "run_id string, file string, old_time double, ref_time double",
+        )
+        force_broadcast = True
 
     def _remap(df: DataFrame, fname: str) -> DataFrame:
         m = mapping.filter(F.col("file") == fname).select(
             F.col("run_id").alias("_m_rid"), "old_time", "ref_time"
         )
+        if force_broadcast:
+            m = F.broadcast(m)
         return (
             df.join(
-                F.broadcast(m),
+                m,
                 (df["run_id"] == m["_m_rid"]) & (df["time"] == m["old_time"]),
                 "inner",
             )

@@ -179,7 +179,11 @@ def minhash_bands(df: DataFrame, text: Column, id_col: str) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    bucket_cap: int = 512,
+    observation=None,
+) -> DataFrame:
     """Band buckets -> distinct candidate pairs (doc_a < doc_b).
 
     Implemented as ONE shuffle (groupBy band bucket + collect the
@@ -187,11 +191,64 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     each bucket — not a self-join: a self-join would re-evaluate the
     minhash expression tree on both sides (the signatures are
     expensive non-codegen HOF expressions), and at scale would shuffle
-    the band table twice. Bucket sizes are bounded by the band scheme,
-    so the local expansion is small.
+    the band table twice.
+
+    Degenerate-bucket discipline (same as the embedding sign-LSH path,
+    ``similarity.py lsh_candidate_pairs``): a boilerplate template
+    shared by millions of documents puts them all in one band bucket,
+    and the within-bucket expansion alone is O(members^2). So bucket
+    membership is counted FIRST with a streaming window (WindowExec
+    never materializes the bucket as an array), buckets larger than
+    ``bucket_cap`` are dropped BEFORE collect_set, and the expansion
+    only ever sees <= cap-sized arrays. True near-dup pairs collide in
+    several of the 16 bands, so only pathological buckets are cut; the
+    cap never binds on the driver testdata (largest observed bucket is
+    the skew twin's ~151-doc mega-cluster vs the 512 default).
+
+    No silent truncation: pass a ``pyspark.sql.Observation`` as
+    ``observation`` and, after the first action on the result, read
+    ``observation.get`` -> {band_rows, dropped_rows, dropped_buckets}
+    (tools/bench_heavy.py logs this per run).
+
+    Known Spark 4.1 caveat: if the RESULT is completely empty (every
+    bucket dropped or singleton), AQE's empty-relation propagation
+    replaces the observed subtree and the metrics row comes back
+    corrupt (``toPyRow`` assertion). When telemetry must survive that
+    pathological case, exclude the rule for the session:
+    ``spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")``.
+    Non-empty outputs (every real corpus) are unaffected.
     """
+    from pyspark.sql import Window as W
+
+    sized = bands.withColumn(
+        "_bsize", F.count(F.lit(1)).over(W.partitionBy("band", "band_hash"))
+    )
+    if observation is not None:
+        sized = sized.observe(
+            observation,
+            F.count(F.lit(1)).alias("band_rows"),
+            F.sum(
+                F.when(F.col("_bsize") > bucket_cap, 1).otherwise(0)
+            ).alias("dropped_rows"),
+            # COUNT(DISTINCT) is not allowed in observed metrics;
+            # each dropped bucket contributes _bsize rows of weight
+            # 1/_bsize, so the rounded sum IS the exact bucket count.
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_bsize") > bucket_cap,
+                            F.lit(1.0) / F.col("_bsize"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+            ).cast("long").alias("dropped_buckets"),
+        )
     buckets = (
-        bands.groupBy("band", "band_hash")
+        sized.filter(F.col("_bsize") <= bucket_cap)
+        .groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )

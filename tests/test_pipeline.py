@@ -109,6 +109,51 @@ def test_batched_pipeline_matches_per_run(spark, sim_base, tmp_path):
     )
 
 
+def test_align_runs_executor_side_parity(spark, sim_base):
+    """The applyInPandas (executor-side) alignment decision must
+    produce byte-identical aligned tables to the driver-collect path —
+    same pure ``_decide_alignment``, different placement."""
+    from nbody6_data_pipeline_spark.operators.align import align_runs
+    from nbody6_data_pipeline_spark.sources.nbody6 import load_runs
+
+    runs = fetch_sim_runs(sim_base)
+    pairs = [(r.label, r.path) for r in runs]
+    a = align_runs(load_runs(spark, pairs), executor_side=False)
+    b = align_runs(load_runs(spark, pairs), executor_side=True)
+    assert set(a.tables) == set(b.tables)
+    for fname in a.tables:
+        for part in ("headers", "data"):
+            da = getattr(a.tables[fname], part)
+            db = getattr(b.tables[fname], part)
+            cols = sorted(da.columns)
+            assert cols == sorted(db.columns), fname
+            ra = sorted(
+                da.select(*[F.col(c).cast("string") for c in cols]).collect()
+            )
+            rb = sorted(
+                db.select(*[F.col(c).cast("string") for c in cols]).collect()
+            )
+            assert ra == rb, f"{fname}.{part} diverged"
+
+
+def test_align_runs_executor_side_strict_error(spark, tmp_path, monkeypatch):
+    """Strict-mode timestamp violations must still raise with the
+    reference's error text when the decision runs on executors."""
+    from tests import nbody6_fixtures
+    from nbody6_data_pipeline_spark.operators.align import align_runs
+    from nbody6_data_pipeline_spark.sources.nbody6 import load_runs
+
+    root = str(tmp_path / "badrun")
+    monkeypatch.setitem(
+        nbody6_fixtures.JITTER, "OUT9", 0.5  # way past the 2e-2 tolerance
+    )
+    write_run(root)
+    multi = load_runs(spark, [("bad", root)], validate=False)
+    with pytest.raises(Exception, match="inconsistent timestamps"):
+        aligned = align_runs(multi, executor_side=True)
+        aligned.tables["OUT34"].headers.collect()
+
+
 def test_batched_load_align_constant_driver_actions(spark, sim_base):
     """load_runs + align_runs issue a constant number of driver
     actions: the Spark job count (AQE materializes a few jobs per

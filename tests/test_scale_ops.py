@@ -566,3 +566,76 @@ def test_bootstrap_ci_contains_mean_and_tightens_with_n(spark):
     big = widths("/root/testdata/sf0.01")
     for flag in big:
         assert big[flag] < small[flag], (flag, big[flag], small[flag])
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH verify-stage bucket cap (round-9: bounded verify work)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bucket_cap_drops_mega_bucket_with_telemetry(spark):
+    """A boilerplate template cluster larger than ``bucket_cap`` must
+    be cut BEFORE pair expansion, and the Observation telemetry must
+    report exactly what was dropped (no silent truncation)."""
+    from pyspark.sql import Observation
+
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        BANDS,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    # 40 exact copies of one template (every band bucket size 40)
+    # plus 2 distinct docs forming no candidate pair.
+    rows = [(i, "the same boilerplate template text repeated") for i in range(40)]
+    rows += [(100, "a completely different document body one"),
+             (101, "another unrelated document body number two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = minhash_bands(df, F.col("text"), "doc_id")
+
+    # cap below the cluster: every band bucket of the template drops.
+    # The result is completely EMPTY, which trips the documented Spark
+    # 4.1 AQEPropagateEmptyRelation/CollectMetrics bug — exclude the
+    # rule exactly as the lsh_candidate_pairs docstring prescribes.
+    rule_key = "spark.sql.adaptive.optimizer.excludedRules"
+    prev = spark.conf.get(rule_key, None)
+    spark.conf.set(
+        rule_key,
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+    )
+    try:
+        obs = Observation("lsh_cap")
+        pairs = lsh_candidate_pairs(bands, bucket_cap=16, observation=obs)
+        assert pairs.count() == 0
+        m = obs.get
+        assert m["band_rows"] == 42 * BANDS
+        assert m["dropped_rows"] == 40 * BANDS
+        assert m["dropped_buckets"] >= 1
+    finally:
+        if prev is None:
+            spark.conf.unset(rule_key)
+        else:
+            spark.conf.set(rule_key, prev)
+
+    # cap above the cluster: full 40-choose-2 candidate set survives
+    pairs2 = lsh_candidate_pairs(bands, bucket_cap=512)
+    assert pairs2.count() == 40 * 39 // 2
+
+
+def test_minhash_bucket_cap_never_binds_on_sf_data(spark, sf_dir):
+    """On the driver testdata the 512 default must be far above every
+    bucket (the oracle pairs assume NO truncation at sf<=0.1)."""
+    from pyspark.sql import Observation
+
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = minhash_bands(docs, F.col("text"), "doc_id")
+    obs = Observation("lsh_cap_sf")
+    lsh_candidate_pairs(bands, observation=obs).count()
+    m = obs.get
+    assert m["dropped_rows"] == 0
+    assert m["dropped_buckets"] == 0

@@ -101,6 +101,37 @@ def stage_dir(spark, factor: int) -> str:
     return base
 
 
+def lsh_telemetry(spark, sf_dir: str) -> dict:
+    """MinHash band-bucket truncation telemetry for this factor: the
+    round-9 bucket-cap discipline promises NO silent truncation, so
+    every heavy-bench point records how close the data came to the
+    cap and exactly how much (normally zero) was dropped."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bands = minhash_bands(docs, F.col("text"), "doc_id")
+    obs = Observation("lsh_heavy")
+    n_pairs = lsh_candidate_pairs(bands, observation=obs).count()
+    max_bucket = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    return {
+        "bucket_cap": 512,
+        "candidate_pairs": n_pairs,
+        "max_bucket": max_bucket,
+        **{k: int(v) for k, v in obs.get.items()},
+    }
+
+
 def main(factors):
     from nbody6_data_pipeline_spark.queries import ensure_confs, registry
     from nbody6_data_pipeline_spark.session import get_spark
@@ -130,6 +161,7 @@ def main(factors):
             timings[name] = round(best, 3)
         rec = {"factor": factor, "total_sec": round(sum(timings.values()), 3),
                "queries": timings}
+        rec["lsh_telemetry"] = lsh_telemetry(spark, sf_dir)
         print(json.dumps(rec), flush=True)
         results.append(rec)
         shutil.rmtree(sf_dir, ignore_errors=True)
