@@ -30,7 +30,7 @@ from nbody6_data_pipeline_spark.queries import _t, ordered, q6, register
                 * 1000000 + 0.5) AS BIGINT) AS semi_au_e6
     FROM lineitem
     WHERE l_orderkey <= 200
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, semi_au_e6
     """,
 )
 def q_kepler_semi_major_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +47,7 @@ def q_kepler_semi_major_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_quantity"), F.col("l_tax"), F.col("l_discount") * 2
             )
         ).alias("semi_au_e6"),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", "semi_au_e6")
 
 
 @register(
@@ -59,7 +59,7 @@ def q_kepler_semi_major_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
              * 1000000 + 0.5) AS BIGINT) AS total_log_lum_e6
     FROM lineitem
     WHERE l_orderkey <= 200
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, total_log_lum_e6
     """,
 )
 def q_log_sum_exp_luminosity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +74,7 @@ def q_log_sum_exp_luminosity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_discount") * 10, F.col("l_tax") * 10
             )
         ).alias("total_log_lum_e6"),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", "total_log_lum_e6")
 
 
 @register(
@@ -98,7 +98,7 @@ def q_log_sum_exp_luminosity(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE acos(LEAST(GREATEST(hz / sqrt(hx*hx + hy*hy + hz*hz), -1.0), 1.0))
       END) * 1000000 + 0.5) AS BIGINT) AS incl_rad_e6
     FROM h
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, incl_rad_e6
     """,
 )
 def q_orbital_inclination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +118,7 @@ def q_orbital_inclination(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(calc_orbital_plane_inclination_rad(rel_pos, rel_vel)).alias(
             "incl_rad_e6"
         ),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", "incl_rad_e6")
 
 
 @register(
@@ -134,7 +134,7 @@ def q_orbital_inclination(spark: SparkSession, sf_dir: str) -> DataFrame:
       END AS pair
     FROM lineitem
     WHERE l_orderkey <= 100
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, pair
     """,
 )
 def q_hierarchy_pair_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +148,7 @@ def q_hierarchy_pair_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         hierarchy_pair_label(
             F.array("l_partkey", "l_suppkey"), F.array("l_orderkey")
         ).alias("pair"),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", "pair")
 
 
 @register(

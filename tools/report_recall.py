@@ -43,6 +43,12 @@ def ground_truth(X: np.ndarray, q_ids: np.ndarray, k: int, metric: str):
     return out
 
 
+def _config_key(rec: dict) -> str:
+    """Stable budget-file key for one measured configuration."""
+    np_part = "" if rec["nprobe"] is None else f" nprobe={rec['nprobe']}"
+    return f"{rec['index']}{np_part}"
+
+
 def recall(result_rows, truth, k: int) -> float:
     by_q: dict[int, set] = {}
     for r in result_rows:
@@ -51,7 +57,13 @@ def recall(result_rows, truth, k: int) -> float:
     return hits / (len(truth) * k)
 
 
-def main() -> None:
+def measure_all(spark, sf_dir: str, k: int = 5, n_queries: int = 50):
+    """Measure recall@k for EVERY (index, nprobe/code-budget) config —
+    the single source of truth behind the README table, the committed
+    ``tests/recall_budgets.json`` floors (``--budgets``), and the
+    ``tests/test_recall_budgets.py`` gate, so a config can't appear in
+    the table without being floor-gated. Builds are seeded, hence the
+    measurements are deterministic for a fixed sf_dir."""
     from pyspark.sql import functions as F
 
     from nbody6_data_pipeline_spark.operators.similarity import (
@@ -62,13 +74,7 @@ def main() -> None:
         ivfpq_search,
         pq_search,
     )
-    from nbody6_data_pipeline_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-
-    spark = get_spark("report_recall")
-    spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
@@ -76,7 +82,7 @@ def main() -> None:
     order = np.argsort(ids)
     X = X[order]  # vec_ids are dense 0..n-1 in the synthetic table
     n = len(X)
-    q_ids = np.arange(0, n, max(1, n // 50))  # ~50 queries
+    q_ids = np.arange(0, n, max(1, n // n_queries))
     queries = emb.filter(
         F.col("vec_id").isin([int(i) for i in q_ids])
     )
@@ -124,6 +130,38 @@ def main() -> None:
                  "cells": ivfpq.centroids.shape[0],
                  "recall": round(r, 4)}
             )
+    return records
+
+
+def main() -> None:
+    from nbody6_data_pipeline_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if a != "--budgets"]
+    write_budgets = "--budgets" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    k = int(args[1]) if len(args) > 1 else 5
+
+    spark = get_spark("report_recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    records = measure_all(spark, sf_dir, k)
+
+    if write_budgets:
+        # floors sit 20% under the seeded-deterministic measurement —
+        # the same slack the original single floor test used — and one
+        # file row per README table row, so every config is gated.
+        budgets = {
+            _config_key(rec): {
+                "measured": rec["recall"],
+                "floor": round(rec["recall"] * 0.8, 3),
+                "k": rec["k"],
+            }
+            for rec in records
+        }
+        out = {"sf_dir": sf_dir, "n_queries_grid": 50, "budgets": budgets}
+        path = "/root/repo/tests/recall_budgets.json"
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(f"wrote {path} ({len(budgets)} configs)")
 
     for rec in records:
         print(json.dumps(rec))
