@@ -271,14 +271,19 @@ DECAY_CLAMP = 50  # 2^-50 underflows decimal(30,6) anyway
     WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
     d AS (
       SELECT user_id,
-        value / CAST(1::BIGINT << CAST(least(
-          (m.mx - epoch_us(ts)) // {_DAY_US}, {DECAY_CLAMP}) AS INTEGER)
-          AS DOUBLE) AS dv
+        CAST(floor(value * 100 + 0.5) AS HUGEINT)
+          * (1::BIGINT << CAST({DECAY_CLAMP} - least(
+              (m.mx - epoch_us(ts)) // {_DAY_US}, {DECAY_CLAMP})
+              AS INTEGER)) AS wv
       FROM events, m
     )
     SELECT user_id,
       CAST(COUNT(*) AS BIGINT) AS n_events,
-      CAST(SUM(CAST(dv AS DECIMAL(30,6))) AS DOUBLE) AS decayed_value
+      -- sign-split 128-bit -> double: DuckDB's negative-HUGEINT cast
+      -- is not correctly rounded (README "Oracle environment")
+      (CASE WHEN SUM(wv) < 0 THEN -CAST(-SUM(wv) AS DOUBLE)
+            ELSE CAST(SUM(wv) AS DOUBLE) END)
+        / {float(100 * (1 << DECAY_CLAMP))!r} AS decayed_value
     FROM d GROUP BY user_id
     ORDER BY user_id
     """,
@@ -287,29 +292,39 @@ def q_events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially time-decayed value (half-life = 1 day,
     anchored at the corpus max timestamp) — the recency-weighted
     feature a feature store maintains per entity. The decay factor is
-    DYADIC: value / 2^age_days (integer shift, clamped at
-    {DECAY_CLAMP}) — multiplying by a power of two only adjusts the
-    float exponent, so unlike pow()/exp() the weighted values are
-    bit-exact across engines, and the decimal-sum makes the
-    aggregation order-independent. Plan: one single-row max broadcast
-    + one map-side-combined groupBy on user_id."""
+    DYADIC (value / 2^age_days, clamped at {DECAY_CLAMP}), and the
+    whole aggregation is EXACT INTEGER arithmetic: each row
+    contributes cents * 2^(CLAMP - age) — a 128-bit integer — so the
+    sum is order-independent and the single final division by
+    100 * 2^CLAMP is one correctly-rounded IEEE op on identical exact
+    operands in both engines. (The previous form summed
+    CAST(double AS DECIMAL(30,6)) per row; dyadic values produce
+    exact decimal-rounding TIES whose half-up-vs-nearest resolution
+    differs between Java and DuckDB — the sf1 sweep caught three such
+    rows in 1M.) Plan: one single-row max broadcast + one
+    map-side-combined groupBy on user_id."""
     e = _t(spark, sf_dir, "events")
     us = event_us(e)
     mx = e.agg(F.max(us).alias("mx"))
     age_d = F.least(
         ((F.col("mx") - us) / _DAY_US).cast("long"), F.lit(DECAY_CLAMP)
     )
-    dv = F.col("value") / F.expr(
-        "cast(shiftleft(cast(1 as bigint), cast(age_d as int)) as double)"
+    wv = F.expr(
+        "cast(floor(value * 100 + 0.5) as decimal(38,0))"
+        f" * cast(shiftleft(cast(1 as bigint), {DECAY_CLAMP}"
+        " - cast(age_d as int)) as decimal(38,0))"
     )
+    scale = float(100 * (1 << DECAY_CLAMP))
     return (
         e.crossJoin(F.broadcast(mx))
         .withColumn("age_d", age_d)
-        .select("user_id", dv.alias("dv"))
+        .select("user_id", wv.alias("wv"))
         .groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            dsum(F.col("dv"), "decayed_value", 6),
+            (F.sum("wv").cast("double") / F.lit(scale)).alias(
+                "decayed_value"
+            ),
         )
         .transform(ordered, "user_id")
     )
@@ -711,31 +726,53 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 TREND_MIN_EVENTS = 3
 
 
+_TREND_FINAL = (
+    # one short IEEE chain over exact int64/128-bit operands, token-
+    # identical in both engines. num/sy/sxy may be negative: sign-split
+    # every 128-bit -> double cast (DuckDB's negative-HUGEINT cast is
+    # 1 ulp off past 2^53 — sf1 lesson); den/sx are non-negative.
+    "CASE WHEN num < 0 THEN -CAST(-num AS DOUBLE)"
+    " ELSE CAST(num AS DOUBLE) END AS num_d",
+    "CAST(den AS DOUBLE) AS den_d",
+    "CASE WHEN sy < 0 THEN -CAST(-sy AS DOUBLE)"
+    " ELSE CAST(sy AS DOUBLE) END AS sy_d",
+    "CAST(sx AS DOUBLE) AS sx_d",
+)
+
+
 @register(
     "events_user_trend",
     f"""
     WITH m AS (SELECT MIN(epoch_us(ts)) AS mn FROM events),
     d AS (
       SELECT user_id,
-        CAST(epoch_us(ts) - m.mn AS DOUBLE) / 86400000000.0 AS x,
-        value AS y
+        CAST(epoch_us(ts) - m.mn AS HUGEINT) AS x,
+        CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
       FROM events, m
     ),
     s AS (
       SELECT user_id,
-        COUNT(*) AS n,
-        CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-        CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+        CAST(COUNT(*) AS HUGEINT) AS n,
+        SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx
       FROM d GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n, sx, sy,
+        n * sxy - sx * sy AS num,
+        n * sxx - sx * sx AS den
+      FROM s WHERE n >= {TREND_MIN_EVENTS}
+    ),
+    g AS (
+      SELECT user_id, CAST(n AS BIGINT) AS n, {", ".join(_TREND_FINAL)}
+      FROM f WHERE den != 0
     )
-    SELECT user_id, CAST(n AS BIGINT) AS n,
-      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
-      (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    SELECT user_id, n,
+      (num_d / den_d) * 864000000.0 AS slope_per_day,
+      (sy_d / 100.0
+        - (num_d / den_d) * 864000000.0 * (sx_d / 86400000000.0)) / n
         AS intercept
-    FROM s
-    WHERE n >= {TREND_MIN_EVENTS} AND n * sxx - sx * sx != 0
+    FROM g
     ORDER BY user_id
     """,
 )
@@ -744,39 +781,47 @@ def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope/intercept from sufficient statistics (n, Sx, Sy, Sxy, Sxx),
     the per-entity regression a feature store maintains without ever
     materializing per-entity series. One map-side-combined shuffle
-    carries all five moments; the x axis is days since the corpus
-    minimum (bounded magnitude, so the decimal moment sums cannot
-    overflow), anchored by a single-row broadcast. Moments use the
-    exact-decimal-sum idiom, making the downstream IEEE arithmetic
-    bit-identical cross-engine — same recipe as the distributed
-    Pearson corr (q_lineitem_corr)."""
+    carries all five moments, anchored by a single-row broadcast.
+
+    Exactness (rebuilt after the sf1 sweep caught last-ulp drift in
+    the old double-moment form): x is exact MICROSECONDS since the
+    corpus minimum, y exact CENTS, so every moment and the closed-form
+    numerator/denominator are exact 128-bit integers — order-
+    independent, overflow-safe to ~1e6 events/user (n*sxx < 1e38) —
+    and the day/value rescaling happens in ONE token-identical IEEE
+    chain at the end."""
     e = _t(spark, sf_dir, "events")
     us = event_us(e)
     mn = e.agg(F.min(us).alias("mn"))
-    x = ((us - F.col("mn")).cast("double") / 86400000000.0).alias("x")
     d = e.crossJoin(F.broadcast(mn)).select(
-        "user_id", x, F.col("value").alias("y")
+        "user_id",
+        (us - F.col("mn")).cast("decimal(38,0)").alias("x"),
+        F.expr(
+            "cast(floor(value * 100 + 0.5) as decimal(38,0))"
+        ).alias("y"),
     )
     s = d.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(F.col("x"), "sx", 6),
-        dsum(F.col("y"), "sy", 6),
-        dsum(F.col("x") * F.col("y"), "sxy", 6),
-        dsum(F.col("x") * F.col("x"), "sxx", 6),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
     )
-    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
-    denom = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / denom
-    return (
-        s.filter((n >= TREND_MIN_EVENTS) & (denom != 0))
-        .select(
-            "user_id",
-            n.cast("long").alias("n"),
-            slope.alias("slope_per_day"),
-            ((sy - slope * sx) / n).alias("intercept"),
-        )
-        .transform(ordered, "user_id")
+    f = s.filter(F.col("n") >= TREND_MIN_EVENTS).selectExpr(
+        "user_id", "n", "sx", "sy",
+        "CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num",
+        "CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den",
     )
+    g = f.filter(F.col("den") != 0).selectExpr(
+        "user_id", "CAST(n AS BIGINT) AS n", *_TREND_FINAL
+    )
+    return g.selectExpr(
+        "user_id", "n",
+        "(num_d / den_d) * 864000000.0 AS slope_per_day",
+        "(sy_d / 100.0"
+        " - (num_d / den_d) * 864000000.0 * (sx_d / 86400000000.0)) / n"
+        " AS intercept",
+    ).transform(ordered, "user_id")
 
 
 # ---------------------------------------------------------------------------

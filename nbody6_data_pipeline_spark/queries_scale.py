@@ -1946,8 +1946,18 @@ def _cov_oracle() -> str:
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
     SELECT s.i, s.j, n.n, s.sij, mi.si AS si, mj.si AS sj,
-           CAST(CAST(n.n AS HUGEINT) * s.sij
-                - CAST(mi.si AS HUGEINT) * mj.si AS DOUBLE) AS cov_num
+           -- sign-split: DuckDB's NEGATIVE hugeint -> double cast is
+           -- not correctly rounded past 2^53 (75/2080 rows were 1 ulp
+           -- off at sf1; positives and Spark's decimal cast are
+           -- correct), so negate-before-cast — negation of a 128-bit
+           -- integer and of a double are both exact
+           (CASE WHEN CAST(n.n AS HUGEINT) * s.sij
+                      - CAST(mi.si AS HUGEINT) * mj.si < 0
+                 THEN -CAST(-(CAST(n.n AS HUGEINT) * s.sij
+                              - CAST(mi.si AS HUGEINT) * mj.si) AS DOUBLE)
+                 ELSE CAST(CAST(n.n AS HUGEINT) * s.sij
+                           - CAST(mi.si AS HUGEINT) * mj.si AS DOUBLE)
+            END) AS cov_num
     FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i, n
     ORDER BY s.i, s.j
     """
@@ -1963,9 +1973,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch — 4096 partial rows per PARTITION cross the wire, never the
     corpus), and the scaled covariance numerator n*Sij - Si*Sj is
     assembled in 128-bit integer arithmetic (DECIMAL(38,0) /
-    HUGEINT). The final cast to double is of an exact INTEGER, which
-    both engines round identically — the scaled-decimal pitfall the
-    cluster-quality query documents does not apply. The OLS recipe's
+    HUGEINT). The final cast to double is of an exact INTEGER —
+    correctly rounded in Spark and, after the oracle's sign-split (the
+    sf1 sweep found DuckDB's negative-HUGEINT cast off by 1 ulp past
+    2^53), in DuckDB too. The OLS recipe's
     moment-sum design at matrix scale: the statistics merge across
     shards/days by addition.
 

@@ -801,26 +801,32 @@ def _lift_oracle() -> str:
       FROM li
     ),
     per AS (
+      -- rev is EXACTLY 4 decimal places (2dp price x 2dp discount),
+      -- so rev * 10000 is an exact int64 (sf ~3000 before overflow):
+      -- int64 -> double is a single correctly-rounded hardware
+      -- conversion in BOTH engines, unlike DuckDB's scaled-decimal ->
+      -- double (two roundings, 1 ulp off past 2^53 — the sf1 lesson)
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(rev) AS DECIMAL(38,6)) AS rev
+             CAST(SUM(rev) * 10000 AS BIGINT) AS rev_e4
       FROM binned GROUP BY bin
     ),
     cum AS (
-      SELECT bin, n, rev,
+      SELECT bin, n, rev_e4,
         CAST(SUM(n) OVER (ORDER BY bin DESC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS cum_n,
-        CAST(SUM(rev) OVER (ORDER BY bin DESC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          AS DECIMAL(38,6)) AS cum_rev,
+        CAST(SUM(rev_e4) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_rev_e4,
         CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
-        CAST(SUM(rev) OVER () AS DECIMAL(38,6)) AS tot_rev
+        CAST(SUM(rev_e4) OVER () AS BIGINT) AS tot_rev_e4
       FROM per
     )
-    SELECT bin, n, CAST(rev AS DOUBLE) AS revenue,
-      CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS cum_capture,
-      (CAST(cum_rev AS DOUBLE) / cum_n)
-        / (CAST(tot_rev AS DOUBLE) / tot_n) AS cum_lift
+    SELECT bin, n, rev_e4 AS revenue_e4,
+      CAST(cum_rev_e4 AS DOUBLE) / CAST(tot_rev_e4 AS DOUBLE)
+        AS cum_capture,
+      (CAST(cum_rev_e4 AS DOUBLE) / cum_n)
+        / (CAST(tot_rev_e4 AS DOUBLE) / tot_n) AS cum_lift
     FROM cum
     ORDER BY bin
     """
@@ -841,9 +847,12 @@ def q_lineitem_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. The cumulative windows then run over the 10-row
     decile table (|deciles| rows regardless of data size).
 
-    Exactness: revenue rides DECIMAL end-to-end; capture and lift are
-    short chains of correctly-rounded double ops on identical exact
-    operands with token-identical expression text in both engines."""
+    Exactness: revenue rides DECIMAL into an exact e4 BIGINT (rev has
+    exactly 4 decimal places); capture and lift are short chains of
+    correctly-rounded double ops on identical exact int64 operands
+    with token-identical expression text in both engines — int64 ->
+    double is hardware-correct rounding in both, where DuckDB's
+    scaled-decimal -> double is 1 ulp off past 2^53 (sf1 lesson)."""
     from nbody6_data_pipeline_spark.operators.ranking import with_exact_ntile
 
     li = (
@@ -875,7 +884,10 @@ def q_lineitem_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rev").cast("decimal(38,6)").alias("rev"),
+        # exact e4 integer (see oracle comment): rev has exactly 4
+        # decimal places, so this BIGINT is exact and its -> double
+        # conversion is a single hardware-correct rounding
+        (F.sum("rev") * 10000).cast("bigint").alias("rev_e4"),
     )
     # cumulative-from-top over the |deciles|-row aggregate — bounded
     # input, safe single-partition window at any scale
@@ -888,19 +900,20 @@ def q_lineitem_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = per.select(
         "bin",
         "n",
-        "rev",
+        "rev_e4",
         F.sum("n").over(wd).cast("long").alias("cum_n"),
-        F.sum("rev").over(wd).cast("decimal(38,6)").alias("cum_rev"),
+        F.sum("rev_e4").over(wd).cast("long").alias("cum_rev_e4"),
         F.sum("n").over(wall).cast("long").alias("tot_n"),
-        F.sum("rev").over(wall).cast("decimal(38,6)").alias("tot_rev"),
+        F.sum("rev_e4").over(wall).cast("long").alias("tot_rev_e4"),
     )
     return cum.selectExpr(
         "bin",
         "n",
-        "CAST(rev AS DOUBLE) AS revenue",
-        "CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS cum_capture",
-        "(CAST(cum_rev AS DOUBLE) / cum_n)"
-        " / (CAST(tot_rev AS DOUBLE) / tot_n) AS cum_lift",
+        "rev_e4 AS revenue_e4",
+        "CAST(cum_rev_e4 AS DOUBLE) / CAST(tot_rev_e4 AS DOUBLE)"
+        " AS cum_capture",
+        "(CAST(cum_rev_e4 AS DOUBLE) / cum_n)"
+        " / (CAST(tot_rev_e4 AS DOUBLE) / tot_n) AS cum_lift",
     ).transform(ordered, "bin")
 
 

@@ -29,18 +29,39 @@ TABLES = (
 ).split()
 
 
-def time_query(sql: str, sf_dir: str) -> float:
+def time_query(sql: str, sf_dir: str, timeout: float = 0.0) -> float:
+    """Seconds for one fresh-connection execution; -1.0 if the
+    ``timeout`` watchdog interrupted it (sf1+ baselines: a quadratic
+    heavy must cost a bounded, RECORDED timeout, not the whole run)."""
     con = duckdb.connect()
+    timer = None
+    fired: list = []
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
+        if timeout > 0:
+            import threading
+
+            def _kill():
+                fired.append(True)
+                con.interrupt()
+
+            timer = threading.Timer(timeout, _kill)
+            timer.start()
         t0 = time.perf_counter()
-        con.sql(sql).fetchall()
+        try:
+            con.sql(sql).fetchall()
+        except duckdb.Error:
+            if fired:
+                return -1.0
+            raise
         return time.perf_counter() - t0
     finally:
+        if timer is not None:
+            timer.cancel()
         con.close()
 
 
@@ -51,6 +72,11 @@ def main() -> None:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    timeout = 0.0
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        timeout = float(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     only = set(args[1:])
 
@@ -58,9 +84,16 @@ def main() -> None:
 
     oracles = entrymod.oracle_sql()
     timings: dict[str, float] = {}
+    timeouts: list[str] = []
     for name in sorted(only or oracles):
         try:
-            timings[name] = round(time_query(oracles[name], sf_dir), 3)
+            t = round(time_query(oracles[name], sf_dir, timeout), 3)
+            if t < 0:
+                timeouts.append(name)
+                timings[name] = None
+                print(f"TIMEOUT {name} (> {timeout:.0f}s)", file=sys.stderr)
+                continue
+            timings[name] = t
             print(f"{name}: {timings[name]}s", file=sys.stderr)
         except Exception as e:  # a broken oracle must be loud, not timed
             print(f"FAIL {name}: {e}", file=sys.stderr)
@@ -69,7 +102,10 @@ def main() -> None:
     out = {
         "total_sec": round(sum(ok.values()), 3),
         "n_queries": len(ok),
-        "n_failed": len(timings) - len(ok),
+        "n_failed": len(timings) - len(ok) - len(timeouts),
+        "n_timeout": len(timeouts),
+        "timeout_sec": timeout or None,
+        "timeouts": timeouts,
         "sf_dir": sf_dir,
         "duckdb_version": duckdb.__version__,
         "queries": timings,

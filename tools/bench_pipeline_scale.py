@@ -106,6 +106,21 @@ def layer_metrics(spark, group: str) -> dict:
     return layers
 
 
+def _driver_rss_mb() -> float:
+    """Current resident set of the Python driver process, in MB."""
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return round(int(line.split()[1]) / 1024, 1)
+    return -1.0
+
+
+def _driver_peak_rss_mb() -> float:
+    import resource
+
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+
 def bench_grid(spark, n_runs: int) -> dict:
     from nbody6_data_pipeline_spark.pipeline import process_all_batched
     from tests.nbody6_fixtures import write_run
@@ -135,6 +150,14 @@ def bench_grid(spark, n_runs: int) -> dict:
             "coords": len(COORDS),
             "wall_sec": round(wall, 3),
             "jobs": jobs,
+            # driver-memory evidence for the round-9 executor-side
+            # alignment (>100 runs moves the per-run timestamp lists
+            # off the driver): current Python-driver RSS after the leg
+            # plus the process-lifetime peak (ru_maxrss is monotone, so
+            # only its FIRST crossing attributes; rss_mb is the
+            # per-size signal)
+            "driver_rss_mb": _driver_rss_mb(),
+            "driver_peak_rss_mb": _driver_peak_rss_mb(),
         }
         try:
             rec["layers"] = layer_metrics(spark, group)
