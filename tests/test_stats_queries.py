@@ -322,9 +322,10 @@ def test_decile_lift_invariants(spark):
     # capture decreases as bins are excluded (revenue is positive)
     caps = [r.cum_capture for r in rows]
     assert all(a > b for a, b in zip(caps, caps[1:]))
-    # per-decile revenue reconciles with the cumulative total
-    total_rev = sum(r.revenue for r in rows)
-    assert abs(total_rev - rows[0].cum_capture * total_rev) < 1e-6
+    # per-decile revenue (exact e4 integers) reconciles with the
+    # cumulative total
+    total_rev = sum(r.revenue_e4 for r in rows)
+    assert total_rev == round(rows[0].cum_capture * total_rev)
     assert tot > 0
 
 
