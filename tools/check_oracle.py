@@ -88,6 +88,14 @@ def duck_run(sql: str, sf_dir: str, want_df=False, timeout: float = 0.0):
     except duckdb.Error as e:
         if fired:
             raise OracleTimeout(f"oracle exceeded {timeout:.0f}s budget")
+        if "No space left on device" in str(e):
+            # same budget class as the timeout: a quadratic/recursive
+            # oracle that spills past the machine's free disk is
+            # infeasible AT THIS SCALE, not wrong (graph_kcore_peel's
+            # recursive CTE spills >79 GB at sf1) — degrade to a
+            # documented rows-only record
+            raise OracleTimeout("oracle exceeded the disk budget "
+                                "(DuckDB temp spill filled the device)")
         raise e
     finally:
         if timer is not None:
