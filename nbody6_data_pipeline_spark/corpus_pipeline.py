@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
     connected_components,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -79,15 +80,21 @@ def tokenset_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
 
-def neardup_losers(docs: DataFrame) -> DataFrame:
+def neardup_losers(docs: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """(doc_id, dup_of) for every doc that loses its near-dup cluster:
     MinHash-LSH candidates -> exact Jaccard verify -> connected
     components; the lowest doc_id in each cluster keeps, the rest map
     to it. Exposed separately so the delta path can record dedup
-    PROVENANCE (why a doc was dropped) without recomputing."""
+    PROVENANCE (why a doc was dropped) without recomputing.
+
+    ``bands``: optional precomputed ``minhash_bands(docs, ...)`` (the
+    corpus paths localCheckpoint it so the expensive signature pass is
+    shared with the bucket-cap telemetry recorded in the manifest)."""
+    if bands is None:
+        bands = minhash_bands(docs, F.col("text"), "doc_id")
     pairs = (
         jaccard_verify(
-            lsh_candidate_pairs(minhash_bands(docs, F.col("text"), "doc_id")),
+            lsh_candidate_pairs(bands),
             docs,
             F.col("text"),
             "doc_id",
@@ -105,11 +112,13 @@ def neardup_losers(docs: DataFrame) -> DataFrame:
     )
 
 
-def neardup_dedup(docs: DataFrame) -> DataFrame:
+def neardup_dedup(docs: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidates -> exact Jaccard verify -> connected
     components -> keep the lowest doc_id per near-dup cluster."""
     return docs.join(
-        neardup_losers(docs).select("doc_id"), "doc_id", "left_anti"
+        neardup_losers(docs, bands=bands).select("doc_id"),
+        "doc_id",
+        "left_anti",
     )
 
 
@@ -144,6 +153,39 @@ def _write_indexes(docs: DataFrame, out_dir: str, mode: str) -> None:
     )
 
 
+def _lsh_cap_telemetry(bands: DataFrame) -> dict:
+    """EXACT bucket-cap telemetry for the manifest: one cheap
+    aggregation over the (materialized) band table, counting the rows
+    and buckets the ``LSH_BUCKET_CAP`` in ``lsh_candidate_pairs`` will
+    drop. Computed as its own job rather than a ``.observe()`` on the
+    dedup plan because Spark 4.1's observed-metrics row is corrupt
+    when the observed RESULT is empty (toPyRow assertion, even with
+    AQEPropagateEmptyRelation excluded) — and a delta batch with zero
+    intra-delta near-dups is a completely normal case the production
+    manifest must survive."""
+    row = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("band_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > LSH_BUCKET_CAP, F.col("n"))),
+                F.lit(0),
+            ).alias("dropped_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > LSH_BUCKET_CAP, 1)), F.lit(0)
+            ).alias("dropped_buckets"),
+        )
+        .collect()[0]
+    )
+    return {
+        "cap": LSH_BUCKET_CAP,
+        "band_rows": int(row["band_rows"]),
+        "dropped_rows": int(row["dropped_rows"]),
+        "dropped_buckets": int(row["dropped_buckets"]),
+    }
+
+
 def build_training_corpus(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict:
@@ -162,7 +204,11 @@ def build_training_corpus(
     n_gated = gated.count()
 
     exact = tokenset_dedup(gated)
-    near = neardup_dedup(exact)
+    # bands materialized ONCE (localCheckpoint): shared by the dedup
+    # plan and the exact bucket-cap telemetry below, so the expensive
+    # minhash-signature pass runs a single time.
+    build_bands = minhash_bands(exact, F.col("text"), "doc_id").localCheckpoint()
+    near = neardup_dedup(exact, bands=build_bands)
     near.write.mode("overwrite").parquet(os.path.join(out_dir, "deduped"))
     near = spark.read.parquet(os.path.join(out_dir, "deduped"))
     n_deduped = near.count()
@@ -188,6 +234,11 @@ def build_training_corpus(
             "gated": n_gated,
             "deduped": n_deduped,
         },
+        # LSH bucket-cap telemetry (round-9 ADVICE): a band bucket
+        # larger than the cap is dropped before pair expansion — this
+        # records HOW MUCH was dropped so it is never silent. On every
+        # observed corpus dropped_buckets == 0.
+        "lsh_bucket_cap": _lsh_cap_telemetry(build_bands),
         "shards": [
             {
                 "shard": int(r["shard"]),
@@ -366,7 +417,12 @@ def update_training_corpus(
     # Loser pairs computed ONCE (checkpointed, loser-sized) and used
     # for both the survivor anti-join and the provenance log — running
     # neardup_dedup here would redo the whole LSH+verify for the log.
-    neardup_intra_drops = neardup_losers(fresh2).localCheckpoint()
+    intra_bands = minhash_bands(
+        fresh2, F.col("text"), "doc_id"
+    ).localCheckpoint()
+    neardup_intra_drops = neardup_losers(
+        fresh2, bands=intra_bands
+    ).localCheckpoint()
     survivors = fresh2.join(
         neardup_intra_drops.select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint()
@@ -394,7 +450,9 @@ def update_training_corpus(
             "after_exact_vs_corpus": n_after_exact,
             "after_neardup_vs_corpus": n_after_corpus,
             "appended": n_appended,
-        }
+        },
+        # intra-delta LSH bucket-cap telemetry (see build manifest)
+        "lsh_bucket_cap": _lsh_cap_telemetry(intra_bands),
     }
     with open(os.path.join(out_dir, manifest_name), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)

@@ -152,10 +152,19 @@ def align_runs(
         executor_side = len(runs.run_ids) > EXECUTOR_ALIGN_THRESHOLD
 
     if executor_side:
+        # persist: the mapping feeds 2 x n_files remap joins
+        # (headers+data per file), and without it EVERY downstream
+        # action would re-run the full union + per-run applyInPandas
+        # alignment — exactly at the >100-run scale this branch
+        # targets. The mapping is small (n_runs x n_files x
+        # n_snapshots skinny rows), MEMORY_AND_DISK by default; it is
+        # released by the session's next clearCache/checkpoint cycle
+        # (pipeline.py localCheckpoints the observed layer right
+        # after).
         mapping = union.groupBy("run_id").applyInPandas(
             _alignment_mapping_pdf(files, tolerance, allow_trim),
             "run_id string, file string, old_time double, ref_time double",
-        )
+        ).persist()
         force_broadcast = False
     else:
         ts_rows = (

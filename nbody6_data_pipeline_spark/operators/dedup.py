@@ -28,6 +28,12 @@ ROWS_PER_BAND = 3
 # min((A_j*h + B_j) mod P) for a 32-bit base hash h per shingle.
 # Constants fixed (numpy RandomState(42) draws), hardcoded so the
 # DuckDB oracle can embed the identical values.
+# Degenerate-band-bucket cap (see lsh_candidate_pairs): buckets with
+# more members than this are dropped before pair expansion. Named so
+# the DuckDB oracle SQL (queries_dedup._DD_PAIRS) and the corpus
+# manifest can embed the SAME value the engine computes with.
+LSH_BUCKET_CAP = 512
+
 MINHASH_P = 2_147_483_647
 MINHASH_A = [
     1608637543, 1273642420, 1935803229, 787846415, 996406379, 1201263688,
@@ -181,7 +187,7 @@ def minhash_bands(df: DataFrame, text: Column, id_col: str) -> DataFrame:
 
 def lsh_candidate_pairs(
     bands: DataFrame,
-    bucket_cap: int = 512,
+    bucket_cap: int = LSH_BUCKET_CAP,
     observation=None,
 ) -> DataFrame:
     """Band buckets -> distinct candidate pairs (doc_a < doc_b).
@@ -227,9 +233,15 @@ def lsh_candidate_pairs(
     if observation is not None:
         sized = sized.observe(
             observation,
-            F.count(F.lit(1)).alias("band_rows"),
-            F.sum(
-                F.when(F.col("_bsize") > bucket_cap, 1).otherwise(0)
+            # every metric coalesced to 0: on an EMPTY bands input the
+            # observed row carries NULLs (and count can be absent under
+            # AQE empty-relation propagation), which would blow up the
+            # int(...) consumers in tools/bench_heavy.py and the corpus
+            # manifest
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("band_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bsize") > bucket_cap, 1).otherwise(0)),
+                F.lit(0),
             ).alias("dropped_rows"),
             # COUNT(DISTINCT) is not allowed in observed metrics;
             # each dropped bucket contributes _bsize rows of weight

@@ -16,6 +16,7 @@ from nbody6_data_pipeline_spark.operators.dedup import (
     prefix_block_pairs,
     sorted_token_block_pairs,
     BANDS,
+    LSH_BUCKET_CAP,
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
@@ -67,11 +68,25 @@ def _dd_band_select(b: int) -> str:
 
 _DD_BANDS = " UNION ALL ".join(_dd_band_select(b) for b in range(BANDS))
 
+# Mirrors the engine's degenerate-bucket cap (dedup.LSH_BUCKET_CAP):
+# band buckets larger than the cap are dropped BEFORE pair expansion
+# in BOTH engines, so the oracle computes the same function as
+# lsh_candidate_pairs rather than an uncapped superset. The cap never
+# binds on the driver testdata (largest bucket ~151 docs on the skew
+# twin), so adding it changed no green result — it removes the
+# cap-vs-no-cap semantic gap the round-9 ADVICE flagged.
 _DD_PAIRS = f"""
     bands AS ({_DD_BANDS}),
+    kept_bands AS (
+      SELECT doc, band, band_hash FROM (
+        SELECT doc, band, band_hash,
+               COUNT(*) OVER (PARTITION BY band, band_hash) AS _bsize
+        FROM bands
+      ) WHERE _bsize <= {LSH_BUCKET_CAP}
+    ),
     pairs AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b
-      FROM bands a JOIN bands b
+      FROM kept_bands a JOIN kept_bands b
         ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
       GROUP BY doc_a, doc_b
     )

@@ -119,6 +119,16 @@ def get_spark(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v": session-creation confs for
+    # harnesses that wrap an existing entrypoint in a SUBPROCESS (the
+    # forced-spill sweep constrains spark.memory.fraction /
+    # shuffle.partitions around tools/check_oracle.py without forking
+    # its CLI). Applied before ``extra_conf`` so an explicit caller
+    # dict still wins.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

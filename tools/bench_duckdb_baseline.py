@@ -36,6 +36,8 @@ def time_query(sql: str, sf_dir: str, timeout: float = 0.0) -> float:
     con = duckdb.connect()
     timer = None
     fired: list = []
+    _closing: list = []
+    _lock = None
     try:
         for t in TABLES:
             con.execute(
@@ -45,9 +47,17 @@ def time_query(sql: str, sf_dir: str, timeout: float = 0.0) -> float:
         if timeout > 0:
             import threading
 
+            _lock = threading.Lock()
+
             def _kill():
-                fired.append(True)
-                con.interrupt()
+                # timer.cancel() cannot stop a callback already
+                # executing; the lock + _closing flag keep interrupt
+                # from racing con.close() (round-9 ADVICE).
+                with _lock:
+                    if _closing:
+                        return
+                    fired.append(True)
+                    con.interrupt()
 
             timer = threading.Timer(timeout, _kill)
             timer.start()
@@ -62,6 +72,8 @@ def time_query(sql: str, sf_dir: str, timeout: float = 0.0) -> float:
     finally:
         if timer is not None:
             timer.cancel()
+            with _lock:
+                _closing.append(True)
         con.close()
 
 

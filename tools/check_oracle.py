@@ -61,15 +61,25 @@ def duck_run(sql: str, sf_dir: str, want_df=False, timeout: float = 0.0):
         )
     timer = None
     fired = []
+    _closing = []
+    _lock = None
     if timeout > 0:
         # interrupt the oracle from a watchdog thread: large-sf sweeps
         # must degrade a quadratic DuckDB heavy to a documented
         # rows-only record, not hang the whole gate.
         import threading
 
+        _lock = threading.Lock()
+
         def _kill():
-            fired.append(True)
-            con.interrupt()
+            # timer.cancel() cannot stop a callback that already
+            # started; the lock + _closing flag guarantee interrupt
+            # never races con.close() (round-9 ADVICE).
+            with _lock:
+                if _closing:
+                    return
+                fired.append(True)
+                con.interrupt()
 
         timer = threading.Timer(timeout, _kill)
         timer.start()
@@ -100,6 +110,8 @@ def duck_run(sql: str, sf_dir: str, want_df=False, timeout: float = 0.0):
     finally:
         if timer is not None:
             timer.cancel()
+            with _lock:
+                _closing.append(True)
         con.close()
 
 
@@ -221,7 +233,11 @@ def main():
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
-            record[name] = {"rows_match": len(spark_rows) >= 0,
+            # rows_match is None, not True: the query RAN but was
+            # never compared against an oracle, and the artifact must
+            # say so (round-9 ADVICE — a trivially-true rows_match
+            # read as verification).
+            record[name] = {"rows_match": None,
                             "schema_match": None, "hash_match": None,
                             "spark_rows": len(spark_rows), "err": None,
                             "note": "rows-only (no oracle)"}
@@ -234,7 +250,7 @@ def main():
         except OracleTimeout as e:
             print(f"SKIP {name}: {e}; rows-only "
                   f"({len(spark_rows)} Spark rows, {time.time()-t0:.1f}s)")
-            record[name] = {"rows_match": len(spark_rows) >= 0,
+            record[name] = {"rows_match": None,
                             "schema_match": None, "hash_match": None,
                             "spark_rows": len(spark_rows), "err": None,
                             "note": f"rows-only ({e})"}
@@ -295,8 +311,14 @@ def main():
             for p in problems:
                 print(f"  {p}")
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed, "
-          f"{len(qs) - len(oracles)} rows-only")
+    # count rows-only from the records actually written: covers BOTH
+    # no-oracle queries and oracle-timeout degradations (round-9
+    # ADVICE — the old len(qs)-len(oracles) omitted timeouts).
+    n_rows_only = sum(
+        1 for r in record.values()
+        if str(r.get("note", "")).startswith("rows-only")
+    )
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_rows_only} rows-only")
     if json_out:
         import json
 

@@ -136,8 +136,21 @@ def measure_all(spark, sf_dir: str, k: int = 5, n_queries: int = 50):
 def main() -> None:
     from nbody6_data_pipeline_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a != "--budgets"]
-    write_budgets = "--budgets" in sys.argv[1:]
+    args = list(sys.argv[1:])
+    write_budgets = "--budgets" in args
+    if write_budgets:
+        args.remove("--budgets")
+    section = None
+    if "--budgets-section" in args:
+        # write the grid into tests/recall_budgets.json under
+        # sections[NAME] instead of replacing the default grid — how
+        # the large-N rows (sf1's 20k vectors, the 64x corpus's 128k)
+        # acquire their own committed floors without disturbing the
+        # original small-N gate (round-10 "recall at scale").
+        i = args.index("--budgets-section")
+        section = args[i + 1]
+        del args[i : i + 2]
+        write_budgets = True
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     k = int(args[1]) if len(args) > 1 else 5
 
@@ -157,11 +170,21 @@ def main() -> None:
             }
             for rec in records
         }
-        out = {"sf_dir": sf_dir, "n_queries_grid": 50, "budgets": budgets}
         path = "/root/repo/tests/recall_budgets.json"
+        if section is not None:
+            with open(path) as fh:
+                out = json.load(fh)
+            out.setdefault("sections", {})[section] = {
+                "sf_dir": sf_dir,
+                "n_queries_grid": 50,
+                "budgets": budgets,
+            }
+        else:
+            out = {"sf_dir": sf_dir, "n_queries_grid": 50, "budgets": budgets}
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
-        print(f"wrote {path} ({len(budgets)} configs)")
+        print(f"wrote {path} ({len(budgets)} configs"
+              f"{', section ' + section if section else ''})")
 
     for rec in records:
         print(json.dumps(rec))
