@@ -68,8 +68,11 @@ def main() -> None:
     # noisy scheduler hiccup otherwise lands permanently in the
     # record. Slowest-first so a hard wall guard (runaway machine, not
     # a budget) still repairs the worst entries before bailing.
+    # SPARK_GRAFT_BENCH_WALL: the sf1 full-registry artifact run needs
+    # a bigger second-pass budget than the driver's per-round default.
+    wall_guard = float(os.environ.get("SPARK_GRAFT_BENCH_WALL", "1200"))
     for name in sorted(timings, key=timings.get, reverse=True):
-        if time.perf_counter() - bench_start > 1200:
+        if time.perf_counter() - bench_start > wall_guard:
             break
         timings[name] = round(min(timings[name], run_once(name)), 3)
 
@@ -85,10 +88,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    out.update(bench_pipeline(spark))
-    out.update(bench_corpus(spark))
-    out.update(bench_streaming(spark))
-    out.update(bench_concurrency(spark, reg, timings))
+    # SPARK_GRAFT_BENCH_LEGS=none: query timings only — used by the
+    # sf1 full-registry artifact run, where re-running the whole
+    # registry a third time inside the concurrency leg would double
+    # the budget without adding decade evidence.
+    if os.environ.get("SPARK_GRAFT_BENCH_LEGS", "all") != "none":
+        out.update(bench_pipeline(spark))
+        out.update(bench_corpus(spark))
+        out.update(bench_streaming(spark))
+        out.update(bench_concurrency(spark, reg, timings))
     # The driver's stdout capture window is ~2000 chars; at 174 queries
     # the full per-query map alone is >4 KB, so it must never share
     # stdout with the parseable record (BENCH_r05/r06 were truncated to

@@ -132,26 +132,27 @@ def lsh_telemetry(spark, sf_dir: str) -> dict:
     }
 
 
-def main(factors):
+def main(factors, queries=None, runs=2):
     from nbody6_data_pipeline_spark.queries import ensure_confs, registry
     from nbody6_data_pipeline_spark.session import get_spark
 
+    heavy = queries or HEAVY
     spark = get_spark("bench_heavy")
     ensure_confs(spark)
     reg = registry()
     # warmup: run every heavy query once at 1x so JVM/codegen warmup
     # does not contaminate the first timed factor
     warm = stage_dir(spark, 1)
-    for name in HEAVY:
+    for name in heavy:
         reg[name]["spark"](spark, warm).collect()
     shutil.rmtree(warm, ignore_errors=True)
     results = []
     for factor in factors:
         sf_dir = stage_dir(spark, factor)
         timings = {}
-        for name in HEAVY:
+        for name in heavy:
             best = None
-            for _ in range(2):  # best-of-2 damps scheduler noise
+            for _ in range(runs):  # best-of-2 damps scheduler noise
                 spark.catalog.clearCache()  # queries may persist();
                 # a leaked cache from a prior run would thrash the JVM
                 t0 = time.time()
@@ -173,12 +174,25 @@ def main(factors):
             "time_factor": round(z["total_sec"] / a["total_sec"], 2),
             "per_query_factor": {
                 q: round(z["queries"][q] / max(a["queries"][q], 1e-9), 2)
-                for q in HEAVY
+                for q in heavy
             },
         }))
     spark.stop()
 
 
 if __name__ == "__main__":
-    factors = [int(s) for s in sys.argv[1:]] or [1, 4]
-    main(factors)
+    args = list(sys.argv[1:])
+    queries = None
+    if "--queries" in args:
+        # comma-separated subset: the 256x decade point runs only the
+        # ~10 architecture-dominated heavies (the full list at that
+        # factor would spend hours re-proving already-linear queries)
+        i = args.index("--queries")
+        queries = args[i + 1].split(",")
+        del args[i : i + 2]
+    runs = 2
+    if "--once" in args:
+        args.remove("--once")
+        runs = 1
+    factors = [int(s) for s in args] or [1, 4]
+    main(factors, queries=queries, runs=runs)
