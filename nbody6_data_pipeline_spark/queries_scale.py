@@ -2178,19 +2178,36 @@ def q_lineitem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u = _BOOT_U.format(hv=_boot_hv_spark("rep_i"))
-    w = _BOOT_W.format(u=u)
+    # Project the salted hash -> uniform -> Poisson weight ONCE per
+    # (row, replica) BEFORE the aggregation. Inlining the weight CASE
+    # into both SUMs expands the md5/conv subtree into every WHEN
+    # branch of every aggregate copy (144 md5 nodes in the physical
+    # plan): the generated whole-stage code blew past Janino's
+    # comfortable size and its first-run compile cost ~130-150 s
+    # (steady-state 8 s) at any scale factor. With the weight as a
+    # projected column the aggregate consumes one INT column; same
+    # expression tree per value, bit-identical results (guide §4.4
+    # duplicated-evaluation / §2.3 project-before-exchange).
+    w = _BOOT_W.format(u="_u")
     rep = (
         li.select(
             "*",
             F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("rep_i"),
         )
+        .select("*", F.expr(u).alias("_u"))
+        .select(
+            "l_returnflag",
+            "rep_i",
+            "l_extendedprice",
+            F.expr(w).alias("_w"),
+        )
         .groupBy("l_returnflag", "rep_i")
         .agg(
             F.expr(
-                f"CAST(SUM({w} * CAST(l_extendedprice AS DECIMAL(30,6)))"
+                "CAST(SUM(_w * CAST(l_extendedprice AS DECIMAL(30,6)))"
                 " AS DOUBLE)"
             ).alias("wsum"),
-            F.expr(f"CAST(SUM({w}) AS BIGINT)").alias("wn"),
+            F.expr("CAST(SUM(_w) AS BIGINT)").alias("wn"),
         )
     )
     means = rep.selectExpr(
