@@ -20,9 +20,10 @@ propagation).
 Scale shape (deliberately NOT the naive unrolled-join plan):
 
 - The static side — each edge with its source's out-degree — is built
-  with ONE pass (window count over the partition-by-src shuffle) and
-  materialized once via localCheckpoint, truncating lineage so the
-  three iteration plans stay flat (same idiom as
+  from a map-side-combined degree aggregate joined back onto the edges
+  (broadcast when the |V|-sized degree table fits; never a full-edge
+  window sort) and materialized once via localCheckpoint, truncating
+  lineage so the three iteration plans stay flat (same idiom as
   `operators/dedup.connected_components`).
 - The per-node rank state is |V| rows, orders of magnitude smaller
   than |E|, so each iteration joins the rank table against the cached
@@ -49,7 +50,6 @@ relational tables, e.g. the customer<->supplier fulfilment graph).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 RANK_SCALE = 1_000_000_000_000  # integer mass units per node
@@ -131,12 +131,18 @@ def pagerank_fixed(
     edges = edges.select("src", "dst")
     if not assume_distinct:
         edges = edges.distinct()
-    # One pass folds out-degree onto each edge (window count over the
-    # src hash-partitioning); localCheckpoint materializes it and cuts
-    # the lineage feeding the iteration chain.
-    ce = edges.withColumn(
-        "out_deg", F.count("*").over(W.partitionBy("src"))
-    ).localCheckpoint()
+    # Fold out-degree onto each edge via a map-side-combined degree
+    # aggregate (|V|-sized) joined back, instead of a window count
+    # over the src partitioning: the window shuffles AND sorts the
+    # full edge list, while the degree table broadcasts below the
+    # session threshold (AQE picks the strategy from the REAL degree
+    # size at runtime, so a billion-node degree table still plans a
+    # shuffle join — guide §2.4/§3.1). NULL-src edges drop in both
+    # engines: the oracle's deg CTE is an INNER JOIN on src too.
+    # localCheckpoint materializes the result and cuts the lineage
+    # feeding the iteration chain.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ce = edges.join(deg, "src").localCheckpoint()
 
     # Iteration 1 against uniform ranks is a pure aggregation.
     contribs = ce.groupBy("dst").agg(
@@ -207,9 +213,11 @@ def personalized_pagerank(
     edges = edges.select("src", "dst")
     if not assume_distinct:
         edges = edges.distinct()
-    ce = edges.withColumn(
-        "out_deg", F.count("*").over(W.partitionBy("src"))
-    ).localCheckpoint()
+    # degree aggregate + join instead of a window count — same
+    # rationale as pagerank_fixed (no full-edge sort; AQE broadcasts
+    # the |V|-sized degree table when it fits)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ce = edges.join(deg, "src").localCheckpoint()
     nodes = (
         ce.select(F.col("src").alias("node"))
         .distinct()
@@ -319,17 +327,27 @@ def bfs_layers(
     newly-discovered nodes, the anti-join against the visited set
     guarantees each node is emitted at its MINIMUM distance exactly
     once (the same semantics as a depth-bounded recursive-CTE UNION
-    followed by MIN(dist) — the DuckDB oracle shape). Each level's
-    frontier and visited set are localCheckpointed: they are re-read
-    by every later level, and without the cut the lineage re-derives
-    all previous levels per round (the kcore_peel lesson). At 100 TB
-    the joins shuffle on node id; visited never exceeds the node
-    count and the frontier usually SHRINKS after the graph's
-    effective diameter."""
-    visited = seeds.select("node").distinct().select(
+    followed by MIN(dist) — the DuckDB oracle shape).
+
+    Materialization discipline: ``edges`` is localCheckpointed ONCE at
+    entry — the per-level frontier join re-reads it every round, and
+    without the cut the whole upstream edge build (scan + join +
+    distinct at 100 TB) re-executes per level (3x the build's shuffle
+    for a depth-3 BFS — measured ~28 MB of a 87 MB total at sf0.1).
+    Each level checkpoints only its NEWLY-discovered frontier; the
+    visited set is kept as a UNION of the per-level checkpoints
+    instead of being re-materialized whole every level, so a node's
+    bytes are written once at its discovery depth, not once per
+    remaining level. At 100 TB the joins shuffle on node id; visited
+    never exceeds the node count and the frontier usually SHRINKS
+    after the graph's effective diameter."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    seed_layer = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint()
-    frontier = visited.select("node")
+    layers = [seed_layer]
+    frontier = seed_layer.select("node")
+    visited_nodes = frontier
     for depth in range(1, max_depth + 1):
         nxt = (
             edges.join(
@@ -343,11 +361,15 @@ def bfs_layers(
             # one at its minimum distance
             .filter(F.col("node").isNotNull())
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .localCheckpoint()
         )
-        visited = visited.unionByName(
+        layers.append(
             nxt.select("node", F.lit(depth).cast("long").alias("dist"))
-        ).localCheckpoint()
+        )
+        visited_nodes = visited_nodes.unionByName(nxt)
         frontier = nxt
+    visited = layers[0]
+    for layer in layers[1:]:
+        visited = visited.unionByName(layer)
     return visited

@@ -144,24 +144,25 @@ def fulfilment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph query on this schema so the builds cannot drift. orders
     (2 pruned columns) is broadcast-sized at any realistic
     order/lineitem ratio -> the fact table never shuffles for the
-    join; symmetrization happens BEFORE the dedup by exploding each
-    fulfilment into both directed edges, so the whole build is
-    scan -> broadcast join -> explode -> ONE distinct shuffle."""
+    join; the DEDUP runs on the forward (customer->supplier) list only
+    and the reverse direction is mirrored afterwards — customers are
+    even ids and suppliers odd, so the two directions are disjoint by
+    parity and the mirrored union of a distinct forward list is
+    already distinct. The distinct Exchange therefore carries HALF the
+    rows of the old explode-both-directions-then-dedup shape (guide
+    §2.3 shuffle fewer bytes), and ReuseExchange lets the mirror
+    branch read the same shuffle output instead of recomputing the
+    scan+join."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     c, s = (F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1)
-    return (
+    fwd = (
         li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(c.alias("src"), s.alias("dst")),
-                    F.struct(s.alias("src"), c.alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
+        .select(c.alias("src"), s.alias("dst"))
         .distinct()
+    )
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
