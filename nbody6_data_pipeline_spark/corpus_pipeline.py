@@ -92,13 +92,12 @@ def neardup_losers(docs: DataFrame, bands: DataFrame | None = None) -> DataFrame
     shared with the bucket-cap telemetry recorded in the manifest)."""
     if bands is None:
         bands = minhash_bands(docs, F.col("text"), "doc_id")
+    # persist: jaccard_verify consumes the candidate pairs three times
+    # (two semi-join id sides + the pair join); unpersisted, each
+    # reference re-runs the band-bucket expansion
+    cand = lsh_candidate_pairs(bands).persist()
     pairs = (
-        jaccard_verify(
-            lsh_candidate_pairs(bands),
-            docs,
-            F.col("text"),
-            "doc_id",
-        )
+        jaccard_verify(cand, docs, F.col("text"), "doc_id")
         .filter(F.col("jaccard") >= NEARDUP_JACCARD)
         .select("doc_a", "doc_b")
     )
@@ -369,6 +368,9 @@ def update_training_corpus(
     delta_bands = minhash_bands(fresh, F.col("text"), "doc_id").persist()
     _swap_heal(os.path.join(out_dir, "bands"))
     band_index = spark.read.parquet(os.path.join(out_dir, "bands"))
+    # persist: consumed by the corpus-candidate semi-join AND three
+    # times inside jaccard_verify; unpersisted, each reference re-ran
+    # the delta-band x stored-band-index join (4 band-index scans)
     cand = (
         delta_bands.join(
             band_index.select(
@@ -378,7 +380,7 @@ def update_training_corpus(
         )
         .select(F.col("corpus_doc").alias("doc_a"), F.col("doc").alias("doc_b"))
         .distinct()
-    )
+    ).persist()
     corpus_candidates = spark.read.parquet(
         os.path.join(out_dir, "shards")
     ).join(

@@ -164,13 +164,20 @@ def exact_duplicates(df: DataFrame, text: Column, id_col: str) -> DataFrame:
     )
 
 
-def minhash_bands(df: DataFrame, text: Column, id_col: str) -> DataFrame:
+def minhash_bands(
+    df: DataFrame, text: Column, id_col: str, sig: DataFrame | None = None
+) -> DataFrame:
     """Per-document LSH band hashes: (id, band, band_hash) rows.
 
     Documents sharing any band hash are near-duplicate candidates.
     Band hash = md5 of the concatenated signature rows in that band.
+
+    ``sig``: optionally pass an existing ``minhash_signatures(df, ...)``
+    result (e.g. persisted because the caller also consumes the raw
+    signatures) so the shingle+hash pipeline is not built twice.
     """
-    sig = minhash_signatures(df, text, id_col)
+    if sig is None:
+        sig = minhash_signatures(df, text, id_col)
     band_cols = []
     for b in range(BANDS):
         parts = [f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]

@@ -133,8 +133,13 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     full near-dup pipeline: generate candidates cheaply, verify
     exactly only within candidates)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id"))
-    return jaccard_verify(pairs, d, F.col("text"), "doc_id").transform(ordered, 
+    # persist: jaccard_verify consumes `pairs` three times (both id
+    # sides of its semi-join plus the final pair join); unpersisted,
+    # each reference re-ran the whole signature->band->bucket pipeline
+    pairs = lsh_candidate_pairs(
+        minhash_bands(d, F.col("text"), "doc_id")
+    ).persist()
+    return jaccard_verify(pairs, d, F.col("text"), "doc_id").transform(ordered,
         "doc_a", "doc_b"
     )
 
@@ -1225,13 +1230,14 @@ def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # persist the candidate pairs: jaccard_verify consumes them three
+    # times (two semi-join id sides + the pair join), and unpersisted
+    # each reference re-ran the signature->band->bucket pipeline
+    cand = lsh_candidate_pairs(
+        minhash_bands(d, F.col("text"), "doc_id")
+    ).persist()
     pairs = (
-        jaccard_verify(
-            lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id")),
-            d,
-            F.col("text"),
-            "doc_id",
-        )
+        jaccard_verify(cand, d, F.col("text"), "doc_id")
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")
     )
@@ -1612,8 +1618,18 @@ def q_doc_minhash_jaccard_estimate(
     )
 
     d = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, F.col("text"), "doc_id")
-    pairs = lsh_candidate_pairs(minhash_bands(d, F.col("text"), "doc_id"))
+    # The signature table is consumed three ways (both sides of the
+    # estimate join + the band build): persist it so the shingle+md5
+    # pipeline runs ONCE, and derive the bands from the same cached
+    # signatures instead of a second full signature build (the before
+    # plan re-ran the documents scan + shingling 20x; guide §2.4).
+    # `pairs` similarly feeds the estimate join and all three
+    # references inside jaccard_verify — it is candidate-pair-sized
+    # (tiny next to the corpus), so persist it too.
+    sig = minhash_signatures(d, F.col("text"), "doc_id").persist()
+    pairs = lsh_candidate_pairs(
+        minhash_bands(d, F.col("text"), "doc_id", sig=sig)
+    ).persist()
     agree = sum(
         F.when(F.col(f"a.mh_{j}") == F.col(f"b.mh_{j}"), 1).otherwise(0)
         for j in range(NUM_HASHES)

@@ -1030,12 +1030,25 @@ def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", event_us(ev).alias("us"), "user_id"
     )
     keyed = withus.selectExpr("event_type", f"{_AKEY} AS akey")
+    # ONE events scan for the whole query: the distinct activity set
+    # feeds the sketch build, the type list, the exact counts AND both
+    # sides of the exact-intersection self-join — unpersisted, each of
+    # those five branches re-ran the scan+filter+distinct (the before
+    # plan held 24 parquet scans; guide §2.4 duplicated subtrees).
+    # Hashing after the distinct also computes |base| md5s instead of
+    # |events| — identical sketch input because KMV is a function of
+    # the DISTINCT hv set per type.
+    base = keyed.distinct().persist()
     sk = kmv_sketches(
-        keyed.select("event_type", hll_hash(F.col("akey")).alias("hv")),
+        base.select("event_type", hll_hash(F.col("akey")).alias("hv")),
         "event_type",
         "hv",
     ).withColumnRenamed("grp", "event_type")
-    types = keyed.select("event_type").distinct()
+    # the final per-type sketch is <= |types| x k rows: materialize it
+    # once (localCheckpoint) instead of re-running the mapInPandas
+    # prune for each of its four consumers (mu x2, mem x2)
+    sk = sk.localCheckpoint()
+    types = base.select("event_type").distinct()
     tp = (
         types.alias("a")
         .join(
@@ -1101,7 +1114,6 @@ def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_both"),
     )
-    base = keyed.distinct()
     ex = base.groupBy("event_type").agg(
         F.count("*").cast("long").alias("exact_n")
     )
@@ -2177,7 +2189,6 @@ def q_lineitem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
         )
     )
-    u = _BOOT_U.format(hv=_boot_hv_spark("rep_i"))
     # Project the salted hash -> uniform -> Poisson weight ONCE per
     # (row, replica) BEFORE the aggregation. Inlining the weight CASE
     # into both SUMs expands the md5/conv subtree into every WHEN
@@ -2188,9 +2199,28 @@ def q_lineitem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projected column the aggregate consumes one INT column; same
     # expression tree per value, bit-identical results (guide §4.4
     # duplicated-evaluation / §2.3 project-before-exchange).
+    #
+    # Two more per-row constants are hoisted ABOVE the 64-way explode
+    # (guide §2.3 project early): the md5 input's ':orderkey:linenum'
+    # suffix (two casts + two concats per row instead of per
+    # row-replica) and the DECIMAL(30,6) price cast (the BigDecimal
+    # allocation is 64x cheaper before the explode; the multiply
+    # consumes the identical decimal value, so sums are bit-equal).
+    u = _BOOT_U.format(
+        hv="CAST(conv(substring(md5(CAST(rep_i AS STRING) || _sfx), 1, 15),"
+           " 16, 10) AS BIGINT)"
+    )
     w = _BOOT_W.format(u="_u")
+    base = li.select(
+        "l_returnflag",
+        F.expr(
+            "':' || CAST(l_orderkey AS STRING) || ':' || "
+            "CAST(l_linenumber AS STRING)"
+        ).alias("_sfx"),
+        F.expr("CAST(l_extendedprice AS DECIMAL(30,6))").alias("_pd"),
+    )
     rep = (
-        li.select(
+        base.select(
             "*",
             F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("rep_i"),
         )
@@ -2198,15 +2228,12 @@ def q_lineitem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "rep_i",
-            "l_extendedprice",
+            "_pd",
             F.expr(w).alias("_w"),
         )
         .groupBy("l_returnflag", "rep_i")
         .agg(
-            F.expr(
-                "CAST(SUM(_w * CAST(l_extendedprice AS DECIMAL(30,6)))"
-                " AS DOUBLE)"
-            ).alias("wsum"),
+            F.expr("CAST(SUM(_w * _pd) AS DOUBLE)").alias("wsum"),
             F.expr("CAST(SUM(_w) AS BIGINT)").alias("wn"),
         )
     )
@@ -2219,26 +2246,40 @@ def q_lineitem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = means.select(
         "l_returnflag", "m", F.row_number().over(wrk).alias("rk")
     )
-    lo = ranked.filter(F.col("rk") == 2).select(
-        "l_returnflag", F.col("m").alias("ci_lo")
+    # Both CI bounds come out of ONE pass over the ranked replica
+    # means: the old shape joined two separate filters (rk=2, rk=63)
+    # of `ranked`, and each broadcast branch re-executed the whole
+    # 64x-explode md5 pipeline — the plan held TWO identical
+    # Scan->Generate->HashAggregate->Window subtrees (the dominant
+    # cost twice; plans/r10/lineitem_bootstrap_ci_{before,after}.txt).
+    # A conditional pivot aggregation keeps one subtree (guide §2.4
+    # remove duplicated work outright rather than trusting runtime
+    # exchange reuse). Each flag group always ranks exactly _BOOT_B
+    # rows (every row explodes to all replicas), so both MAX(CASE)
+    # pick exactly one non-null value per flag — identical inner-join
+    # semantics, NULL flags dropped by the name join as before.
+    ci = (
+        ranked.filter(F.col("rk").isin(2, _BOOT_B - 1))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rk") == _BOOT_B - 1, F.col("m"))
+            ).alias("ci_hi"),
+        )
     )
-    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
-        F.col("l_returnflag").alias("_hf"), F.col("m").alias("ci_hi")
-    )
-    pt = li.groupBy("l_returnflag").agg(
-        (
-            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
-            .cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_price"),
+    # pt aggregates the SAME projected base (SUM(_pd) is exactly
+    # SUM(CAST(l_extendedprice AS DECIMAL(30,6)))), so its plan shares
+    # the spread-repartition exchange with the replica pipeline
+    # instead of re-scanning lineitem through a different projection.
+    pt = base.groupBy("l_returnflag").agg(
+        (F.sum("_pd").cast("double") / F.count(F.lit(1))).alias(
+            "mean_price"
+        ),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
     return (
-        pt.join(F.broadcast(lo), "l_returnflag")
-        .join(
-            F.broadcast(hi),
-            F.col("l_returnflag").eqNullSafe(F.col("_hf")),
-        )
+        pt.join(F.broadcast(ci), "l_returnflag")
         .select("l_returnflag", "n_rows", "mean_price", "ci_lo", "ci_hi")
         .transform(ordered, "l_returnflag")
     )

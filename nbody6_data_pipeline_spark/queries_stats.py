@@ -1644,8 +1644,19 @@ def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("m_dbl", F.col("monetary").cast("double"))
     )
-    binned = with_exact_ntile(c, ["recency_day", "custkey"], _RFM_N, "r")
-    binned = with_exact_ntile(binned, ["frequency", "custkey"], _RFM_N, "f")
+    # Each exact-NTILE pass reads its input TWICE (range-bucket count
+    # aggregate + the offsets join), so the unpersisted 3-pass chain
+    # re-executed the per-customer aggregate up to 2^3 times (16
+    # orders scans in the before plan — guide §2.4). Persisting each
+    # stage caps every pass at ONE execution; values are unchanged
+    # (persist is plan-transparent).
+    c = c.persist()
+    binned = with_exact_ntile(
+        c, ["recency_day", "custkey"], _RFM_N, "r"
+    ).persist()
+    binned = with_exact_ntile(
+        binned, ["frequency", "custkey"], _RFM_N, "f"
+    ).persist()
     binned = with_exact_ntile(binned, ["m_dbl", "custkey"], _RFM_N, "m")
     return (
         binned.groupBy("r", "f", "m")

@@ -624,17 +624,23 @@ def stage_late_arrival_files(spark: SparkSession, sf_dir: str) -> str:
     (md5 bucket < 8), 001 = an EMPTY heartbeat (commits the on-time
     watermark — see the module comment on the one-batch filter lag),
     002 = the remaining rows REPLAYED LATE. File-source ordering is
-    by modification time, pinned with fixed utimes. Raw schema is
-    preserved byte-for-byte (the slices are copies of the source
-    scan), so read_event_stream normalizes timestamps identically to
-    a direct read."""
+    by modification time, pinned with fixed utimes. The slices keep
+    the source's physical column TYPES (in particular ``ts``, so
+    read_event_stream normalizes timestamps identically to a direct
+    read) but carry ONLY the columns the windowed aggregation
+    consumes — the staging write is a deliberately single-task
+    one-file-per-slice encode, so pruning the payload halves what that
+    serial task serializes and what every micro-batch re-reads
+    (guide §2.3/§6)."""
     import os
     import shutil
     import tempfile
 
     from nbody6_data_pipeline_spark.queries import md5_bucket
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
     b = md5_bucket(F.col("event_id"), _LATE_BUCKETS)
     staging = tempfile.mkdtemp(prefix="late_stage_")
     slices = [
@@ -781,7 +787,14 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # project to the four columns the join consumes before the
+    # single-task staging writes (the stage_late_arrival_files
+    # rationale: the slice keeps ts's physical type, sheds the payload)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "event_type", "ts")
+    )
     staging = tempfile.mkdtemp(prefix="oj_stage_")
     try:
         slices = [
