@@ -567,6 +567,8 @@ def prefix_block_pairs(
     id_col: str,
     prefix_len: int = 16,
     block_cap: int = 64,
+    ids_only: bool = False,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for edit-distance fuzzy matching via prefix
     blocking: documents sharing their first ``prefix_len`` normalized
@@ -584,7 +586,13 @@ def prefix_block_pairs(
     Returns (id_a, id_b, text_a, text_b) with id_a < id_b.
     """
     return block_pairs(
-        df, text, id_col, lambda norm: F.substring(norm, 1, prefix_len), block_cap
+        df,
+        text,
+        id_col,
+        lambda norm: F.substring(norm, 1, prefix_len),
+        block_cap,
+        ids_only=ids_only,
+        normed=normed,
     )
 
 
@@ -594,6 +602,8 @@ def sorted_token_block_pairs(
     id_col: str,
     n_tokens: int = 3,
     block_cap: int = 64,
+    ids_only: bool = False,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Second blocking key for fuzzy matching: the first ``n_tokens``
     of the SORTED token multiset. Catches near-identical texts whose
@@ -609,6 +619,8 @@ def sorted_token_block_pairs(
             F.slice(F.sort_array(F.split(norm, " ")), 1, n_tokens), " "
         ),
         block_cap,
+        ids_only=ids_only,
+        normed=normed,
     )
 
 
@@ -618,28 +630,55 @@ def block_pairs(
     id_col: str,
     block_key,
     block_cap: int = 64,
+    ids_only: bool = False,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Shared candidate-pair core for any blocking key (a callable from
-    the normalized-text column to the key column)."""
+    the normalized-text column to the key column).
+
+    ``ids_only=True`` emits (id_a, id_b) without the texts: the block
+    shuffle then carries only (block key, id) — a few dozen bytes per
+    document instead of the full normalized text. Multi-key callers
+    that must DEDUP the union of several keys' candidates want this
+    shape (the dedup Exchange moves ids, the payload is joined back
+    exactly once after it); single-key callers keep the default, where
+    each text crosses the one block Exchange once and pairs are
+    emitted without any further shuffle.
+
+    ``normed``: a pre-built ``_normed_docs(df, text, id_col)`` result
+    (persist it when several blocking keys share it) so the
+    normalization regex pipeline is not re-run per key.
+    """
     from pyspark.sql import Window as W
 
-    base = _normed_docs(df, text, id_col).select(
-        F.col("doc").alias("_id"),
-        F.col("norm").alias("_norm"),
-        block_key(F.col("norm")).alias("_block"),
-    )
+    if normed is None:
+        normed = _normed_docs(df, text, id_col)
+    cols = [F.col("doc").alias("_id"), block_key(F.col("norm")).alias("_block")]
+    if not ids_only:
+        cols.insert(1, F.col("norm").alias("_norm"))
+    base = normed.select(*cols)
     sized = base.withColumn(
         "_bsize", F.count(F.lit(1)).over(W.partitionBy("_block"))
     ).filter(F.col("_bsize") <= block_cap)
+    member = (
+        F.col("_id")
+        if ids_only
+        else F.struct(F.col("_id"), F.col("_norm"))
+    )
     grouped = (
         sized.groupBy("_block")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_id"), F.col("_norm")))
-            ).alias("members")
-        )
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
         .filter(F.size("members") >= 2)
     )
+    if ids_only:
+        return grouped.select(
+            F.explode("members").alias("id_a"), F.col("members")
+        ).select(
+            "id_a",
+            F.explode(
+                F.filter("members", lambda m: m > F.col("id_a"))
+            ).alias("id_b"),
+        )
     pairs = grouped.select(
         F.explode("members").alias("a"), F.col("members")
     ).select(

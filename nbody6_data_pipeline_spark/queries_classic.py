@@ -482,10 +482,17 @@ def q_bilateral_trade_volume(
             )
         ).alias("order_year_us"),
     )
+    # Join order matters at scale (guide §2.3/§3.2): the selective
+    # nation-gated dimension joins run FIRST, so the one unavoidable
+    # big shuffle (lineitem x orders on orderkey) carries only the
+    # ~2/25 of rows that survive the gates on EACH side, instead of
+    # shuffling both fact tables in full and filtering afterwards.
+    # Inner joins commute, so the result is unchanged; AQE broadcasts
+    # s2/c2 when they fit and falls back to a shuffle join otherwise.
+    li2 = li.join(s2, li["l_suppkey"] == s2["s_suppkey"])
+    o2 = o.join(c2, o["o_custkey"] == c2["c_custkey"])
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(s2, li["l_suppkey"] == s2["s_suppkey"])
-        .join(c2, o["o_custkey"] == c2["c_custkey"])
+        li2.join(o2, li2["l_orderkey"] == o2["o_orderkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "order_year_us")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nbody6_data_pipeline_spark.operators.dedup import (
+    _normed_docs,
     prefix_block_pairs,
     sorted_token_block_pairs,
     BANDS,
@@ -580,28 +581,29 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # processing recomputes per branch.
     grams = tdf.select("doc_id", grams_col.alias("g")).persist()
     inv = grams.select("doc_id", F.explode("g").alias("gram"))
-    # DF-capped index: one hash-agg over grams, joined back (AQE
-    # broadcasts the filtered gram list). df=1 grams can never produce
-    # a pair, so only df in [2, 20] is indexed — typically a tiny
-    # fraction of the vocabulary.
-    # persist: both sides of the pair self-join read the rare postings
-    # — without it the df-agg + filter join re-executes per side
-    rare = inv.join(
-        inv.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
-        .select("gram"),
-        "gram",
-    ).persist()
-    a, b = rare.alias("a"), rare.alias("b")
+    # DF-capped inverted index, one shuffle (guide §2.4): the postings
+    # shuffle ONCE on gram; a streamed window count drops frequent
+    # grams (df > 20 — the degenerate-bucket discipline shared with
+    # lsh_candidate_pairs: a boilerplate gram shared by millions of
+    # docs never reaches collect_list) and df=1 grams (no pair), then
+    # the groupBy on the SAME key reuses the window's partitioning —
+    # no second Exchange — and pairs expand inside <= 20-wide arrays.
+    # The old shape (df-aggregate joined back + rare-postings
+    # self-join) paid three more Exchanges for the same pair set.
+    from pyspark.sql import Window as W
+
+    rare = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("gram"))
+    ).filter((F.col("_df") >= 2) & (F.col("_df") <= 20))
     cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        rare.groupBy("gram")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .select(F.explode("members").alias("doc_a"), "members")
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            "doc_a",
+            F.explode(
+                F.filter("members", lambda m: m > F.col("doc_a"))
+            ).alias("doc_b"),
         )
         .distinct()
     )
@@ -1425,17 +1427,42 @@ def q_doc_fuzzy_match_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     with unchanged vocabulary). Each key is one shuffle with the same
     degenerate-block cap; the union dedups candidate pairs BEFORE the
     O(len^2) verify so no pair is scored twice.
+
+    Scale shape (guide §2.3/§8 — decide with small rows, attach the
+    payload once): both blocking passes run ``ids_only`` over ONE
+    persisted normalized-docs table, so each block Exchange carries
+    (key, id) instead of the full text, the union's dedup Exchange
+    moves 16-byte id pairs, and the normalized texts are joined back
+    to the SURVIVING candidate set exactly once for the levenshtein
+    verify (AQE broadcasts whichever side is small).
     """
     d = _t(spark, sf_dir, "documents")
+    normed = _normed_docs(d, F.col("text"), "doc_id").persist()
     p1 = prefix_block_pairs(
-        d, F.col("text"), "doc_id", prefix_len=_FUZZY_PREFIX, block_cap=_FUZZY_CAP
+        d,
+        F.col("text"),
+        "doc_id",
+        prefix_len=_FUZZY_PREFIX,
+        block_cap=_FUZZY_CAP,
+        ids_only=True,
+        normed=normed,
     )
     p2 = sorted_token_block_pairs(
-        d, F.col("text"), "doc_id", n_tokens=_FUZZY_TOKENS, block_cap=_FUZZY_CAP
+        d,
+        F.col("text"),
+        "doc_id",
+        n_tokens=_FUZZY_TOKENS,
+        block_cap=_FUZZY_CAP,
+        ids_only=True,
+        normed=normed,
     )
     cand = p1.unionByName(p2).distinct()
+    na = normed.select(F.col("doc").alias("id_a"), F.col("norm").alias("text_a"))
+    nb = normed.select(F.col("doc").alias("id_b"), F.col("norm").alias("text_b"))
     return (
-        cand.select(
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
             "id_a", "id_b", F.levenshtein("text_a", "text_b").alias("edit_dist")
         )
         .filter(F.col("edit_dist") <= _FUZZY_DIST)
