@@ -149,6 +149,49 @@ def test_prefix_block_pairs_semantics(spark):
     assert capped == []
 
 
+def test_block_pairs_ids_only_parity(spark):
+    """The ids_only shape (round-10: the multikey dedup Exchange moves
+    id pairs, not texts) must emit exactly the default shape's id
+    pairs — for both blocking keys, with and without the cap binding —
+    and accept a pre-built normed table without changing the result."""
+    from pyspark.sql import Row
+
+    from nbody6_data_pipeline_spark.operators.dedup import (
+        _normed_docs,
+        prefix_block_pairs,
+        sorted_token_block_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="The  quick brown fox jumped"),
+            Row(doc_id=3, text="the quick brown cat sits"),
+            Row(doc_id=4, text="completely different text"),
+            Row(doc_id=5, text="quick the brown fox jumps"),  # token twin of 1
+        ]
+    )
+    normed = _normed_docs(docs, F.col("text"), "doc_id")
+    for fn in (prefix_block_pairs, sorted_token_block_pairs):
+        for cap in (64, 2):
+            full = {
+                (r.id_a, r.id_b)
+                for r in fn(
+                    docs, F.col("text"), "doc_id", block_cap=cap
+                ).collect()
+            }
+            ids = fn(
+                docs,
+                F.col("text"),
+                "doc_id",
+                block_cap=cap,
+                ids_only=True,
+                normed=normed,
+            )
+            assert set(ids.columns) == {"id_a", "id_b"}
+            assert {(r.id_a, r.id_b) for r in ids.collect()} == full
+
+
 def test_sorted_token_block_recovers_prefix_edits(spark):
     """A near-dup whose edit hits the leading characters defeats prefix
     blocking; the sorted-token key must still pair it."""
