@@ -18,11 +18,33 @@ the candidate set are large.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Disable adaptive execution around the tiny Lloyd-iteration
+    aggregations (guide §1.2 step 3 — after the algorithm is right).
+    Each iteration collects k x dim rows through one map-side-combined
+    hash aggregate: AQE has nothing to improve (no join, no skew, a
+    few-KB shuffle), but its stage-by-stage materialization costs one
+    extra job plus a full re-optimization pass PER ITERATION — pure
+    driver latency at any cluster size (measured ~0.15 s/iteration at
+    sf0.1; the driver round-trip is the same on a 100 TB cluster).
+    Scoped: the previous value is restored in a finally, so the
+    data-sized queries around the loop keep AQE's coalescing/skew
+    handling."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _as_double(vec: Column) -> Column:
@@ -970,12 +992,13 @@ def exact_kmeans_cells(
         # centroid subqueries was benched and is SLOWER locally — the
         # nested broadcast materializations cost more than the
         # per-iteration collect round-trip they remove.)
-        sums = (
-            assigned.select("cell", F.posexplode("vq").alias("j", "x"))
-            .groupBy("cell", "j")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
+        with _no_aqe(spark):
+            sums = (
+                assigned.select("cell", F.posexplode("vq").alias("j", "x"))
+                .groupBy("cell", "j")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
         acc: dict[int, list] = {}
         for r in sums:
             acc.setdefault(r["cell"], [0] * (dim + 1))
@@ -1164,6 +1187,30 @@ def _pq_assign_expr(vq_col: str, j: int, dsub: int) -> str:
     )
 
 
+def _pq_assign_all_expr(vq_col: str, m: int, dsub: int) -> str:
+    """All m subspace assignments as ONE generic lambda over
+    sequence(0, m-1): array<struct<j, cell, sub>> per row. The
+    arithmetic is _pq_assign_expr verbatim with the literal subspace
+    index replaced by the lambda variable — identical folds, identical
+    struct-min tie-break, bit-identical codes (parity-pinned in
+    tests/test_similarity.py). The point is the PLAN, not the values:
+    the m-way stamped-out expression made every Lloyd iteration's tree
+    m x bigger, and parse + rule passes + codegen source generation of
+    that tree cost ~0.2 s PER ITERATION of pure driver time (guide
+    §7.3 plan-size lesson; measured at sf0.1, and the cost grows with
+    m, not with data). One shared lambda keeps the tree constant-size
+    in m."""
+    return (
+        f"transform(sequence(0, {m - 1}), jj -> struct("
+        "jj AS j, "
+        "array_min(transform(filter(pcbs, s -> s.j = jj), c -> struct("
+        f"aggregate(zip_with(slice({vq_col}, jj * {dsub} + 1, {dsub}), "
+        "c.cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x) AS d2, c.c_id AS c_id))).c_id AS cell, "
+        f"slice({vq_col}, jj * {dsub} + 1, {dsub}) AS sub))"
+    )
+
+
 def exact_pq_train(
     df: DataFrame,
     vq_col: str = "vq",
@@ -1208,24 +1255,21 @@ def exact_pq_train(
         for j in range(m)
         for c, (_, row) in enumerate(seed_rows)
     ]
+    assign_all = _pq_assign_all_expr(vq_col, m, dsub)
     for _ in range(iters):
-        structs = ", ".join(
-            f"struct({j} AS j, {_pq_assign_expr(vq_col, j, dsub)} AS cell, "
-            f"{_pq_sub(vq_col, j, dsub)} AS sub)"
-            for j in range(m)
-        )
-        sums = (
-            _with_pcbs(df, spark, cb)
-            .select(F.expr(f"explode(array({structs}))").alias("s"))
-            .select(
-                F.col("s.j").alias("j"),
-                F.col("s.cell").alias("cell"),
-                F.posexplode("s.sub").alias("d", "x"),
+        with _no_aqe(spark):
+            sums = (
+                _with_pcbs(df, spark, cb)
+                .select(F.expr(f"explode({assign_all})").alias("s"))
+                .select(
+                    F.col("s.j").alias("j"),
+                    F.col("s.cell").alias("cell"),
+                    F.posexplode("s.sub").alias("d", "x"),
+                )
+                .groupBy("j", "cell", "d")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
             )
-            .groupBy("j", "cell", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
         acc: dict[tuple[int, int], list] = {}
         for r in sums:
             acc.setdefault((r["j"], r["cell"]), [0] * (dsub + 1))
@@ -1253,11 +1297,15 @@ def exact_pq_codes(
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every row to its m-array of dense codes — one shuffle-free
-    projection against the broadcast codebook."""
+    projection against the broadcast codebook (the generic-lambda
+    assignment: same values, constant-size plan — see
+    _pq_assign_all_expr)."""
     dsub = dim // m
-    codes = ", ".join(_pq_assign_expr(vq_col, j, dsub) for j in range(m))
+    assign_all = _pq_assign_all_expr(vq_col, m, dsub)
     return _with_pcbs(df, df.sparkSession, cb).select(
-        "vec_id", *keep, F.expr(f"array({codes})").alias("codes")
+        "vec_id",
+        *keep,
+        F.expr(f"transform({assign_all}, s -> s.cell)").alias("codes"),
     )
 
 

@@ -499,3 +499,55 @@ def test_recall_floors_vs_numpy_ground_truth(spark, emb):
         ivfpq_search(ivfpq, queries, k=5, nprobe=8).collect(), t_l2, 5
     )
     assert r_ivfpq >= 0.4, r_ivfpq  # measured 0.533
+
+
+def test_pq_generic_lambda_assignment_parity(spark, emb):
+    """Round-10 optimization pin: the single generic-lambda PQ
+    assignment (_pq_assign_all_expr, one transform over
+    sequence(0, m-1)) must reproduce the stamped-out per-subspace
+    expression (_pq_assign_expr with a literal j) EXACTLY — same
+    trained codebook, same per-row codes, on real data. The lambda
+    form only shrinks the plan tree; any value drift here would
+    desynchronize PQ codes from the DuckDB oracle replay."""
+    from nbody6_data_pipeline_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        _pq_assign_expr,
+        _with_cents,
+        _with_pcbs,
+        exact_kmeans_cells,
+        exact_pq_codes,
+        exact_pq_train,
+    )
+
+    dim, m = 64, PQ_M
+    dsub = dim // m
+    cents, cells = exact_kmeans_cells(emb)
+    cvcell = "element_at(filter(cents, c -> c.c_id = cell), 1).cv"
+    rq_expr = (
+        f"zip_with(vq, {cvcell}, (x, cv) -> "
+        "CAST(floor(CAST(x AS DOUBLE) - cv + 0.5D) AS BIGINT))"
+    )
+    r = (
+        _with_cents(cells, spark, cents)
+        .select("vec_id", "cell", F.expr(rq_expr).alias("rq"))
+        .persist()
+    )
+    cb = exact_pq_train(r, "rq", dim, m, PQ_KSUB)
+    # codes via the generic lambda (the shipped path)
+    new = {
+        row["vec_id"]: list(row["codes"])
+        for row in exact_pq_codes(r, cb, "rq", dim, m).collect()
+    }
+    # codes via the old stamped-out per-subspace expressions
+    stamped = ", ".join(_pq_assign_expr("rq", j, dsub) for j in range(m))
+    old = {
+        row["vec_id"]: list(row["codes"])
+        for row in _with_pcbs(r, spark, cb)
+        .select("vec_id", F.expr(f"array({stamped})").alias("codes"))
+        .collect()
+    }
+    assert new == old and len(new) == emb.count()
+    r.unpersist()
+    cells._cached_deps[0].unpersist()
+    cells.unpersist()
