@@ -113,6 +113,18 @@ def get_spark(
         # The events table is parquet TIMESTAMP(NANOS): read as exact LONGs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Whole-stage-codegen compile cache (static conf, default 100
+        # entries). A session that runs the whole registry (bench,
+        # oracle sweeps, multi-tenant pools) cycles through ~200+
+        # generated classes; at 100 entries LRU eviction forces a fresh
+        # Janino compile + JIT warmup on EVERY re-execution of a plan
+        # (measured: lineitem_bootstrap_ci 8-10 s cold vs 3.2 s with a
+        # compile-cache hit). Cache entries are small (bytecode, not
+        # data); 5000 keeps every registry plan resident. The same knob
+        # matters on a long-lived cluster session re-running templated
+        # queries (guide §1.2 step 3: config AFTER algorithm+per-task
+        # work — this is the last 10-30%, justified by measurement).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
         builder = builder.config(_STATE_PROVIDER_KEY, ROCKSDB_STATE_PROVIDER).config(
