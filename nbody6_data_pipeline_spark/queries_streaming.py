@@ -22,11 +22,18 @@ from nbody6_data_pipeline_spark.operators.multimodal import extract_features
 from nbody6_data_pipeline_spark.operators.sketch import HLL_M, hll_bucket_rank
 from nbody6_data_pipeline_spark.queries import _t, ordered, register
 from nbody6_data_pipeline_spark.streaming.events import (
+    adaptive_stream_partitions,
     read_event_stream,
     run_stream_to_memory,
     session_event_counts,
     windowed_event_counts,
 )
+
+
+def _events_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Byte-derived stateful-shuffle sizing for streams replaying the
+    events table (adaptive_stream_partitions rationale)."""
+    return adaptive_stream_partitions(spark, f"{sf_dir}/events.parquet")
 
 _sink_ids = itertools.count()
 
@@ -58,7 +65,10 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-source run here proves semantic equivalence with batch."""
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     agg = windowed_event_counts(stream, window="6 hours", watermark="365 days")
-    out = run_stream_to_memory(spark, agg, name=_unique_sink())
+    out = run_stream_to_memory(
+        spark, agg, name=_unique_sink(),
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     return out.select(
         F.unix_micros("window_start").alias("window_start_us"),
         "event_type",
@@ -102,7 +112,10 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     same session semantics the batch layer defines."""
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     agg = session_event_counts(stream, gap="30 minutes", watermark="365 days")
-    out = run_stream_to_memory(spark, agg, name=_unique_sink())
+    out = run_stream_to_memory(
+        spark, agg, name=_unique_sink(),
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -275,7 +288,10 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,6)")).alias("total_value"),
         )
     )
-    out = run_stream_to_memory(spark, agg, name=_unique_sink())
+    out = run_stream_to_memory(
+        spark, agg, name=_unique_sink(),
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     return out.select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "segment",
@@ -339,7 +355,8 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = run_stream_to_memory(
-        spark, joined, name=_unique_sink(), output_mode="append"
+        spark, joined, name=_unique_sink(), output_mode="append",
+        shuffle_partitions=_events_partitions(spark, sf_dir),
     )
     return out.select(
         "user_id",
@@ -402,7 +419,10 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w", "event_type", "bucket")
         .agg(F.max("rank").alias("reg"))
     )
-    out = run_stream_to_memory(spark, regs, name=_unique_sink())
+    out = run_stream_to_memory(
+        spark, regs, name=_unique_sink(),
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     return (
         out.select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -510,7 +530,10 @@ def q_streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = cells.groupBy("w", "c.row_i", "c.bucket").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    out = run_stream_to_memory(spark, counters, name=_unique_sink())
+    out = run_stream_to_memory(
+        spark, counters, name=_unique_sink(),
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     grid = out.select(
         F.unix_micros(F.col("w.start")).alias("wus"), "row_i", "bucket", "cnt"
     )
@@ -643,19 +666,60 @@ def stage_late_arrival_files(spark: SparkSession, sf_dir: str) -> str:
     )
     b = md5_bucket(F.col("event_id"), _LATE_BUCKETS)
     staging = tempfile.mkdtemp(prefix="late_stage_")
-    slices = [
-        ("000.parquet", ev.filter(b < _LATE_CUT), 1_000_000_000),
-        ("001.parquet", ev.limit(0), 1_000_000_060),
-        ("002.parquet", ev.filter(b >= _LATE_CUT), 1_000_000_120),
-    ]
-    for name, df, mtime in slices:
-        tmp = tempfile.mkdtemp(prefix="late_slice_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    # Both data slices come out of ONE single-task partitioned write
+    # (the writer emits one file per _slice value and drops the
+    # partition column from the file schema, so each file carries
+    # exactly the four stream columns) instead of two separate
+    # coalesce(1) write jobs — same bytes-per-slice, one less Spark
+    # job per staging (guide §2.4: the slicing decision needs one
+    # pass, not one pass per slice). The empty heartbeat still needs
+    # its own 0-row write for the schema-only file.
+    tmp = tempfile.mkdtemp(prefix="late_slice_")
+    (
+        # NULL-bucket rows (NULL event_id) matched NEITHER of the old
+        # slice filters (b < cut, b >= cut are both NULL) — keep them
+        # out of the staged feed explicitly.
+        ev.filter(b.isNotNull())
+        .withColumn(
+            "_slice",
+            F.when(b < _LATE_CUT, F.lit("000")).otherwise(F.lit("002")),
+        )
+        # coalesce, not repartition: the single-task write must stay
+        # shuffle-free (the old per-slice writes were coalesce(1) too)
+        .coalesce(1)
+        .write.partitionBy("_slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    empty_tmp = tempfile.mkdtemp(prefix="late_slice_")
+    ev.limit(0).coalesce(1).write.mode("overwrite").parquet(empty_tmp)
+    empty_part = os.path.join(
+        empty_tmp,
+        next(f for f in os.listdir(empty_tmp) if f.endswith(".parquet")),
+    )
+    for name, mtime in (
+        ("000.parquet", 1_000_000_000),
+        ("001.parquet", 1_000_000_060),
+        ("002.parquet", 1_000_000_120),
+    ):
+        if name == "001.parquet":
+            src = empty_part
+        else:
+            sdir = os.path.join(tmp, f"_slice={name.removesuffix('.parquet')}")
+            parts = (
+                [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+                if os.path.isdir(sdir)
+                else []
+            )
+            # a slice with no rows produces no partition directory —
+            # stage the schema-only file, matching the old per-slice
+            # 0-row write
+            src = os.path.join(sdir, parts[0]) if parts else empty_part
         dst = os.path.join(staging, name)
-        shutil.copy(os.path.join(tmp, part), dst)
+        shutil.copy(src, dst)
         os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(empty_tmp, ignore_errors=True)
     return staging
 
 
@@ -684,7 +748,8 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, window="6 hours", watermark="1 hour"
         )
         out = run_stream_to_memory(
-            spark, agg, name=_unique_sink(), output_mode="update"
+            spark, agg, name=_unique_sink(), output_mode="update",
+            shuffle_partitions=adaptive_stream_partitions(spark, staging),
         )
         # UPDATE mode appends one row per (key, updating trigger);
         # a key's count strictly grows across its updates, so the
@@ -797,20 +862,29 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staging = tempfile.mkdtemp(prefix="oj_stage_")
     try:
+        # The two heartbeat slices are byte-identical schema-only
+        # files: write the empty parquet ONCE and copy it twice (the
+        # old shape paid a separate 0-row write job per heartbeat).
+        written: dict[str, str] = {}
+        tmps: list[str] = []
         slices = [
-            ("000.parquet", ev, 1_000_000_000),
-            ("001.parquet", ev.limit(0), 1_000_000_060),
-            ("002.parquet", ev.limit(0), 1_000_000_120),
+            ("000.parquet", "data", ev, 1_000_000_000),
+            ("001.parquet", "empty", ev.limit(0), 1_000_000_060),
+            ("002.parquet", "empty", None, 1_000_000_120),
         ]
-        for name, df, mtime in slices:
-            tmp = tempfile.mkdtemp(prefix="oj_slice_")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
+        for name, kind, df, mtime in slices:
+            if kind not in written:
+                tmp = tempfile.mkdtemp(prefix="oj_slice_")
+                tmps.append(tmp)
+                df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                )
+                written[kind] = os.path.join(tmp, part)
             dst = os.path.join(staging, name)
-            shutil.copy(os.path.join(tmp, part), dst)
+            shutil.copy(written[kind], dst)
             os.utime(dst, (mtime, mtime))
+        for tmp in tmps:
             shutil.rmtree(tmp, ignore_errors=True)
 
         stream = read_event_stream(spark, staging, max_files_per_trigger=1)
@@ -845,7 +919,8 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leftOuter",
         )
         out = run_stream_to_memory(
-            spark, joined, name=_unique_sink(), output_mode="append"
+            spark, joined, name=_unique_sink(), output_mode="append",
+            shuffle_partitions=adaptive_stream_partitions(spark, staging),
         )
         return (
             out.select(

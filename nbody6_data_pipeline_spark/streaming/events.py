@@ -93,6 +93,51 @@ def windowed_event_counts(
     )
 
 
+_STATE_PARTITION_BYTES = 32 << 20  # one state-store partition per ~32 MB
+
+
+def adaptive_stream_partitions(
+    spark: SparkSession, path: str, floor: int = 2
+) -> int | None:
+    """Scale-adaptive stateful-shuffle sizing (guide §2): every
+    stateful operator creates one state store per shuffle partition
+    per micro-batch, so a replay over a SMALL source pays store
+    init/commit x partitions x operators x batches of pure overhead,
+    while a 100 TB stream needs its state spread across every
+    executor. Derive the count from the source's byte size — one
+    partition per ~32 MB, at least ``floor``, capped at the session
+    default so a big source keeps the cluster-sized value — instead of
+    hard-coding either regime. Partition count cannot perturb results:
+    watermarked aggregations and stream-stream joins are keyed-state
+    semantics, independent of physical partitioning (hash-verified
+    across 1/2/4/8/32 partitions).
+
+    Only right for JVM-state operators whose per-row cost is bytes.
+    The applyInPandasWithState path pays one PYTHON call per key per
+    batch, so ITS wall time scales with key count / parallelism — that
+    caller keeps the session default (more workers, not fewer).
+
+    Returns None (keep the session default — the conservative cluster
+    choice) when the path cannot be stat'ed (e.g. object store).
+    """
+    import glob as _glob
+    import os
+
+    try:
+        if os.path.isdir(path):
+            sz = sum(
+                os.path.getsize(p)
+                for p in _glob.glob(os.path.join(path, "**"), recursive=True)
+                if os.path.isfile(p)
+            )
+        else:
+            sz = os.path.getsize(path)
+    except OSError:
+        return None
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(floor, min(sess, sz // _STATE_PARTITION_BYTES + 1))
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     agg: DataFrame,
