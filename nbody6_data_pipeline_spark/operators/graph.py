@@ -71,6 +71,21 @@ def _state_hint(state: DataFrame, n_nodes: int) -> DataFrame:
     return F.broadcast(state) if n_nodes <= BROADCAST_MAX_NODES else state
 
 
+def _cap_parts(df: DataFrame) -> DataFrame:
+    """Narrow-coalesce an iteratively re-read edge frame to the
+    session's core count before it is localCheckpointed. Symmetrize
+    unions (fwd + mirrored) hand the checkpoint 2x the shuffle
+    partition count, and the checkpoint PINS that count for every
+    subsequent peel/BFS/PageRank round (the per-round joins are
+    broadcast-side, so nothing downstream re-partitions): each round
+    then launches one task per surplus tiny partition — pure
+    scheduling overhead, measured as 64-task stages moving ~11 KB per
+    task. coalesce() never raises a partition count, so a frame
+    already at or below core count is untouched, and no shuffle is
+    added either way (guide §2.4)."""
+    return df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _node_bound(edges: DataFrame, key: str = "src") -> int:
     """|V| or a cheap upper bound of it, for the broadcast decision.
     Every node appears as a `key` at least once, so |V| <= |E|; the
@@ -142,7 +157,7 @@ def pagerank_fixed(
     # localCheckpoint materializes the result and cuts the lineage
     # feeding the iteration chain.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ce = edges.join(deg, "src").localCheckpoint()
+    ce = _cap_parts(edges.join(deg, "src")).localCheckpoint()
 
     # Iteration 1 against uniform ranks is a pure aggregation.
     contribs = ce.groupBy("dst").agg(
@@ -217,7 +232,7 @@ def personalized_pagerank(
     # rationale as pagerank_fixed (no full-edge sort; AQE broadcasts
     # the |V|-sized degree table when it fits)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ce = edges.join(deg, "src").localCheckpoint()
+    ce = _cap_parts(edges.join(deg, "src")).localCheckpoint()
     nodes = (
         ce.select(F.col("src").alias("node"))
         .distinct()
@@ -290,7 +305,7 @@ def kcore_peel(
     edges_0 is the (checkpointed) input.
     """
     out = []
-    e = edges.select("s", "d").localCheckpoint()
+    e = _cap_parts(edges.select("s", "d")).localCheckpoint()
     # one up-front decision: survivor sets only shrink, so if the
     # round-0 node set is broadcast-safe every later round's is too
     n_nodes = _node_bound(e, key="s")
@@ -341,7 +356,7 @@ def bfs_layers(
     remaining level. At 100 TB the joins shuffle on node id; visited
     never exceeds the node count and the frontier usually SHRINKS
     after the graph's effective diameter."""
-    edges = edges.select("src", "dst").localCheckpoint()
+    edges = _cap_parts(edges.select("src", "dst")).localCheckpoint()
     seed_layer = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint()
